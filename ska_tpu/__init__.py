@@ -1,0 +1,26 @@
+"""ska_tpu: a TPU-native split k-mer analysis framework.
+
+A from-scratch reimplementation of the capabilities of SKA2
+(bacpop/ska.rust) designed for JAX/XLA/Pallas on TPU hardware:
+
+- FASTA/FASTQ parsing to integer sequence tensors (host, C++-accelerated)
+- split k-mer extraction as a vectorized/Pallas windowed kernel
+  (replaces the rolling iterator in reference src/ska_dict/split_kmer.rs)
+- sort-based segmented merges of packed-key arrays on device
+  (replaces hashmaps in reference src/merge_ska_dict.rs)
+- data-parallel sample sharding over a jax.sharding.Mesh with
+  all-gather + segmented reduction collectives (replaces rayon)
+
+Capability parity targets the reference CLI: build, align, map, distance,
+merge, delete, weed, nk, cov and lo (see reference src/cli.rs:167-426).
+"""
+
+import jax
+
+# Packed split k-mer keys for k<=31 need up to 60 bits; enable 64-bit types
+# before any jax.numpy use (reference uses u64/u128, src/lib.rs:592-622).
+jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.5.2"  # capability parity with reference v0.5.2
+
+from . import encoding  # noqa: E402,F401

@@ -1,0 +1,236 @@
+"""Static multi-sample split k-mer array (the `.skf` content).
+
+Counterpart of reference MergeSkaArray (src/merge_ska_array.rs:108-126):
+rows are split k-mers (kept sorted by packed key here, which hashmaps
+could not guarantee), columns are samples, values are ASCII IUPAC middle
+bases with b'-' for missing. Supports filter / delete / weed / distances /
+alignment output / nk introspection.
+"""
+
+from dataclasses import dataclass, field
+from typing import List
+
+import numpy as np
+
+from . import __version__
+from .constants import (
+    FILTER_NOAMBIG,
+    FILTER_NOAMBIGORCONST,
+    FILTER_NOCONST,
+    FILTER_NOFILTER,
+)
+from .encoding import BASE_PROB, IS_AMBIGUOUS, decode_packed
+from .ops import keys as K
+
+_GAP = ord("-")
+
+
+@dataclass
+class SkaArray:
+    k: int
+    rc: bool
+    names: List[str]
+    keys: np.ndarray  # (n, W) uint64 sorted lexicographically
+    variants: np.ndarray  # (n, s) uint8 ASCII
+    counts: np.ndarray  # (n,) int64 non-missing count per row
+    ska_version: str = __version__
+
+    # --- basic accessors -------------------------------------------------
+
+    @property
+    def ksize(self) -> int:
+        return self.variants.shape[0]
+
+    @property
+    def nsamples(self) -> int:
+        return self.variants.shape[1]
+
+    @property
+    def kbits(self) -> int:
+        return 64 * self.keys.shape[1]
+
+    def n_sample_kmers(self):
+        return (self.variants != _GAP).sum(axis=0)
+
+    # --- row/column maintenance (merge_ska_array.rs:139-163) -------------
+
+    def _take_rows(self, mask):
+        self.keys = self.keys[mask]
+        self.variants = self.variants[mask]
+        self.counts = self.counts[mask]
+
+    def update_counts(self, filter_ambig_as_missing: bool):
+        """Recount non-missing per row, dropping empty rows
+        (merge_ska_array.rs:139-163)."""
+        present = self.variants != _GAP
+        if filter_ambig_as_missing:
+            present &= ~IS_AMBIGUOUS[self.variants]
+        counts = present.sum(axis=1).astype(np.int64)
+        keep = counts > 0
+        self.counts = counts
+        self._take_rows(keep)
+
+    def delete_samples(self, del_names):
+        """Remove named samples, update counts, drop empty rows
+        (merge_ska_array.rs:231-271)."""
+        if len(del_names) == 0 or len(del_names) == self.nsamples:
+            raise ValueError("Invalid number of samples to remove")
+        del_set = set(del_names)
+        keep_cols = []
+        new_names = []
+        for idx, name in enumerate(self.names):
+            if name in del_set:
+                del_set.discard(name)
+            else:
+                keep_cols.append(idx)
+                new_names.append(name)
+        if del_set:
+            raise ValueError(f"Could not find sample(s): {sorted(del_set)}")
+        self.variants = self.variants[:, keep_cols]
+        self.names = new_names
+        self.update_counts(False)
+
+    # --- site filters (merge_ska_array.rs:289-402) ------------------------
+
+    def filter(
+        self,
+        min_count: int,
+        filter_ambig_as_missing: bool,
+        filter_type: str,
+        mask_ambig: bool,
+        ignore_const_gaps: bool,
+        update_kmers: bool = True,
+    ) -> int:
+        """Row filters; returns number of removed sites."""
+        if filter_ambig_as_missing:
+            self.update_counts(True)
+
+        v = self.variants
+        n = self.ksize
+        keep = self.counts >= min_count
+
+        if filter_type == FILTER_NOFILTER:
+            pred = np.ones(n, dtype=bool)
+        elif filter_type == FILTER_NOCONST:
+            considered = np.ones_like(v, dtype=bool)
+            if ignore_const_gaps:
+                considered = v != _GAP
+            # >1 distinct considered value
+            big = np.where(considered, v.astype(np.int16), -1)
+            row_max = big.max(axis=1)
+            has_two = (
+                np.where(considered, v.astype(np.int16), np.int16(32767)).min(axis=1)
+                != row_max
+            ) & (row_max >= 0)
+            pred = has_two
+        elif filter_type == FILTER_NOAMBIG:
+            pred = ~IS_AMBIGUOUS[v].any(axis=1)
+        elif filter_type == FILTER_NOAMBIGORCONST:
+            # count distinct unambiguous classes (+ gap unless ignored) > 1
+            pres = np.zeros(n, dtype=np.int32)
+            for c in b"ACGTU":
+                pres += (v == c).any(axis=1)
+            if not ignore_const_gaps:
+                pres += (v == _GAP).any(axis=1)
+            pred = pres > 1
+        else:
+            raise ValueError(f"Unknown filter {filter_type}")
+
+        keep &= pred
+        removed = int(n - keep.sum())
+        self._take_rows(keep)
+
+        if mask_ambig:
+            amb = IS_AMBIGUOUS[self.variants]
+            self.variants = np.where(amb, np.uint8(ord("N")), self.variants)
+        return removed
+
+    # --- weed (merge_ska_array.rs:452-487) --------------------------------
+
+    def weed(self, weed_keys: np.ndarray, reverse: bool):
+        """Remove rows whose key is in weed_keys (or keep only those)."""
+        if len(weed_keys):
+            wk = np.unique(np.asarray(weed_keys, dtype=np.uint64), axis=0)
+            # self.keys sorted: membership via searchsorted on weed set
+            found = _np_member(self.keys, wk)
+        else:
+            found = np.zeros(self.ksize, dtype=bool)
+        keep = found if reverse else ~found
+        self._take_rows(keep)
+
+    # --- alignment output (merge_ska_array.rs:499-517) ---------------------
+
+    def write_fasta(self, fh):
+        from .io.fastx import write_fasta
+
+        vt = np.ascontiguousarray(self.variants.T)
+        for name, row in zip(self.names, vt):
+            write_fasta(name, row.tobytes(), fh)
+
+    # --- nk output (merge_ska_array.rs:649-698) ----------------------------
+
+    def nk_display(self) -> str:
+        rc = "true" if self.rc else "false"
+        names = ", ".join(f'"{n}"' for n in self.names)
+        kmers = ", ".join(str(int(x)) for x in self.n_sample_kmers())
+        return (
+            f"ska_version={self.ska_version}\n"
+            f"k={self.k}\n"
+            f"k_bits={self.kbits}\n"
+            f"rc={rc}\n"
+            f"k-mers={self.ksize}\n"
+            f"samples={self.nsamples}\n"
+            f"sample_names=[{names}]\n"
+            f"sample_kmers=[{kmers}]\n"
+        )
+
+    def nk_full_info(self) -> str:
+        half = (self.k - 1) // 2
+        out = []
+        W = self.keys.shape[1]
+        for i in range(self.ksize):
+            if W == 1:
+                hi, lo = 0, self.keys[i, 0]
+            else:
+                hi, lo = self.keys[i, 0], self.keys[i, 1]
+            flanks = decode_packed(hi, lo, self.k - 1)
+            upper, lower = flanks[:half], flanks[half:]
+            bases = ",".join(chr(b) for b in self.variants[i])
+            out.append(f"{upper}\t{lower}\t{bases}")
+        return "\n".join(out) + ("\n" if out else "")
+
+    # --- distances (merge_ska_array.rs:416-438, 587-632) -------------------
+
+    def distance(self, constant: float, filt_ambig: bool):
+        """Pairwise distances via a 16-class Gram matrix on the MXU.
+
+        Per-site work in the reference (variant_dist,
+        merge_ska_array.rs:587-632) depends only on the pair of 4-bit
+        base-set classes, so pair statistics are linear functionals of
+        the class-cooccurrence counts G[i,a,j,b] — one big matmul.
+        """
+        from .distance import pairwise_stats
+
+        return pairwise_stats(self.variants, constant, filt_ambig)
+
+
+def _np_member(keys: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+    """Membership of (n, W) keys in sorted unique (m, W) set."""
+    if sorted_set.ndim == 1:
+        sorted_set = sorted_set[:, None]
+    n, W = keys.shape
+    if W == 1:
+        idx = np.searchsorted(sorted_set[:, 0], keys[:, 0])
+        idx = np.clip(idx, 0, len(sorted_set) - 1)
+        return (sorted_set[idx, 0] == keys[:, 0]) & (len(sorted_set) > 0)
+    # two-limb: combine into python-object free comparison via structured sort
+    comb_set = _combine128(sorted_set)
+    comb_q = _combine128(keys)
+    idx = np.clip(np.searchsorted(comb_set, comb_q), 0, len(comb_set) - 1)
+    return comb_set[idx] == comb_q
+
+
+def _combine128(arr):
+    """(n, 2) uint64 -> sortable void/structured scalar preserving lex order."""
+    a = np.ascontiguousarray(arr.astype(">u8"))
+    return a.view([("v", "S16")])["v"].ravel()

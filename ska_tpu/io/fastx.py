@@ -1,0 +1,186 @@
+"""FASTA/FASTQ(.gz) parsing to flat numpy tensors.
+
+Replaces needletail in the reference (src/ska_dict.rs:118-180). Records are
+concatenated into a single uint8 tensor with one separator byte ('\\0',
+an invalid base) between records, plus per-record boundary metadata, ready
+for the device extraction kernel.
+"""
+
+import gzip
+import re
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+_SEP = 0  # separator byte; (0 & 0xF) == 0 != 14 is *valid* -> must handle explicitly
+
+
+def _open(path):
+    f = open(path, "rb")
+    magic = f.read(2)
+    f.seek(0)
+    if magic == b"\x1f\x8b":
+        return gzip.open(f, "rb")
+    return f
+
+
+def peek_format(path: str) -> str:
+    """'fasta' or 'fastq' by peeking the first record, like needletail
+    (reference src/ska_dict.rs:357-366 peeks the first record's format)."""
+    with _open(path) as f:
+        first = f.read(1)
+        if first == b">":
+            return "fasta"
+        if first == b"@":
+            return "fastq"
+        raise ValueError(f"Invalid FASTA/Q record in {path}")
+
+
+@dataclass
+class FastxFile:
+    """Parsed records from one file."""
+
+    ids: List[str] = field(default_factory=list)
+    seqs: List[bytes] = field(default_factory=list)
+    quals: List[Optional[bytes]] = field(default_factory=list)
+    is_fastq: bool = False
+
+
+def read_fastx(path: str) -> FastxFile:
+    fmt = peek_format(path)
+    out = FastxFile(is_fastq=(fmt == "fastq"))
+    with _open(path) as f:
+        data = f.read()
+    if fmt == "fasta":
+        # split on '>' at line starts
+        pos = data.find(b">")
+        while pos != -1:
+            hdr_end = data.find(b"\n", pos)
+            if hdr_end == -1:
+                break
+            nxt = data.find(b"\n>", hdr_end)
+            seq_end = len(data) if nxt == -1 else nxt + 1
+            header = data[pos + 1 : hdr_end].decode().strip()
+            seq = data[hdr_end + 1 : seq_end].replace(b"\n", b"").replace(b"\r", b"")
+            out.ids.append(header)
+            out.seqs.append(seq)
+            out.quals.append(None)
+            pos = -1 if nxt == -1 else nxt + 1
+    else:
+        lines = data.split(b"\n")
+        i = 0
+        n = len(lines)
+        while i + 3 < n or (i + 3 == n and lines[i]):
+            hdr = lines[i]
+            if not hdr:
+                break
+            if not hdr.startswith(b"@"):
+                raise ValueError(f"Invalid FASTQ record in {path}")
+            seq = lines[i + 1].rstrip(b"\r")
+            qual = lines[i + 3].rstrip(b"\r")
+            out.ids.append(hdr[1:].decode().strip())
+            out.seqs.append(seq)
+            out.quals.append(qual)
+            i += 4
+    if not out.ids:
+        raise ValueError(f"Invalid path/file: {path}")
+    return out
+
+
+@dataclass
+class SeqBatch:
+    """Flat concatenated representation of one sample's records.
+
+    seq:      uint8[T] ASCII bases, records separated by one 0 byte
+    qual:     uint8[T] PHRED+33 scores (0 where none)
+    rec_id:   int32[T] record index per position
+    rec_last: bool[T]  True at the final base of each record
+    has_qual: whether quality scores are present
+    """
+
+    seq: np.ndarray
+    qual: np.ndarray
+    rec_last: np.ndarray
+    has_qual: bool
+    n_records: int
+
+
+def build_batch(seqs, quals=None) -> SeqBatch:
+    """Concatenate records with separators into a SeqBatch."""
+    n = len(seqs)
+    has_qual = quals is not None and any(q is not None for q in quals)
+    parts = []
+    qparts = []
+    last = []
+    for i, s in enumerate(seqs):
+        arr = np.frombuffer(bytes(s), dtype=np.uint8)
+        parts.append(arr)
+        if has_qual:
+            q = quals[i]
+            qa = (
+                np.frombuffer(bytes(q), dtype=np.uint8)
+                if q is not None
+                else np.zeros(len(arr), dtype=np.uint8)
+            )
+            qparts.append(qa)
+        rl = np.zeros(len(arr), dtype=bool)
+        if len(arr):
+            rl[-1] = True
+        last.append(rl)
+        if i != n - 1:
+            parts.append(np.zeros(1, dtype=np.uint8))
+            if has_qual:
+                qparts.append(np.zeros(1, dtype=np.uint8))
+            last.append(np.zeros(1, dtype=bool))
+    seq = np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint8)
+    qual = (
+        np.concatenate(qparts)
+        if has_qual
+        else np.zeros(len(seq), dtype=np.uint8)
+    )
+    rec_last = np.concatenate(last) if last else np.zeros(0, dtype=bool)
+    return SeqBatch(seq=seq, qual=qual, rec_last=rec_last, has_qual=has_qual, n_records=n)
+
+
+# --- input lists / sample naming ----------------------------------------------
+
+# reference io_utils.rs:31-46
+_RE_PATH = re.compile(r"^.+/(.+)\.(?i:fa|fasta|fastq|fastq\.gz)$")
+_RE_NAME = re.compile(r"^(.+)\.(?i:fa|fasta|fastq|fastq\.gz)$")
+
+
+def read_input_fastas(seq_files):
+    """(name, path, None) triples with extension-stripped names."""
+    out = []
+    for f in seq_files:
+        m = _RE_PATH.match(f) or _RE_NAME.match(f)
+        name = m.group(1) if m else f
+        out.append((name, f, None))
+    return out
+
+
+def get_input_list(file_list=None, seq_files=None):
+    """Parse -f file lists (name\\tseq1[\\tseq2]) or positional FASTA paths
+    (reference io_utils.rs:116-146)."""
+    if file_list is not None:
+        out = []
+        with open(file_list) as f:
+            for line in f:
+                fields = line.split()
+                if not fields:
+                    continue
+                if len(fields) == 2:
+                    out.append((fields[0], fields[1], None))
+                elif len(fields) == 3:
+                    out.append((fields[0], fields[1], fields[2]))
+                else:
+                    raise ValueError("Unable to parse line in file_list")
+        return out
+    return read_input_fastas(seq_files)
+
+
+def write_fasta(name, seq_bytes, fh):
+    """needletail-style FASTA record with Unix line ending (one line per seq)."""
+    fh.write(b">" + name.encode() + b"\n")
+    fh.write(bytes(seq_bytes) + b"\n")

@@ -1,0 +1,186 @@
+"""Packed split k-mer key arrays (1 or 2 uint64 limbs) and their device ops.
+
+The reference is generic over u64 (k <= 31) / u128 (k <= 63)
+(src/ska_dict/bit_encoding.rs:88-303). Here a key array is a jnp/numpy
+array of shape (..., W) uint64 with W = 1 (k <= 31) or 2 (hi, lo limbs);
+all ops are static in W so XLA specializes.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+U64 = jnp.uint64
+
+
+def width_for_k(k: int) -> int:
+    """Limb count for split k-mer keys: 2*(k-1) bits."""
+    return 1 if k <= 31 else 2
+
+
+def kbits_for_k(k: int) -> int:
+    """64 or 128, as stored in .skf k_bits (reference lib.rs:592-622)."""
+    return 64 * width_for_k(k)
+
+
+def shl(limbs, s: int):
+    """Static left shift of (..., W) uint64 limbs, limbs[..., 0] is hi."""
+    W = limbs.shape[-1]
+    if s == 0:
+        return limbs
+    if W == 1:
+        return (limbs << np.uint64(s)) if s < 64 else jnp.zeros_like(limbs)
+    hi, lo = limbs[..., 0], limbs[..., 1]
+    if s < 64:
+        nhi = (hi << np.uint64(s)) | (lo >> np.uint64(64 - s)) if s else hi
+        nlo = lo << np.uint64(s)
+    elif s < 128:
+        nhi = lo << np.uint64(s - 64) if s > 64 else lo
+        nlo = jnp.zeros_like(lo)
+    else:
+        nhi = nlo = jnp.zeros_like(lo)
+    return jnp.stack([nhi, nlo], axis=-1)
+
+
+def shr(limbs, s: int):
+    """Static right shift of (..., W) uint64 limbs."""
+    W = limbs.shape[-1]
+    if s == 0:
+        return limbs
+    if W == 1:
+        return (limbs >> np.uint64(s)) if s < 64 else jnp.zeros_like(limbs)
+    hi, lo = limbs[..., 0], limbs[..., 1]
+    if s < 64:
+        nlo = (lo >> np.uint64(s)) | (hi << np.uint64(64 - s)) if s else lo
+        nhi = hi >> np.uint64(s)
+    elif s < 128:
+        nlo = hi >> np.uint64(s - 64) if s > 64 else hi
+        nhi = jnp.zeros_like(hi)
+    else:
+        nhi = nlo = jnp.zeros_like(hi)
+    return jnp.stack([nhi, nlo], axis=-1)
+
+
+def bor(a, b):
+    return a | b
+
+
+def from_scalar(x, W):
+    """Broadcastable (W,) key from a python int."""
+    if W == 1:
+        return jnp.array([x & 0xFFFFFFFFFFFFFFFF], dtype=U64)
+    return jnp.array([(x >> 64) & 0xFFFFFFFFFFFFFFFF, x & 0xFFFFFFFFFFFFFFFF], dtype=U64)
+
+
+def _rev64(x):
+    """Reverse the 32 2-bit groups within each uint64 lane
+    (reference rev_comp shuffle, bit_encoding.rs:182-195)."""
+    m = np.uint64
+    x = ((x >> m(2)) & m(0x3333333333333333)) | ((x & m(0x3333333333333333)) << m(2))
+    x = ((x >> m(4)) & m(0x0F0F0F0F0F0F0F0F)) | ((x & m(0x0F0F0F0F0F0F0F0F)) << m(4))
+    x = ((x >> m(8)) & m(0x00FF00FF00FF00FF)) | ((x & m(0x00FF00FF00FF00FF)) << m(8))
+    x = ((x >> m(16)) & m(0x0000FFFF0000FFFF)) | ((x & m(0x0000FFFF0000FFFF)) << m(16))
+    x = (x >> m(32)) | (x << m(32))
+    return x
+
+
+def rev_comp(limbs, n_bases: int):
+    """Reverse complement of 2-bit packed bases (W-limb), value in low 2*n_bases bits."""
+    W = limbs.shape[-1]
+    comp = np.uint64(0xAAAAAAAAAAAAAAAA)
+    if W == 1:
+        r = _rev64(limbs) ^ comp
+        return shr(r, 64 - 2 * n_bases)
+    hi, lo = limbs[..., 0], limbs[..., 1]
+    rhi = _rev64(lo) ^ comp
+    rlo = _rev64(hi) ^ comp
+    return shr(jnp.stack([rhi, rlo], axis=-1), 128 - 2 * n_bases)
+
+
+def greater(a, b):
+    """Lexicographic a > b over limbs (unsigned)."""
+    W = a.shape[-1]
+    if W == 1:
+        return a[..., 0] > b[..., 0]
+    return (a[..., 0] > b[..., 0]) | ((a[..., 0] == b[..., 0]) & (a[..., 1] > b[..., 1]))
+
+
+def equal(a, b):
+    return jnp.all(a == b, axis=-1)
+
+
+def sort_with(keys, payloads, extra_keys=()):
+    """Sort rows by key limbs (then extra_keys) carrying payloads.
+
+    keys: (N, W); extra_keys: tuple of (N,) arrays appended to the sort key;
+    payloads: tuple of (N,) arrays. Returns (sorted_keys, sorted_extras, sorted_payloads).
+    """
+    W = keys.shape[-1]
+    ops = tuple(keys[:, i] for i in range(W)) + tuple(extra_keys) + tuple(payloads)
+    res = jax.lax.sort(ops, num_keys=W + len(extra_keys))
+    skeys = jnp.stack(res[:W], axis=-1)
+    nex = len(extra_keys)
+    return skeys, res[W : W + nex], res[W + nex :]
+
+
+def searchsorted(sorted_keys, queries):
+    """Vectorized lower-bound binary search of (M, W) queries in (N, W) sorted keys.
+
+    Returns int32 indices in [0, N]. Branchless fori_loop; O(M log N) gathers.
+    """
+    N = sorted_keys.shape[0]
+    M = queries.shape[0]
+    n_steps = max(1, int(np.ceil(np.log2(max(N, 1) + 1))))
+    lo = jnp.zeros((M,), dtype=jnp.int32)
+    hi = jnp.full((M,), N, dtype=jnp.int32)
+
+    def body(_, lh):
+        lo, hi = lh
+        mid = (lo + hi) >> 1
+        midk = sorted_keys[jnp.clip(mid, 0, N - 1)]
+        # lower bound: key[mid] < query -> go right
+        lt = greater(queries, midk)
+        lo = jnp.where(lt & (lo < hi), mid + 1, lo)
+        hi = jnp.where((~lt) & (lo < hi), mid, hi)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, n_steps + 1, body, (lo, hi))
+    return lo
+
+
+# --- numpy-side helpers for python-int interop ---------------------------------
+
+
+def to_python_ints(keys_np) -> list:
+    """(N, W) or (N,) numpy uint64 -> python ints (for CBOR encoding)."""
+    keys_np = np.asarray(keys_np, dtype=np.uint64)
+    if keys_np.ndim == 1:
+        return [int(x) for x in keys_np]
+    if keys_np.shape[-1] == 1:
+        return [int(x) for x in keys_np[:, 0]]
+    return [(int(h) << 64) | int(l) for h, l in keys_np]
+
+
+def from_python_ints(vals, W) -> np.ndarray:
+    """Python ints -> (N, W) numpy uint64 limbs (hi, lo)."""
+    n = len(vals)
+    out = np.zeros((n, W), dtype=np.uint64)
+    if W == 1:
+        for i, v in enumerate(vals):
+            out[i, 0] = v
+    else:
+        for i, v in enumerate(vals):
+            out[i, 0] = (v >> 64) & 0xFFFFFFFFFFFFFFFF
+            out[i, 1] = v & 0xFFFFFFFFFFFFFFFF
+    return out
+
+
+def np_lex_argsort(keys_np):
+    """Host lexicographic argsort of (N, W) uint64 keys."""
+    keys_np = np.asarray(keys_np)
+    if keys_np.ndim == 1:
+        keys_np = keys_np[:, None]
+    cols = [keys_np[:, i] for i in range(keys_np.shape[1] - 1, -1, -1)]
+    return np.lexsort(cols)

@@ -1,0 +1,54 @@
+"""End-to-end `ska build` vs the reference's shipped .skf fixtures.
+
+The fixtures were produced by the reference binary from the same FASTA
+inputs, so key sets, middle bases and counts must match exactly
+(row order differs: the reference stores hashmap order, we sort by key
+and sort fixtures on load)."""
+
+import numpy as np
+import pytest
+
+from ska_tpu.io import skf
+from ska_tpu.merge import merge_samples
+from ska_tpu.sample import QualOpts, build_sample
+
+
+def _build_pair(ref_in, k):
+    q = QualOpts()
+    s1 = build_sample("test_1", k, (f"{ref_in}/test_1.fa", None), True, q)
+    s2 = build_sample("test_2", k, (f"{ref_in}/test_2.fa", None), True, q)
+    return merge_samples([s1, s2])
+
+
+@pytest.mark.parametrize("fixture,k", [("merge.skf", 17), ("merge_k9.skf", 9), ("merge_k41.skf", 41)])
+def test_build_matches_fixture(ref_in, fixture, k):
+    arr = _build_pair(ref_in, k)
+    ref = skf.load(f"{ref_in}/{fixture}")
+    assert ref.k == k
+    assert arr.keys.shape == ref.keys.shape
+    np.testing.assert_array_equal(arr.keys, ref.keys)
+    np.testing.assert_array_equal(arr.variants, ref.variants)
+    np.testing.assert_array_equal(arr.counts, ref.counts)
+    assert arr.names == ref.names
+    assert arr.kbits == ref.kbits
+
+
+def test_skf_roundtrip(tmp_path, ref_in):
+    arr = _build_pair(ref_in, 17)
+    path = skf.save(arr, str(tmp_path / "out"))
+    assert path.endswith(".skf")
+    back = skf.load(path)
+    np.testing.assert_array_equal(arr.keys, back.keys)
+    np.testing.assert_array_equal(arr.variants, back.variants)
+    np.testing.assert_array_equal(arr.counts, back.counts)
+    assert back.names == arr.names
+    assert back.k == 17 and back.rc
+
+
+def test_skf_roundtrip_u128(tmp_path, ref_in):
+    ref = skf.load(f"{ref_in}/merge_k41.skf")
+    path = skf.save(ref, str(tmp_path / "k41"))
+    back = skf.load(path)
+    np.testing.assert_array_equal(ref.keys, back.keys)
+    np.testing.assert_array_equal(ref.variants, back.variants)
+    assert back.kbits == 128
