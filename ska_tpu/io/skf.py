@@ -13,8 +13,10 @@ from ..ops import keys as K
 from . import cbor, snappy
 
 
-def save(arr: SkaArray, path: str):
-    if not path.endswith(".skf"):
+def save(arr: SkaArray, path: str, add_suffix: bool = True):
+    """add_suffix mirrors save_skf/delete (generic_modes.rs:270-283,200-204);
+    `ska weed` saves to the exact path (generic_modes.rs:263-266)."""
+    if add_suffix and not path.endswith(".skf"):
         path = path + ".skf"
     obj = {
         "k": arr.k,

@@ -1,0 +1,273 @@
+"""Reference indexing and `ska map`.
+
+Counterpart of reference src/ska_ref.rs: the reference genome's split
+k-mers are listed in positional order (kept as parallel numpy arrays, not
+a Vec of structs), and mapping is a single vectorized binary search of
+those keys in the sample array's sorted key tensor — replacing the
+per-k-mer hashmap lookups of RefSka::map (ska_ref.rs:508-533).
+"""
+
+import io as _io
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .array import SkaArray
+from .constants import check_k
+from .encoding import IS_AMBIGUOUS, RC_IUPAC
+from .io import fastx
+from .ops import extract as X
+from .ops import keys as K
+
+_GAP = ord("-")
+
+
+def _bucket(n: int) -> int:
+    b = 1024
+    while b < n:
+        b *= 2
+    return b
+
+
+class RefSka:
+    """Split k-mers of a reference FASTA, in positional order."""
+
+    def __init__(self, k: int, filename: str, rc: bool, ambig_mask: bool, repeat_mask: bool):
+        check_k(k)
+        self.k = k
+        self.ambig_mask = ambig_mask
+        ff = fastx.read_fastx(filename)
+        if ff.is_fastq:
+            raise ValueError("Cannot create reference from FASTQ files")
+        # chromosome name = first whitespace token (ska_ref.rs:208-212)
+        self.chrom_names = [i.split()[0] for i in ff.ids]
+        self.seq = [np.frombuffer(s, dtype=np.uint8) for s in ff.seqs]
+
+        W = K.width_for_k(k)
+        h = (k - 1) // 2
+        kmers = []
+        poss = []
+        chroms = []
+        rcs = []
+        for ci, s in enumerate(self.seq):
+            L = len(s)
+            Lp = _bucket(L + k + 1)
+            seq = np.zeros(Lp, np.uint8)
+            seq[:L] = s
+            valid = ((seq & 0xF) != 14) & (seq != 0)
+            rec_last = np.zeros(Lp, bool)
+            if L:
+                rec_last[L - 1] = True
+            res = X.extract_windows(
+                jnp.asarray(seq), jnp.asarray(valid), jnp.asarray(rec_last), k, rc, W
+            )
+            emit = np.asarray(res["emit"])
+            idx = np.nonzero(emit)[0]
+            kmers.append(np.asarray(res["key"])[idx])
+            poss.append(idx.astype(np.int64) + h)  # middle-base position
+            chroms.append(np.full(len(idx), ci, dtype=np.int32))
+            rcs.append(np.asarray(res["is_rc"])[idx])
+
+        self.kmers = np.concatenate(kmers) if kmers else np.zeros((0, W), np.uint64)
+        self.pos = np.concatenate(poss) if poss else np.zeros(0, np.int64)
+        self.chrom = np.concatenate(chroms) if chroms else np.zeros(0, np.int32)
+        self.krc = np.concatenate(rcs) if rcs else np.zeros(0, bool)
+        if self.kmers.shape[0] == 0:
+            raise ValueError(f"{filename} has no valid sequence")
+
+        # repeat spans (ska_ref.rs:261-298), reproduced literally
+        self.repeat_coors: List[int] = []
+        if repeat_mask:
+            from .array import _combine128
+
+            if W == 1:
+                flat = self.kmers[:, 0]
+                uniq, counts = np.unique(flat, return_counts=True)
+                rep_set = set(uniq[counts > 1].tolist())
+                is_rep = np.isin(flat, uniq[counts > 1])
+            else:
+                comb = _combine128(self.kmers)
+                uniq, counts = np.unique(comb, return_counts=True)
+                is_rep = np.isin(comb, uniq[counts > 1])
+            half = h
+            last_chrom = 0
+            last_end = 0
+            chrom_offset = 0
+            for i in range(len(self.kmers)):
+                ci = int(self.chrom[i])
+                if ci > last_chrom:
+                    chrom_offset += len(self.seq[last_chrom])
+                    last_chrom = ci
+                if is_rep[i]:
+                    start = int(self.pos[i]) - half + chrom_offset
+                    end = int(self.pos[i]) + half + chrom_offset
+                    if start > last_end or start == 0:
+                        rng = range(start, end + 1)
+                    else:
+                        rng = range(last_end + 1, end + 1)
+                    self.repeat_coors.extend(rng)
+                    last_chrom = ci
+                    last_end = end
+
+        # mapping results
+        self.mapped_pos = None  # (chrom, pos) int arrays
+        self.mapped_variants = None  # (n_hits, n_samples) uint8
+        self.mapped_names: List[str] = []
+
+    @property
+    def ksize(self) -> int:
+        return self.kmers.shape[0]
+
+    def map(self, arr: SkaArray):
+        """Vectorized dict lookup: searchsorted of ref keys in the sample
+        array's sorted keys (replaces ska_ref.rs:508-533)."""
+        if self.k != arr.k:
+            raise ValueError(f"K-mer sizes do not match ref:{self.k} skf:{arr.k}")
+        self.mapped_names = list(arr.names)
+
+        idx = np.asarray(
+            K.searchsorted(jnp.asarray(arr.keys), jnp.asarray(self.kmers))
+        )
+        idx_c = np.clip(idx, 0, max(arr.ksize - 1, 0))
+        found = np.all(arr.keys[idx_c] == self.kmers, axis=-1) & (arr.ksize > 0)
+
+        hit = np.nonzero(found)[0]
+        rows = arr.variants[idx_c[hit]]
+        # reverse-strand hits translate through RC_IUPAC (ska_ref.rs:520-526)
+        hit_rc = self.krc[hit]
+        rows = np.where(hit_rc[:, None], RC_IUPAC[rows], rows)
+        self.mapped_variants = rows
+        self.mapped_chrom = self.chrom[hit]
+        self.mapped_pos = self.pos[hit]
+
+    # ---- pseudoalignment (ska_ref/aln_writer.rs) ---------------------------
+
+    def _pseudoalignment_one(self, bases: np.ndarray) -> bytearray:
+        """Exact AlnWriter state machine for one sample (aln_writer.rs:48-186)."""
+        h = (self.k - 1) // 2
+        total = sum(len(s) for s in self.seq)
+        out = bytearray(b"-" * total)
+        next_pos = h
+        curr_chrom = 0
+        last_mapped = 0
+        last_written = 0
+        chrom_offset = 0
+        middle_out = []
+        seqs = self.seq
+        n_chrom = len(seqs)
+
+        def fill_fwd(maximum):
+            nonlocal last_written
+            if last_written > 0:
+                overhang = max(last_mapped + h - last_written, 0)
+                start = last_written + 1
+                end = min(start + overhang, maximum)
+                if end > start:
+                    out[start + chrom_offset : end + chrom_offset] = seqs[curr_chrom][
+                        start:end
+                    ].tobytes()
+                    last_written = end
+
+        def fill_contig():
+            nonlocal chrom_offset, curr_chrom, next_pos
+            clen = len(seqs[curr_chrom])
+            fill_fwd(clen)
+            chrom_offset += clen
+            curr_chrom += 1
+            next_pos = h
+
+        mask_amb = self.ambig_mask
+        for mchrom, mpos, base in zip(self.mapped_chrom, self.mapped_pos, bases):
+            if base == _GAP:
+                continue
+            mchrom = int(mchrom)
+            mpos = int(mpos)
+            while mchrom > curr_chrom:
+                fill_contig()
+            b = ord("N") if (mask_amb and IS_AMBIGUOUS[base]) else int(base)
+            middle_out.append((b, mpos + chrom_offset))
+            if mpos < next_pos:
+                last_mapped = mpos
+            else:
+                if mpos > next_pos:
+                    fill_fwd(mpos - h)
+                start, end = mpos - h, mpos
+                out[start + chrom_offset : end + chrom_offset] = seqs[curr_chrom][
+                    start:end
+                ].tobytes()
+                next_pos = mpos + h + 1
+                last_mapped = mpos
+                last_written = mpos
+
+        while curr_chrom < n_chrom:
+            fill_contig()
+        for b, p in middle_out:
+            out[p] = b
+        for p in self.repeat_coors:
+            if out[p] != _GAP:
+                out[p] = ord("N")
+        return out
+
+    def pseudoalignment(self) -> List[bytearray]:
+        if self.mapped_variants is None or len(self.mapped_variants) == 0:
+            raise ValueError("No split k-mers mapped to reference")
+        return [
+            self._pseudoalignment_one(self.mapped_variants[:, i])
+            for i in range(self.mapped_variants.shape[1])
+        ]
+
+    # ---- outputs (ska_ref.rs:636-658, 672-752) -----------------------------
+
+    def write_aln(self, fh):
+        alns = self.pseudoalignment()
+        for name, seq in zip(self.mapped_names, alns):
+            fastx.write_fasta(name, bytes(seq), fh)
+
+    def write_vcf(self, fh):
+        alns = self.pseudoalignment()
+        aln_mat = np.array([np.frombuffer(bytes(a), dtype=np.uint8) for a in alns])
+
+        w = fh.write
+        w("##fileformat=VCFv4.4\n")
+        for contig in self.chrom_names:
+            w(f"##contig=<ID={contig}>\n")
+        w("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t")
+        w("\t".join(self.mapped_names) + "\n")
+
+        col = 0
+        for ci, chrom_seq in enumerate(self.seq):
+            cname = self.chrom_names[ci]
+            for p in range(len(chrom_seq)):
+                ref_base = int(chrom_seq[p])
+                ref_allele = _vcf_base(ref_base)
+                column = aln_mat[:, col]
+                col += 1
+                gts = []
+                alt_bases = []
+                variant = False
+                for mb in column:
+                    if mb == ref_base:
+                        gts.append("0")
+                    elif mb == _GAP:
+                        variant = True
+                        gts.append(".")
+                    else:
+                        variant = True
+                        ab = _vcf_base(int(mb))
+                        if ab not in alt_bases:
+                            alt_bases.append(ab)
+                        gts.append(str(alt_bases.index(ab) + 1))
+                if variant:
+                    alt = ",".join(alt_bases) if alt_bases else "."
+                    w(
+                        f"{cname}\t{p + 1}\t.\t{ref_allele}\t{alt}\t.\t.\t.\tGT\t"
+                        + "\t".join(gts)
+                        + "\n"
+                    )
+
+
+def _vcf_base(b: int) -> str:
+    """ASCII byte -> VCF allele; non-ACGT becomes N (ska_ref.rs:148-156)."""
+    c = chr(b)
+    return c if c in "ACGT" else "N"

@@ -1,0 +1,114 @@
+"""`ska map` byte-exact comparisons against the reference oracle files."""
+
+import io
+
+import pytest
+
+from ska_tpu.api import map_mode
+from ska_tpu.io import skf
+from ska_tpu.merge import merge_samples
+from ska_tpu.sample import QualOpts, build_sample
+
+
+def _map_out(arr, ref_fa, fmt="aln", ambig_mask=False, repeat_mask=False):
+    if fmt == "aln":
+        fh = io.BytesIO()
+        map_mode(arr, ref_fa, fh, "aln", ambig_mask, repeat_mask)
+        return fh.getvalue().decode()
+    fh = io.StringIO()
+    map_mode(arr, ref_fa, fh, "vcf", ambig_mask, repeat_mask)
+    return fh.getvalue()
+
+
+def _oracle(ref_out, name):
+    with open(f"{ref_out}/{name}") as f:
+        return f.read()
+
+
+def _assert_vcf_matches(got, want):
+    """Oracle VCFs wildcard the fileformat version line with [..]."""
+    glines = got.splitlines()
+    wlines = want.splitlines()
+    assert len(glines) == len(wlines)
+    for g, w in zip(glines, wlines):
+        if "[..]" in w:
+            pre, post = w.split("[..]", 1)
+            assert g.startswith(pre) and g.endswith(post)
+        else:
+            assert g == w
+
+
+CASES_ALN = [
+    ("merge.skf", "test_ref.fa", "map_aln.stdout", {}),
+    ("merge_k9.skf", "test_ref.fa", "map_aln_k9.stdout", {}),
+    ("merge_k9.skf", "test_ref.fa", "map_aln_k9_filter.stdout", {"ambig_mask": True}),
+    ("merge.skf", "test_ref_two_chrom.fa", "map_aln_two_chrom.stdout", {}),
+    ("merge_k41.skf", "test_ref.fa", "map_aln_k41.stdout", {}),
+    ("merge_k9.skf", "test_ref.fa", "map_aln_k9.masked.stdout", {"repeat_mask": True}),
+    ("merge_k9.skf", "test_ref_two_chrom.fa", "map_all_repeats.masked.stdout", {"repeat_mask": True}),
+    (
+        "merge_k9.skf",
+        "test_ref_two_chrom_repeats.fa",
+        "map_aln_two_chrom.masked.stdout",
+        {"repeat_mask": True},
+    ),
+]
+
+
+@pytest.mark.parametrize("skf_file,ref_fa,oracle_name,kwargs", CASES_ALN)
+def test_map_aln_oracles(ref_in, ref_out, skf_file, ref_fa, oracle_name, kwargs):
+    arr = skf.load(f"{ref_in}/{skf_file}")
+    got = _map_out(arr, f"{ref_in}/{ref_fa}", "aln", **kwargs)
+    assert got == _oracle(ref_out, oracle_name)
+
+
+CASES_VCF = [
+    ("merge.skf", "test_ref.fa", "map_vcf.stdout", {}),
+    ("merge.skf", "test_ref_two_chrom.fa", "map_vcf_two_chrom.stdout", {}),
+    ("merge_k41.skf", "test_ref.fa", "map_vcf_k41.stdout", {}),
+    ("merge_k9.skf", "test_ref.fa", "map_vcf_k9.masked.stdout", {"repeat_mask": True}),
+    (
+        "merge_k9.skf",
+        "test_ref_two_chrom_repeats.fa",
+        "map_vcf_two_chrom.masked.stdout",
+        {"repeat_mask": True},
+    ),
+]
+
+
+@pytest.mark.parametrize("skf_file,ref_fa,oracle_name,kwargs", CASES_VCF)
+def test_map_vcf_oracles(ref_in, ref_out, skf_file, ref_fa, oracle_name, kwargs):
+    arr = skf.load(f"{ref_in}/{skf_file}")
+    got = _map_out(arr, f"{ref_in}/{ref_fa}", "vcf", **kwargs)
+    _assert_vcf_matches(got, _oracle(ref_out, oracle_name))
+
+
+def test_map_built_indels(ref_in, ref_out):
+    q = QualOpts()
+    s1 = build_sample("test_1", 31, (f"{ref_in}/test_1.fa", None), True, q)
+    s2 = build_sample("indel_test", 31, (f"{ref_in}/indel_test.fa", None), True, q)
+    arr = merge_samples([s1, s2])
+    got = _map_out(arr, f"{ref_in}/test_ref.fa", "aln")
+    assert got == _oracle(ref_out, "map_aln_indels.stdout")
+    got = _map_out(arr, f"{ref_in}/test_ref.fa", "vcf")
+    _assert_vcf_matches(got, _oracle(ref_out, "map_vcf_indels.stdout"))
+
+
+def test_map_ambig(ref_in, ref_out):
+    q = QualOpts()
+    s1 = build_sample("ambig_test_1", 17, (f"{ref_in}/ambig_test_1.fa", None), False, q)
+    s2 = build_sample("ambig_test_2", 17, (f"{ref_in}/ambig_test_2.fa", None), False, q)
+    arr = merge_samples([s1, s2])
+    got = _map_out(arr, f"{ref_in}/ambig_test_ref.fa", "aln")
+    assert got == _oracle(ref_out, "map_aln_ambig.stdout")
+
+
+def test_map_single_strand(ref_in, ref_out):
+    q = QualOpts()
+    s1 = build_sample("test_1", 9, (f"{ref_in}/test_1.fa", None), False, q)
+    s2 = build_sample("test_2_rc", 9, (f"{ref_in}/test_2_rc.fa", None), False, q)
+    arr = merge_samples([s1, s2])
+    got = _map_out(arr, f"{ref_in}/test_ref.fa", "aln")
+    assert got == _oracle(ref_out, "map_ss.stdout")
+    got = _map_out(arr, f"{ref_in}/test_ref.fa", "vcf")
+    _assert_vcf_matches(got, _oracle(ref_out, "map_vcf_ss.stdout"))
