@@ -52,6 +52,27 @@ class SkaArray:
     def n_sample_kmers(self):
         return (self.variants != _GAP).sum(axis=0)
 
+    def copy_like(self) -> "SkaArray":
+        """Deep copy (filters mutate in place)."""
+        return SkaArray(
+            k=self.k,
+            rc=self.rc,
+            names=list(self.names),
+            keys=self.keys.copy(),
+            variants=self.variants.copy(),
+            counts=self.counts.copy(),
+            ska_version=self.ska_version,
+        )
+
+    def sorted_view(self):
+        """(sorted_keys, row_permutation) for binary-search lookups.
+
+        Row storage order is user-visible (alignment column order), so the
+        array itself is not reordered.
+        """
+        perm = K.np_lex_argsort(self.keys)
+        return self.keys[perm], perm
+
     # --- row/column maintenance (merge_ska_array.rs:139-163) -------------
 
     def _take_rows(self, mask):

@@ -51,15 +51,16 @@ def load(path: str) -> SkaArray:
     v = obj["variants"]
     variants = np.array(v["data"], dtype=np.uint8).reshape(v["dim"][0], v["dim"][1])
     counts = np.array(obj["variant_count"], dtype=np.int64)
-    # canonical in-memory order is sorted by key (hashmap order in old files)
-    order = K.np_lex_argsort(keys)
+    # Row order is preserved exactly as stored: the reference's alignment
+    # output follows it (tests compare `ska align` after weed byte-exactly),
+    # and lookups use a lazy sorted view instead (SkaArray.sorted_view).
     arr = SkaArray(
         k=k,
         rc=bool(obj["rc"]),
         names=[str(n) for n in obj["names"]],
-        keys=keys[order],
-        variants=variants[order],
-        counts=counts[order],
+        keys=keys,
+        variants=variants,
+        counts=counts,
         ska_version=str(obj.get("ska_version", "")),
     )
     return arr

@@ -126,14 +126,15 @@ class RefSka:
             raise ValueError(f"K-mer sizes do not match ref:{self.k} skf:{arr.k}")
         self.mapped_names = list(arr.names)
 
+        sorted_keys, perm = arr.sorted_view()
         idx = np.asarray(
-            K.searchsorted(jnp.asarray(arr.keys), jnp.asarray(self.kmers))
+            K.searchsorted(jnp.asarray(sorted_keys), jnp.asarray(self.kmers))
         )
         idx_c = np.clip(idx, 0, max(arr.ksize - 1, 0))
-        found = np.all(arr.keys[idx_c] == self.kmers, axis=-1) & (arr.ksize > 0)
+        found = np.all(sorted_keys[idx_c] == self.kmers, axis=-1) & (arr.ksize > 0)
 
         hit = np.nonzero(found)[0]
-        rows = arr.variants[idx_c[hit]]
+        rows = arr.variants[perm[idx_c[hit]]]
         # reverse-strand hits translate through RC_IUPAC (ska_ref.rs:520-526)
         hit_rc = self.krc[hit]
         rows = np.where(hit_rc[:, None], RC_IUPAC[rows], rows)

@@ -22,11 +22,11 @@ REF_IN = "/root/reference/tests/test_files_in"
 REF_OUT = "/root/reference/tests/test_results_correct"
 
 
-@pytest.fixture
+@pytest.fixture(scope="session")
 def ref_in():
     return REF_IN
 
 
-@pytest.fixture
+@pytest.fixture(scope="session")
 def ref_out():
     return REF_OUT
