@@ -1,0 +1,176 @@
+"""FASTQ input: count filter, quality modes, cov model
+(reference tests/fastq_input.rs and coverage.rs unit tests)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from ska_tpu.api import align, build, map_mode
+from ska_tpu.coverage import CoverageHistogram, INIT_C, INIT_W0
+from ska_tpu.sample import QualOpts
+from ska_tpu.constants import QUAL_MIDDLE, QUAL_NOFILTER, QUAL_STRICT
+
+from helpers import var_hash
+
+
+def _fq_files(ref_in, prefix):
+    return [
+        (
+            f"{prefix}_1",
+            f"{ref_in}/{prefix}_1_fwd.fastq.gz",
+            f"{ref_in}/{prefix}_1_rev.fastq.gz",
+        ),
+        (
+            f"{prefix}_2",
+            f"{ref_in}/{prefix}_2_fwd.fastq.gz",
+            f"{ref_in}/{prefix}_2_rev.fastq.gz",
+        ),
+    ]
+
+
+def _align_out(arr, **kw):
+    fh = io.BytesIO()
+    align(arr, fh, **kw)
+    return fh.getvalue().decode()
+
+
+def test_align_fastq_matches_fasta(ref_in):
+    # fastq_input.rs:13-55
+    q = QualOpts(min_count=2, min_qual=2, qual_filter=QUAL_STRICT)
+    fq = build(_fq_files(ref_in, "test"), 9, True, q)
+    fa = build(
+        [("test_1", f"{ref_in}/test_1.fa", None), ("test_2", f"{ref_in}/test_2.fa", None)],
+        9,
+        True,
+        QualOpts(),
+    )
+    assert var_hash(_align_out(fq)) == var_hash(_align_out(fa))
+
+
+@pytest.mark.parametrize(
+    "k,prefix,c1_expect,c3_expect",
+    [
+        (7, "test_count", {("C", "W")}, {("C", "T")}),
+        (63, "test_long", {("G", "M")}, {("G", "A")}),
+    ],
+)
+def test_count_check(ref_in, k, prefix, c1_expect, c3_expect):
+    # fastq_input.rs:60-110 (k=7) and :114-193 (k=63, u128)
+    q1 = QualOpts(min_count=1, min_qual=20, qual_filter=QUAL_STRICT)
+    arr = build(_fq_files(ref_in, prefix), k, True, q1)
+    assert var_hash(_align_out(arr)) == c1_expect
+
+    q3 = QualOpts(min_count=3, min_qual=20, qual_filter=QUAL_STRICT)
+    arr = build(_fq_files(ref_in, prefix), k, True, q3)
+    assert var_hash(_align_out(arr)) == c3_expect
+
+    if k == 63:
+        q2 = QualOpts(min_count=2, min_qual=20, qual_filter=QUAL_STRICT)
+        arr = build(_fq_files(ref_in, prefix), k, True, q2)
+        _align_out(arr)  # just must succeed (fastq_input.rs:168-191)
+
+
+def test_map_fastq_matches_fasta(ref_in):
+    # fastq_input.rs:196-276
+    q = QualOpts(min_count=1, min_qual=2, qual_filter=QUAL_STRICT)
+    fq = build(_fq_files(ref_in, "test"), 9, True, q)
+    fa = build(
+        [("test_1", f"{ref_in}/test_1.fa", None), ("test_2", f"{ref_in}/test_2.fa", None)],
+        9,
+        True,
+        QualOpts(),
+    )
+    outs = []
+    for arr in (fq, fa):
+        fh = io.BytesIO()
+        map_mode(arr, f"{ref_in}/test_ref.fa", fh, "aln")
+        outs.append(fh.getvalue())
+    # sample names differ (test_1 vs test_1_1); compare sequence lines
+    for l1, l2 in zip(outs[0].splitlines()[1::2], outs[1].splitlines()[1::2]):
+        assert l1 == l2
+
+
+def test_error_and_quality_fastq(ref_in):
+    # fastq_input.rs:279-470
+    q = QualOpts(min_count=3, min_qual=2, qual_filter=QUAL_STRICT)
+    all_hash = var_hash(
+        _align_out(build(_fq_files(ref_in, "test"), 9, True, q))
+    )
+
+    # no quality filtering
+    q = QualOpts(min_count=5, min_qual=20, qual_filter=QUAL_NOFILTER)
+    got = var_hash(_align_out(build(_fq_files(ref_in, "test_quality"), 9, True, q)))
+    assert got == all_hash
+
+    # middle-base-only quality filter
+    q = QualOpts(min_count=5, min_qual=5, qual_filter=QUAL_MIDDLE)
+    got = var_hash(_align_out(build(_fq_files(ref_in, "test_quality_base"), 9, True, q)))
+    assert got == all_hash
+
+    # with errors: the C,T variant k-mer is filtered by count
+    err_hash = set(all_hash)
+    err_hash.discard(("C", "T"))
+    q = QualOpts(min_count=5, min_qual=2, qual_filter=QUAL_STRICT)
+    got = var_hash(_align_out(build(_fq_files(ref_in, "test_error"), 9, True, q)))
+    assert got == err_hash
+
+    # low quality scores remove it too
+    q = QualOpts(min_count=5, min_qual=30, qual_filter=QUAL_STRICT)
+    got = var_hash(_align_out(build(_fq_files(ref_in, "test_quality"), 9, True, q)))
+    assert got == err_hash
+
+    # low qual in flanking region, strict
+    q = QualOpts(min_count=5, min_qual=5, qual_filter=QUAL_STRICT)
+    got = var_hash(_align_out(build(_fq_files(ref_in, "test_quality_base"), 9, True, q)))
+    assert got == err_hash
+
+    # low qual at middle base, default strict min_qual 20
+    q = QualOpts(min_count=5, min_qual=20, qual_filter=QUAL_STRICT)
+    got = var_hash(_align_out(build(_fq_files(ref_in, "test_quality_base"), 9, True, q)))
+    assert got == err_hash
+
+
+def test_cov_runs(ref_in, capsys):
+    # fastq_input.rs:474-510
+    cov = CoverageHistogram(
+        f"{ref_in}/test_1_fwd.fastq.gz", f"{ref_in}/test_1_rev.fastq.gz", 9, True
+    )
+    assert cov.counts.sum() > 0
+
+    cov33 = CoverageHistogram(
+        f"{ref_in}/test_long_1_fwd.fastq.gz", f"{ref_in}/test_long_1_rev.fastq.gz", 33, True
+    )
+    assert cov33.counts.sum() > 0
+
+    with pytest.raises(ValueError):
+        CoverageHistogram(f"{ref_in}/test_1.fa", f"{ref_in}/test_2.fa", 9, True)
+
+
+def test_fit_histogram_unit():
+    # coverage.rs:365-413: hardcoded histogram expects cutoff 9
+    example_counts = [
+        44633459, 950672, 104410, 44137, 24170, 21232, 21699, 24145, 30696, 39210,
+        49878, 63683, 77690, 95147, 112416, 130307, 146531, 160932, 175130, 185113,
+        193149, 197468, 199189, 198235, 192150, 185565, 176362, 165455, 152487,
+        139495, 127036, 112803, 103080, 90425, 80637, 70960, 62698, 54949, 46744,
+        41240, 35591, 30025, 25856, 22105, 19405, 16668, 14780, 12620, 11074, 9807,
+        8517, 7731, 7112, 6846, 6126, 5696, 5233, 4779, 4288, 3873, 3519, 3406,
+        2994, 2859, 2650, 2394, 2376, 2260, 2233, 2050, 1859, 1863, 1792, 1777,
+        1773, 1738, 1648,
+    ]
+    cov = CoverageHistogram.__new__(CoverageHistogram)
+    cov.k = 31
+    cov.rc = True
+    cov.counts = np.array(example_counts, dtype=np.int64)
+    cov.w0, cov.c = INIT_W0, INIT_C
+    cov.cutoff = 0
+    cov.verbose = False
+    cov.fitted = False
+    assert cov.fit_histogram() == 9
+    out = io.StringIO()
+    cov.plot_hist(out)
+    lines = out.getvalue().splitlines()
+    assert lines[0] == "Count\tK_mers\tMixture_density\tComponent"
+    assert lines[1].startswith("1\t44633459\t")
+    assert lines[8].endswith("Error") and lines[9].endswith("Coverage")
