@@ -1,0 +1,191 @@
+"""SNP calling over variant groups (reference src/skalo/process_variants.rs)."""
+
+import logging
+from typing import Dict, List, Set, Tuple
+
+from .indels import process_indels
+from .kmer_utils import encode_str, last_nucl, rev_comp_int
+from .output import create_fasta_and_vcf
+from .positioning import extract_genomic_kmers, scan_variants
+
+log = logging.getLogger("ska_tpu.skalo")
+
+
+def find_internal_indels(variant, entries_indels, k_graph):
+    """process_variants.rs:227-245."""
+    seq = variant.sequence
+    nb = 0
+    for i in range(len(seq) - k_graph):
+        if encode_str(seq[i : i + k_graph]) in entries_indels:
+            nb += 1
+    return nb
+
+
+def get_potential_snp(vec_variant):
+    """process_variants.rs:247-281: positions where >1 distinct ACGT."""
+    snps_set = set()
+    for variant in vec_variant:
+        snps_set.update(variant.vec_snps)
+    actual = set()
+    for pos in snps_set:
+        present = set()
+        for variant in vec_variant:
+            if pos < len(variant.sequence):
+                c = variant.sequence[pos]
+                if c in "ACGT":
+                    present.add(c)
+        if len(present) > 1:
+            actual.add(pos)
+    return actual
+
+
+def check_missing_data(nb_total, snp_column):
+    """process_variants.rs:283-305."""
+    present = set()
+    missing = 0
+    for c in snp_column:
+        if c in "ATGC":
+            present.add(c)
+        else:
+            missing += 1
+    return len(present) >= 2, missing / nb_total
+
+
+def complement_snp(column):
+    comp = {"A": "T", "T": "A", "C": "G", "G": "C", "-": "-", "N": "N"}
+    return [comp[c] for c in column]
+
+
+def analyse_variant_groups(
+    variant_groups: Dict[Tuple[int, int], List],
+    indel_groups: Dict[Tuple[int, int], List],
+    kmer_samples: Dict[int, int],
+    config,
+    k_graph: int,
+    sample_names: List[str],
+):
+    """process_variants.rs:20-225."""
+    if config.reference_genome is not None:
+        log.info("Reading reference genome")
+        kmer_map, genome_seq, genome_name = extract_genomic_kmers(
+            config.reference_genome, k_graph
+        )
+        do_positioning = True
+    else:
+        do_positioning = False
+        kmer_map, genome_seq, genome_name = {}, b"", ""
+
+    entries_indels = process_indels(
+        indel_groups, kmer_samples, config, k_graph, sample_names
+    )
+
+    log.info("Filtering paths")
+    for vec_variant in variant_groups.values():
+        i = 0
+        while i < len(vec_variant):
+            if find_internal_indels(vec_variant[i], entries_indels, k_graph) > config.max_indel_kmers:
+                vec_variant.pop(i)
+            else:
+                i += 1
+
+    log.info("Sorting variant groups")
+    sorted_keys = []
+    for key, value in variant_groups.items():
+        if value:
+            ratio = len(value) / len(value[0].sequence)
+            sorted_keys.append((key, ratio))
+    sorted_keys.sort(key=lambda kv: -kv[1])  # stable, descending ratio
+
+    log.info("Processing SNPs")
+    entries_done: Set[int] = set()
+    final_snps: Dict[int, List[str]] = {}
+    not_positioned = 0
+    counter = 0
+
+    for key, _ratio in sorted_keys:
+        if key[0] in entries_indels or rev_comp_int(key[1], k_graph) in entries_indels:
+            continue
+        vec_variants = variant_groups[key]
+        if len(vec_variants) < 2:
+            continue
+
+        real_snp_pos = get_potential_snp(vec_variants)
+
+        kmers_to_save: Set[int] = set()
+        found_snp_pos: Dict[int, List[str]] = {}
+
+        for pos in sorted(real_snp_pos):
+            snp_column = ["-"] * len(sample_names)
+            tmp_kmers: Set[int] = set()
+            new_snp = True
+
+            for variant in vec_variants:
+                seq = variant.sequence
+                full_before = encode_str(seq[pos - k_graph : pos + 1])
+                full_after = encode_str(seq[pos : pos + k_graph + 1])
+                rc_after = rev_comp_int(full_after, k_graph + 1)
+
+                # avoid SNPs already identified (process_variants.rs:124-137)
+                if full_before not in entries_done and rc_after not in entries_done:
+                    ln = last_nucl(full_before)
+                    samples = kmer_samples[full_before]
+                    i = 0
+                    m = samples
+                    while m:
+                        if m & 1:
+                            if snp_column[i] == "-" or snp_column[i] == ln:
+                                snp_column[i] = ln
+                            else:
+                                snp_column[i] = "N"
+                        m >>= 1
+                        i += 1
+                    tmp_kmers.add(full_before)
+                    tmp_kmers.add(rev_comp_int(full_before, k_graph + 1))
+                    tmp_kmers.add(full_after)
+                    tmp_kmers.add(rc_after)
+                else:
+                    new_snp = False
+
+            if new_snp:
+                true_variant, ratio_missing = check_missing_data(
+                    len(sample_names), snp_column
+                )
+                if true_variant and ratio_missing <= config.max_missing:
+                    kmers_to_save.update(tmp_kmers)
+                    found_snp_pos[pos] = snp_column
+
+        entries_done.update(kmers_to_save)
+
+        if found_snp_pos:
+            if do_positioning:
+                position_found, position, orientation = scan_variants(
+                    vec_variants, k_graph, kmer_map
+                )
+                if position_found:
+                    seq_length = len(vec_variants[0].sequence)
+                    is_forward = orientation == "for"
+                    for pos, column in found_snp_pos.items():
+                        if is_forward:
+                            final_position = (position + (pos - k_graph)) & 0xFFFFFFFF
+                        else:
+                            final_position = (
+                                position + (seq_length - pos - k_graph - 1)
+                            ) & 0xFFFFFFFF
+                        final_column = column if is_forward else complement_snp(column)
+                        if final_position in final_snps:
+                            not_positioned += 1
+                        else:
+                            final_snps[final_position] = final_column
+                else:
+                    not_positioned += len(found_snp_pos)
+            else:
+                for column in found_snp_pos.values():
+                    counter += 1
+                    final_snps[counter] = column
+
+    if do_positioning:
+        log.info("%d SNPs (+ %d w/o position)", len(final_snps), not_positioned)
+    else:
+        log.info("%d SNPs", len(final_snps))
+
+    create_fasta_and_vcf(genome_name, genome_seq, sample_names, final_snps, config)
