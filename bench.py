@@ -27,9 +27,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from ska_tpu.ops import extract as X
     from ska_tpu.ops import keys as K
-    from ska_tpu.ops import segment as S
+    from ska_tpu.ops import pipeline as P
 
     k = 31
     W = K.width_for_k(k)
@@ -38,28 +37,24 @@ def main():
     rng = np.random.default_rng(1)
     seq = jnp.asarray(rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=L))
     valid = jnp.ones(L, bool)
+    qual_ok = jnp.ones(L, bool)
     rec_last = jnp.zeros(L, bool).at[L - 1].set(True)
 
-    @jax.jit
-    def step(seq, valid, rec_last):
-        res = X.extract_windows(seq, valid, rec_last, k, True, W)
-        mid = res["mid"]
-        sets = (
-            jnp.left_shift(jnp.uint8(1), mid)
-            | jnp.where(res["pal"], jnp.left_shift(jnp.uint8(1), mid ^ 2), 0)
-        ).astype(jnp.uint8)
-        return S.dedup_union(res["key"], sets, res["emit"])
+    def step():
+        sp, union, is_end, n = P.sample_pipeline(
+            seq, valid, qual_ok, rec_last, k, True, W, False, False, 0
+        )
+        # scalar readback forces completion (block_until_ready is not
+        # reliable through the axon relay)
+        return int(n)
 
-    # warm up / compile
-    ukeys, usets, n = step(seq, valid, rec_last)
-    jax.block_until_ready((ukeys, usets, n))
-
+    step()  # warm up / compile
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = step(seq, valid, rec_last)
-    jax.block_until_ready(out)
+        n = step()
     dt = time.perf_counter() - t0
+    assert n > 0
 
     windows = L - k + 1
     kmers_per_sec = windows * iters / dt

@@ -1,0 +1,233 @@
+// Native helpers for ska_tpu host I/O: CRC-32C and snappy block codec.
+//
+// The reference persists .skf via snap's frame encoder
+// (merge_ska_array.rs:191-204); this provides the byte-level primitives
+// (crc32c checksums, snappy block compress/decompress) behind the Python
+// framing layer in ska_tpu/io/snappy.py. Exposed as a plain C ABI for
+// ctypes (no pybind11 in this image).
+//
+// Snappy format reference: https://github.com/google/snappy/blob/main/format_description.txt
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+
+extern "C" {
+
+// ---- CRC-32C (Castagnoli), slice-by-8 ----------------------------------------
+
+static uint32_t crc_table[8][256];
+static bool crc_init_done = false;
+
+static void crc_init() {
+    const uint32_t poly = 0x82F63B78u;
+    for (int i = 0; i < 256; i++) {
+        uint32_t c = (uint32_t)i;
+        for (int k = 0; k < 8; k++) c = (c & 1) ? (c >> 1) ^ poly : c >> 1;
+        crc_table[0][i] = c;
+    }
+    for (int i = 0; i < 256; i++) {
+        uint32_t c = crc_table[0][i];
+        for (int t = 1; t < 8; t++) {
+            c = crc_table[0][c & 0xFF] ^ (c >> 8);
+            crc_table[t][i] = c;
+        }
+    }
+    crc_init_done = true;
+}
+
+uint32_t ska_crc32c(const uint8_t* data, size_t n) {
+    if (!crc_init_done) crc_init();
+    uint32_t crc = 0xFFFFFFFFu;
+    size_t i = 0;
+    while (i + 8 <= n) {
+        uint64_t w;
+        memcpy(&w, data + i, 8);
+        w ^= crc;
+        crc = crc_table[7][w & 0xFF] ^ crc_table[6][(w >> 8) & 0xFF] ^
+              crc_table[5][(w >> 16) & 0xFF] ^ crc_table[4][(w >> 24) & 0xFF] ^
+              crc_table[3][(w >> 32) & 0xFF] ^ crc_table[2][(w >> 40) & 0xFF] ^
+              crc_table[1][(w >> 48) & 0xFF] ^ crc_table[0][(w >> 56) & 0xFF];
+        i += 8;
+    }
+    for (; i < n; i++) crc = crc_table[0][(crc ^ data[i]) & 0xFF] ^ (crc >> 8);
+    return crc ^ 0xFFFFFFFFu;
+}
+
+// ---- snappy block decompress ---------------------------------------------------
+
+// returns uncompressed length, or -1 on error; call with out=null to query size
+long long ska_snappy_uncompressed_length(const uint8_t* in, size_t n) {
+    size_t pos = 0;
+    uint64_t len = 0;
+    int shift = 0;
+    while (pos < n) {
+        uint8_t b = in[pos++];
+        len |= (uint64_t)(b & 0x7F) << shift;
+        if (!(b & 0x80)) return (long long)len;
+        shift += 7;
+        if (shift > 63) return -1;
+    }
+    return -1;
+}
+
+long long ska_snappy_uncompress(const uint8_t* in, size_t n, uint8_t* out, size_t out_cap) {
+    size_t pos = 0;
+    // skip varint length
+    while (pos < n && (in[pos] & 0x80)) pos++;
+    if (pos >= n) return -1;
+    pos++;
+
+    size_t opos = 0;
+    while (pos < n) {
+        uint8_t tag = in[pos++];
+        uint32_t kind = tag & 3;
+        if (kind == 0) {  // literal
+            size_t len = tag >> 2;
+            if (len >= 60) {
+                size_t nb = len - 59;
+                if (pos + nb > n) return -1;
+                len = 0;
+                for (size_t j = 0; j < nb; j++) len |= (size_t)in[pos + j] << (8 * j);
+                pos += nb;
+            }
+            len += 1;
+            if (pos + len > n || opos + len > out_cap) return -1;
+            memcpy(out + opos, in + pos, len);
+            pos += len;
+            opos += len;
+        } else {
+            size_t len, off;
+            if (kind == 1) {
+                len = ((tag >> 2) & 0x7) + 4;
+                if (pos >= n) return -1;
+                off = ((size_t)(tag >> 5) << 8) | in[pos++];
+            } else if (kind == 2) {
+                len = (tag >> 2) + 1;
+                if (pos + 2 > n) return -1;
+                off = (size_t)in[pos] | ((size_t)in[pos + 1] << 8);
+                pos += 2;
+            } else {
+                len = (tag >> 2) + 1;
+                if (pos + 4 > n) return -1;
+                off = (size_t)in[pos] | ((size_t)in[pos + 1] << 8) |
+                      ((size_t)in[pos + 2] << 16) | ((size_t)in[pos + 3] << 24);
+                pos += 4;
+            }
+            if (off == 0 || off > opos || opos + len > out_cap) return -1;
+            if (off >= len) {
+                memcpy(out + opos, out + opos - off, len);
+            } else {
+                for (size_t j = 0; j < len; j++) out[opos + j] = out[opos - off + j];
+            }
+            opos += len;
+        }
+    }
+    return (long long)opos;
+}
+
+// ---- snappy block compress (greedy hash-table matcher) --------------------------
+
+static inline uint32_t load32(const uint8_t* p) {
+    uint32_t v;
+    memcpy(&v, p, 4);
+    return v;
+}
+
+static inline size_t emit_literal(uint8_t* out, size_t opos, const uint8_t* lit, size_t len) {
+    size_t n = len - 1;
+    if (n < 60) {
+        out[opos++] = (uint8_t)(n << 2);
+    } else if (n < 0x100) {
+        out[opos++] = 60 << 2;
+        out[opos++] = (uint8_t)n;
+    } else if (n < 0x10000) {
+        out[opos++] = 61 << 2;
+        out[opos++] = (uint8_t)n;
+        out[opos++] = (uint8_t)(n >> 8);
+    } else {
+        out[opos++] = 62 << 2;
+        out[opos++] = (uint8_t)n;
+        out[opos++] = (uint8_t)(n >> 8);
+        out[opos++] = (uint8_t)(n >> 16);
+    }
+    memcpy(out + opos, lit, len);
+    return opos + len;
+}
+
+static inline size_t emit_copy(uint8_t* out, size_t opos, size_t off, size_t len) {
+    // emit copies of length <= 64; caller splits longer matches
+    while (len > 0) {
+        size_t chunk = len > 64 ? 64 : len;
+        if (len > 64 && len - 64 < 4) chunk = 60;  // avoid leaving <4 remainder
+        if (chunk >= 4 && chunk <= 11 && off < 2048) {
+            out[opos++] = (uint8_t)(1 | ((chunk - 4) << 2) | ((off >> 8) << 5));
+            out[opos++] = (uint8_t)off;
+        } else {
+            out[opos++] = (uint8_t)(2 | ((chunk - 1) << 2));
+            out[opos++] = (uint8_t)off;
+            out[opos++] = (uint8_t)(off >> 8);
+        }
+        len -= chunk;
+    }
+    return opos;
+}
+
+// out_cap must be >= 32 + n + n/6 (snappy MaxCompressedLength)
+long long ska_snappy_compress(const uint8_t* in, size_t n, uint8_t* out, size_t out_cap) {
+    (void)out_cap;
+    size_t opos = 0;
+    // varint uncompressed length
+    size_t v = n;
+    while (v >= 0x80) {
+        out[opos++] = (uint8_t)(v | 0x80);
+        v >>= 7;
+    }
+    out[opos++] = (uint8_t)v;
+
+    if (n < 15) {
+        if (n) opos = emit_literal(out, opos, in, n);
+        return (long long)opos;
+    }
+
+    const size_t HASH_BITS = 14;
+    const size_t HASH_SIZE = (size_t)1 << HASH_BITS;
+    static uint16_t table[1 << 14];
+    memset(table, 0, sizeof(table));
+
+    size_t ip = 0;
+    size_t lit_start = 0;
+    size_t limit = n - 4;
+
+    while (ip <= limit) {
+        uint32_t h = (load32(in + ip) * 0x1E35A7BDu) >> (32 - HASH_BITS);
+        size_t cand = table[h % HASH_SIZE];
+        table[h % HASH_SIZE] = (uint16_t)(ip & 0xFFFF);
+        // 16-bit table entries: reconstruct candidate in the last 64KB window
+        size_t base = ip & ~(size_t)0xFFFF;
+        size_t cpos = base + cand;
+        if (cpos >= ip) {
+            if (cpos < 0x10000 || cpos - 0x10000 >= ip) {
+                ip++;
+                continue;
+            }
+            cpos -= 0x10000;
+        }
+        if (cpos < ip && ip - cpos < 0x10000 && load32(in + cpos) == load32(in + ip)) {
+            // emit pending literal
+            if (ip > lit_start) opos = emit_literal(out, opos, in + lit_start, ip - lit_start);
+            // extend match
+            size_t mlen = 4;
+            while (ip + mlen < n && in[cpos + mlen] == in[ip + mlen]) mlen++;
+            opos = emit_copy(out, opos, ip - cpos, mlen);
+            ip += mlen;
+            lit_start = ip;
+        } else {
+            ip++;
+        }
+    }
+    if (lit_start < n) opos = emit_literal(out, opos, in + lit_start, n - lit_start);
+    return (long long)opos;
+}
+
+}  // extern "C"

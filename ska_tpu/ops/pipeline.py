@@ -1,0 +1,152 @@
+"""Fully-fused per-sample build pipeline (one jit dispatch per sample).
+
+extract -> (middle-qual gate) -> (count filter) -> pack set into key ->
+sort -> segment boundaries -> segmented union, all in a single compiled
+program with no scatters: segment reductions use lax.cummax of start
+indices plus log2(L) masked shift/OR doubling passes. Occurrence sets
+ride in the 4 spare low bits of the packed key (2*(k-1) <= 60 bits for
+k <= 31, <= 124 for k <= 63), so the dedup sort is single-operand for
+the u64 case.
+
+Replaces reference hot loops #1-#2 (split_kmer.rs:159-217 rolling +
+ska_dict.rs:76-113 hashmap inserts) and the KmerFilter
+(bloom_filter.rs:116-148).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import extract as X
+from . import keys as K
+
+U64 = jnp.uint64
+_SENT = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _pack_key_set(keys, sets, W):
+    """(key << 4) | set in W uint64 limbs (key bits < 64*W - 4)."""
+    if W == 1:
+        return ((keys[:, 0] << U64(4)) | sets.astype(U64))[:, None]
+    hi, lo = keys[:, 0], keys[:, 1]
+    nhi = (hi << U64(4)) | (lo >> U64(60))
+    nlo = (lo << U64(4)) | sets.astype(U64)
+    return jnp.stack([nhi, nlo], axis=-1)
+
+
+def _seg_start_idx(first):
+    i32 = jnp.arange(first.shape[0], dtype=jnp.int32)
+    return jax.lax.cummax(jnp.where(first, i32, -1))
+
+
+def _seg_union(vals, ssi):
+    """OR within each sorted segment via masked doubling (log2 L passes)."""
+    L = vals.shape[0]
+    i32 = jnp.arange(L, dtype=jnp.int32)
+    v = vals
+    d = 1
+    while d < L:
+        shifted = jnp.concatenate([jnp.zeros(d, v.dtype), v[:-d]])
+        v = jnp.where((i32 - d) >= ssi, v | shifted, v)
+        d <<= 1
+    return v
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "rc", "W", "is_reads", "use_mid_qual", "min_count"),
+)
+def sample_pipeline(
+    seq,
+    valid,
+    qual_ok,
+    rec_last,
+    k: int,
+    rc: bool,
+    W: int,
+    is_reads: bool,
+    use_mid_qual: bool,
+    min_count: int,
+):
+    """One sample's dictionary build on device.
+
+    Returns (packed (L, W) sorted with sentinels last, union uint8[L],
+    is_end bool[L], n_unique int32). Row i of the final dictionary is
+    the i-th True of (is_end & non-sentinel); its key is packed >> 4 and
+    its IUPAC set is union at that row.
+    """
+    L = seq.shape[0]
+    h = (k - 1) // 2
+    want_whole = bool(is_reads and min_count > 1)
+    res = X.extract_windows(seq, valid, rec_last, k, rc, W, want_whole)
+    emit = res["emit"]
+
+    if is_reads and use_mid_qual:
+        # middle-base quality gate (ska_dict.rs:156-157)
+        mid_ok = jnp.concatenate([qual_ok[h:], jnp.zeros(h, bool)])
+        emit = emit & mid_ok
+
+    mid = res["mid"]
+    sets = (
+        jnp.left_shift(jnp.uint8(1), mid)
+        | jnp.where(res["pal"], jnp.left_shift(jnp.uint8(1), mid ^ 2), 0)
+    ).astype(jnp.uint8)
+    packed = _pack_key_set(res["key"], sets, W)
+
+    if want_whole:
+        # per-occurrence min-count rank filter over whole k-mers
+        # (bloom_filter.rs:116-148 semantics; see ops/segment.py docs)
+        pos = jnp.arange(L, dtype=jnp.int32)
+        wkeys = jnp.where(
+            emit[:, None], res["whole"], jnp.full_like(res["whole"], _SENT)
+        )
+        ops = tuple(wkeys[:, i] for i in range(W)) + (pos,) + tuple(
+            packed[:, i] for i in range(W)
+        ) + (emit,)
+        sres = jax.lax.sort(ops, num_keys=W + 1)
+        swk = jnp.stack(sres[:W], axis=-1)
+        spacked = jnp.stack(sres[W + 1 : W + 1 + W], axis=-1)
+        semit = sres[W + 1 + W]
+        first = jnp.concatenate(
+            [jnp.ones(1, bool), jnp.any(swk[1:] != swk[:-1], axis=-1)]
+        )
+        rank = jnp.arange(L, dtype=jnp.int32) - _seg_start_idx(first) + 1
+        if min_count == 2:
+            ok = rank >= 2
+        else:
+            ok = rank == min_count
+        keep = ok & semit
+        packed = jnp.where(keep[:, None], spacked, jnp.full_like(spacked, _SENT))
+    else:
+        packed = jnp.where(emit[:, None], packed, jnp.full_like(packed, _SENT))
+
+    # dedup + union
+    sres = jax.lax.sort(tuple(packed[:, i] for i in range(W)), num_keys=W)
+    sp = jnp.stack(sres, axis=-1)
+    kp = K.shr(sp, 4)  # key part only (drop the set bits)
+    first = jnp.concatenate([jnp.ones(1, bool), jnp.any(kp[1:] != kp[:-1], axis=-1)])
+    ssi = _seg_start_idx(first)
+    union = _seg_union((sp[:, W - 1] & U64(15)).astype(jnp.uint8), ssi)
+    is_end = jnp.concatenate([first[1:], jnp.ones(1, bool)])
+    nonsent = jnp.any(sp != U64(_SENT), axis=-1)
+    n_unique = jnp.sum((first & nonsent).astype(jnp.int32))
+    return sp, union, is_end, n_unique
+
+
+def unpack_host(sp_np, union_np, end_np, W):
+    """Host-side compaction of the pipeline output into (keys (n, W), sets)."""
+    sp_np = np.asarray(sp_np)
+    nonsent = (sp_np != _SENT).any(axis=-1)
+    sel = np.asarray(end_np) & nonsent
+    rows = sp_np[sel]
+    sets = np.asarray(union_np)[sel]
+    if W == 1:
+        keys = rows >> np.uint64(4)
+    else:
+        hi, lo = rows[:, 0], rows[:, 1]
+        keys = np.stack(
+            [hi >> np.uint64(4), (lo >> np.uint64(4)) | (hi << np.uint64(60))], axis=-1
+        )
+    return keys.reshape(-1, W).astype(np.uint64), sets.astype(np.uint8)

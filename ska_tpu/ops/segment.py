@@ -81,7 +81,7 @@ def count_filter(wkeys, emit, min_count: int):
 
     first = jnp.concatenate([jnp.ones(1, bool), jnp.any(skeys[1:] != skeys[:-1], axis=-1)])
     i32 = jnp.arange(L, dtype=jnp.int32)
-    seg_start_idx = jax.lax.associative_scan(jnp.maximum, jnp.where(first, i32, -1))
+    seg_start_idx = jax.lax.cummax(jnp.where(first, i32, -1))
     rank = i32 - seg_start_idx + 1
 
     if min_count == 2:

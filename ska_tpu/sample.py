@@ -124,7 +124,9 @@ def build_sample(
 def dict_from_batch(
     batch: fastx.SeqBatch, k: int, rc: bool, qual: QualOpts, is_reads: bool
 ):
-    """Device pipeline: windows -> (count filter) -> segmented union."""
+    """Device pipeline: one fused jit dispatch (ops/pipeline.py), host unpack."""
+    from .ops import pipeline as P
+
     W = K.width_for_k(k)
     L = len(batch.seq)
     Lp = _bucket(L + k + 1)
@@ -134,32 +136,26 @@ def dict_from_batch(
     seq[:L] = batch.seq
     v = np.zeros(Lp, bool)
     v[:L] = valid
+    qo = np.zeros(Lp, bool)
+    qo[:L] = qual_ok
     rl = np.zeros(Lp, bool)
     rl[:L] = batch.rec_last
 
-    want_whole = bool(is_reads and qual.min_count > 1)
-    res = X.extract_windows(
-        jnp.asarray(seq), jnp.asarray(v), jnp.asarray(rl), k, rc, W, want_whole
+    use_mid_qual = bool(
+        is_reads and batch.has_qual and qual.qual_filter in (QUAL_MIDDLE, QUAL_STRICT)
     )
-    emit = res["emit"]
-
-    if is_reads:
-        # middle-base quality gate (ska_dict.rs:156-157; split_kmer.rs:328-339)
-        if batch.has_qual and qual.qual_filter in (QUAL_MIDDLE, QUAL_STRICT):
-            h = (k - 1) // 2
-            mid_ok = np.zeros(Lp, bool)
-            mid_ok[: L - h] = qual_ok[h:L] if L > h else qual_ok[:0]
-            emit = emit & jnp.asarray(mid_ok)
-        if qual.min_count > 1:
-            emit = S.count_filter(res["whole"], emit, int(qual.min_count))
-
-    # occurrence base set: {mid} or, for palindromic keys, {mid, rc(mid)}
-    mid = res["mid"]
-    sets = (
-        jnp.left_shift(jnp.uint8(1), mid)
-        | jnp.where(res["pal"], jnp.left_shift(jnp.uint8(1), mid ^ 2), 0)
-    ).astype(jnp.uint8)
-
-    ukeys, usets, n = S.dedup_union(res["key"], sets, emit)
-    n = int(n)
-    return np.asarray(ukeys[:n]), np.asarray(usets[:n])
+    sp, union, is_end, n = P.sample_pipeline(
+        jnp.asarray(seq),
+        jnp.asarray(v),
+        jnp.asarray(qo),
+        jnp.asarray(rl),
+        k,
+        rc,
+        W,
+        is_reads,
+        use_mid_qual,
+        int(qual.min_count),
+    )
+    keys_np, sets_np = P.unpack_host(sp, union, is_end, W)
+    assert len(keys_np) == int(n)
+    return keys_np, sets_np

