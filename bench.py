@@ -32,21 +32,22 @@ def main():
 
     k = 31
     W = K.width_for_k(k)
-    L = 1 << 22  # 4M bases per step (one bacterial genome)
+    L = 1 << 22  # 4M bases per genome (bacterial scale)
+    S = 8  # genomes per dispatch
 
     rng = np.random.default_rng(1)
-    seq = jnp.asarray(rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=L))
-    valid = jnp.ones(L, bool)
-    qual_ok = jnp.ones(L, bool)
-    rec_last = jnp.zeros(L, bool).at[L - 1].set(True)
+    seqs = jnp.asarray(rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=(S, L)))
+    valid = jnp.ones((S, L), bool)
+    qual_ok = jnp.ones((S, L), bool)
+    rec_last = jnp.zeros((S, L), bool).at[:, L - 1].set(True)
 
     def step():
-        sp, union, is_end, n = P.sample_pipeline(
-            seq, valid, qual_ok, rec_last, k, True, W, False, False, 0
+        sp, union, is_end, n = P.batched_pipeline(
+            seqs, valid, qual_ok, rec_last, k, True, W, False, False, 0
         )
         # scalar readback forces completion (block_until_ready is not
         # reliable through the axon relay)
-        return int(n)
+        return int(np.asarray(n)[0])
 
     step()  # warm up / compile
     iters = 5
@@ -56,7 +57,7 @@ def main():
     dt = time.perf_counter() - t0
     assert n > 0
 
-    windows = L - k + 1
+    windows = S * (L - k + 1)
     kmers_per_sec = windows * iters / dt
     print(
         json.dumps(

@@ -30,10 +30,9 @@ def build(
     proportion_reads: Optional[float] = None,
 ) -> SkaArray:
     """`ska build`: per-sample dicts + merge (merge_ska_dict.rs:354-417)."""
-    samples = [
-        build_sample(name, k, (f1, f2), rc, qual, proportion_reads)
-        for (name, f1, f2) in input_files
-    ]
+    from .sample import build_samples
+
+    samples = build_samples(input_files, k, rc, qual, proportion_reads)
     return merge_samples(samples)
 
 

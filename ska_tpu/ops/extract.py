@@ -36,6 +36,32 @@ def _shift_left_arr(a, s: int):
     return jnp.pad(a[s:], pad)
 
 
+def window_all(valid, n: int):
+    """out[i] = AND of valid[i..i+n) (False out of range), via O(log n)
+    shift-doubling passes — gathers and cumsums are slow on TPU."""
+    cur = valid
+    cur_len = 1
+    acc = None
+    acc_len = 0
+    nn = n
+    while nn:
+        if nn & 1:
+            if acc is None:
+                acc, acc_len = cur, cur_len
+            else:
+                shifted = jnp.concatenate(
+                    [cur[acc_len:], jnp.zeros(acc_len, dtype=bool)]
+                )
+                acc = acc & shifted
+                acc_len += cur_len
+        nn >>= 1
+        if nn:
+            shifted = jnp.concatenate([cur[cur_len:], jnp.zeros(cur_len, dtype=bool)])
+            cur = cur & shifted
+            cur_len *= 2
+    return acc if acc is not None else jnp.ones_like(valid)
+
+
 def pack_n(codes_limbs, n: int):
     """codes_limbs: (L, W) uint64 with the 2-bit code in the low bits.
 
@@ -84,17 +110,15 @@ def extract_windows(seq, valid, rec_last, k: int, rc: bool, W: int, want_whole: 
     codes = ((seq >> 1) & 0x3).astype(U64)
     codes_limbs = jnp.zeros((L, W), dtype=U64).at[:, W - 1].set(codes)
 
-    # windowed all-valid via cumulative count of invalid bases
-    inv = (~valid).astype(jnp.int32)
-    cs = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(inv)])  # (L+1,)
+    # windowed all-valid + in-range, all via static shifts (no gathers)
     idx = jnp.arange(L)
-    end = jnp.minimum(idx + k, L)
-    all_valid = (cs[end] - cs[idx]) == 0
+    all_valid = window_all(valid, k)
     in_range = idx + k <= L
 
     # last-window-of-record rule: emitted only if previous base valid
-    last_base_idx = jnp.clip(idx + k - 1, 0, L - 1)
-    is_final_window = rec_last[last_base_idx]
+    is_final_window = jnp.concatenate(
+        [rec_last[k - 1 :], jnp.zeros(min(k - 1, L), dtype=bool)]
+    )
     prev_valid = jnp.concatenate([jnp.zeros(1, bool), valid[:-1]])
     emit = all_valid & in_range & (~is_final_window | prev_valid)
 

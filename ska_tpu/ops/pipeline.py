@@ -135,6 +135,30 @@ def sample_pipeline(
     return sp, union, is_end, n_unique
 
 
+@partial(
+    jax.jit,
+    static_argnames=("k", "rc", "W", "is_reads", "use_mid_qual", "min_count"),
+)
+def batched_pipeline(
+    seqs,
+    valid,
+    qual_ok,
+    rec_last,
+    k: int,
+    rc: bool,
+    W: int,
+    is_reads: bool,
+    use_mid_qual: bool,
+    min_count: int,
+):
+    """vmap of sample_pipeline over a leading samples axis: one dispatch
+    for a whole batch of genomes (row-wise sorts amortize overhead)."""
+    fn = lambda s, v, q, r: sample_pipeline.__wrapped__(
+        s, v, q, r, k, rc, W, is_reads, use_mid_qual, min_count
+    )
+    return jax.vmap(fn)(seqs, valid, qual_ok, rec_last)
+
+
 def unpack_host(sp_np, union_np, end_np, W):
     """Host-side compaction of the pipeline output into (keys (n, W), sets)."""
     sp_np = np.asarray(sp_np)

@@ -86,23 +86,16 @@ def _masks(batch: fastx.SeqBatch, qual: QualOpts, is_reads: bool):
     return valid, qual_ok
 
 
-def build_sample(
-    name: str,
-    k: int,
+def prepare_sample(
     files: Tuple[str, Optional[str]],
-    rc: bool,
-    qual: QualOpts,
     proportion_reads: Optional[float] = None,
-) -> SampleDict:
-    """Build one sample's dictionary from FASTA or paired FASTQ input.
+) -> Tuple[fastx.SeqBatch, bool]:
+    """Host parse: FASTA/FASTQ files -> flat SeqBatch + is_reads flag.
 
     Mirrors SkaDict::new (ska_dict.rs:333-378): format detected by peeking
-    the first record of the first file; both files share the format flag;
-    raises if no split k-mers were found.
+    the first record of the first file; both files share the format flag.
     """
-    check_k(k)
     is_reads = fastx.peek_format(files[0]) == "fastq"
-
     parts = [fastx.read_fastx(files[0])]
     if files[1] is not None:
         parts.append(fastx.read_fastx(files[1]))
@@ -113,12 +106,118 @@ def build_sample(
         ff = _subsample_reads(ff, proportion_reads)
         seqs.extend(ff.seqs)
         quals.extend(ff.quals)
+    return fastx.build_batch(seqs, quals), is_reads
 
-    batch = fastx.build_batch(seqs, quals)
+
+def build_sample(
+    name: str,
+    k: int,
+    files: Tuple[str, Optional[str]],
+    rc: bool,
+    qual: QualOpts,
+    proportion_reads: Optional[float] = None,
+) -> SampleDict:
+    """Build one sample's dictionary from FASTA or paired FASTQ input."""
+    check_k(k)
+    batch, is_reads = prepare_sample(files, proportion_reads)
     keys_np, sets_np = dict_from_batch(batch, k, rc, qual, is_reads)
     if len(keys_np) == 0:
         raise ValueError(f"{files[0]} has no valid sequence")
     return SampleDict(name=name, k=k, rc=rc, keys=keys_np, sets=sets_np)
+
+
+def build_samples(
+    input_files,
+    k: int,
+    rc: bool,
+    qual: QualOpts,
+    proportion_reads: Optional[float] = None,
+    max_batch: int = 8,
+) -> List[SampleDict]:
+    """Build many samples, batching same-shape pipelines into single
+    device dispatches (jax.vmap over the samples axis).
+
+    Replaces the reference's rayon sample parallelism
+    (merge_ska_dict.rs:354-417) with device batching; host parsing runs
+    on a thread pool.
+    """
+    import concurrent.futures as cf
+
+    check_k(k)
+    with cf.ThreadPoolExecutor(max_workers=8) as pool:
+        prepared = list(
+            pool.map(
+                lambda t: prepare_sample((t[1], t[2]), proportion_reads), input_files
+            )
+        )
+
+    # group by (padded length, config) for batched dispatch
+    groups = {}
+    for i, (batch, is_reads) in enumerate(prepared):
+        Lp = _bucket(len(batch.seq) + k + 1)
+        use_mq = bool(
+            is_reads
+            and batch.has_qual
+            and qual.qual_filter in (QUAL_MIDDLE, QUAL_STRICT)
+        )
+        key = (Lp, is_reads, use_mq)
+        groups.setdefault(key, []).append(i)
+
+    results: List[Optional[SampleDict]] = [None] * len(prepared)
+    for (Lp, is_reads, use_mq), idxs in groups.items():
+        for c0 in range(0, len(idxs), max_batch):
+            chunk = idxs[c0 : c0 + max_batch]
+            keys_list = _run_batch(
+                [prepared[i][0] for i in chunk], Lp, k, rc, qual, is_reads, use_mq
+            )
+            for i, (keys_np, sets_np) in zip(chunk, keys_list):
+                name = input_files[i][0]
+                if len(keys_np) == 0:
+                    raise ValueError(f"{input_files[i][1]} has no valid sequence")
+                results[i] = SampleDict(
+                    name=name, k=k, rc=rc, keys=keys_np, sets=sets_np
+                )
+    return results
+
+
+def _run_batch(batches, Lp, k, rc, qual, is_reads, use_mq):
+    from .ops import pipeline as P
+
+    W = K.width_for_k(k)
+    S = len(batches)
+    seqs = np.zeros((S, Lp), np.uint8)
+    vs = np.zeros((S, Lp), bool)
+    qo = np.zeros((S, Lp), bool)
+    rl = np.zeros((S, Lp), bool)
+    for i, b in enumerate(batches):
+        L = len(b.seq)
+        seqs[i, :L] = b.seq
+        valid, qual_ok = _masks(b, qual, is_reads)
+        vs[i, :L] = valid
+        qo[i, :L] = qual_ok
+        rl[i, :L] = b.rec_last
+
+    if S == 1:
+        sp, union, is_end, n = P.sample_pipeline(
+            jnp.asarray(seqs[0]),
+            jnp.asarray(vs[0]),
+            jnp.asarray(qo[0]),
+            jnp.asarray(rl[0]),
+            k, rc, W, is_reads, use_mq, int(qual.min_count),
+        )
+        return [P.unpack_host(sp, union, is_end, W)]
+
+    sp, union, is_end, n = P.batched_pipeline(
+        jnp.asarray(seqs),
+        jnp.asarray(vs),
+        jnp.asarray(qo),
+        jnp.asarray(rl),
+        k, rc, W, is_reads, use_mq, int(qual.min_count),
+    )
+    sp_np, union_np, end_np = np.asarray(sp), np.asarray(union), np.asarray(is_end)
+    return [
+        P.unpack_host(sp_np[i], union_np[i], end_np[i], W) for i in range(S)
+    ]
 
 
 def dict_from_batch(
