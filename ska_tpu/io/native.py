@@ -21,7 +21,9 @@ def _build():
     )
 
 
-if not os.path.exists(_SO):
+if not os.path.exists(_SO) or (
+    os.path.exists(_SRC) and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
+):
     if not os.path.exists(_SRC):
         raise ImportError("skanative source not found")
     _build()
@@ -45,6 +47,54 @@ _lib.ska_snappy_compress.argtypes = [
     ctypes.c_char_p,
     ctypes.c_size_t,
 ]
+
+
+import numpy as _np
+
+_lib.ska_aln_write.restype = None
+_lib.ska_aln_write.argtypes = [
+    ctypes.c_char_p,  # ref_seq
+    ctypes.POINTER(ctypes.c_int64),  # chrom_len
+    ctypes.c_int64,  # n_chrom
+    ctypes.POINTER(ctypes.c_int32),  # m_chrom
+    ctypes.POINTER(ctypes.c_int64),  # m_pos
+    ctypes.c_char_p,  # bases
+    ctypes.c_int64,  # n_hits
+    ctypes.c_int64,  # half
+    ctypes.c_char_p,  # is_ambig
+    ctypes.c_int,  # mask_ambig
+    ctypes.POINTER(ctypes.c_int64),  # repeat_coors
+    ctypes.c_int64,  # n_repeats
+    ctypes.c_char_p,  # out
+]
+
+
+def aln_write(ref_concat, chrom_len, m_chrom, m_pos, bases, half, is_ambig_tbl,
+              mask_ambig, repeat_coors):
+    """One sample's pseudoalignment (exact AlnWriter semantics) in C++."""
+    total = len(ref_concat)
+    out = _np.full(total, ord("-"), dtype=_np.uint8)
+    chrom_len = _np.ascontiguousarray(chrom_len, dtype=_np.int64)
+    m_chrom = _np.ascontiguousarray(m_chrom, dtype=_np.int32)
+    m_pos = _np.ascontiguousarray(m_pos, dtype=_np.int64)
+    bases = _np.ascontiguousarray(bases, dtype=_np.uint8)
+    reps = _np.ascontiguousarray(repeat_coors, dtype=_np.int64)
+    _lib.ska_aln_write(
+        ref_concat.ctypes.data_as(ctypes.c_char_p),
+        chrom_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(chrom_len),
+        m_chrom.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        m_pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        bases.ctypes.data_as(ctypes.c_char_p),
+        len(bases),
+        half,
+        is_ambig_tbl.ctypes.data_as(ctypes.c_char_p),
+        1 if mask_ambig else 0,
+        reps.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(reps),
+        out.ctypes.data_as(ctypes.c_char_p),
+    )
+    return out
 
 
 def crc32c(data: bytes) -> int:

@@ -213,6 +213,31 @@ class RefSka:
     def pseudoalignment(self) -> List[bytearray]:
         if self.mapped_variants is None or len(self.mapped_variants) == 0:
             raise ValueError("No split k-mers mapped to reference")
+        try:
+            from .io import native
+        except Exception:
+            native = None
+        if native is not None:
+            ref_concat = np.concatenate(self.seq) if self.seq else np.zeros(0, np.uint8)
+            chrom_len = np.array([len(s) for s in self.seq], dtype=np.int64)
+            reps = np.array(self.repeat_coors, dtype=np.int64)
+            h = (self.k - 1) // 2
+            return [
+                bytearray(
+                    native.aln_write(
+                        ref_concat,
+                        chrom_len,
+                        self.mapped_chrom,
+                        self.mapped_pos,
+                        self.mapped_variants[:, i],
+                        h,
+                        IS_AMBIGUOUS.view(np.uint8),
+                        self.ambig_mask,
+                        reps,
+                    )
+                )
+                for i in range(self.mapped_variants.shape[1])
+            ]
         return [
             self._pseudoalignment_one(self.mapped_variants[:, i])
             for i in range(self.mapped_variants.shape[1])

@@ -63,3 +63,23 @@ def test_python_decoder_reads_native_blocks():
         assert s.decompress_block(comp) == data
     finally:
         s._native = saved
+
+
+def test_aln_writer_native_vs_python(ref_in):
+    """C++ AlnWriter must byte-match the Python state machine."""
+    from ska_tpu.io import skf
+    from ska_tpu.ref import RefSka
+
+    for skf_file, ref_fa, rm in [
+        ("merge.skf", "test_ref.fa", False),
+        ("merge_k9.skf", "test_ref_two_chrom_repeats.fa", True),
+    ]:
+        arr = skf.load(f"{ref_in}/{skf_file}")
+        r = RefSka(arr.k, f"{ref_in}/{ref_fa}", arr.rc, ambig_mask=True, repeat_mask=rm)
+        r.map(arr)
+        got_native = r.pseudoalignment()
+        got_py = [
+            r._pseudoalignment_one(r.mapped_variants[:, i])
+            for i in range(r.mapped_variants.shape[1])
+        ]
+        assert [bytes(a) for a in got_native] == [bytes(a) for a in got_py]
