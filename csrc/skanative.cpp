@@ -230,6 +230,117 @@ long long ska_snappy_compress(const uint8_t* in, size_t n, uint8_t* out, size_t 
     return (long long)opos;
 }
 
+// ---- CBOR bulk uint array codecs -------------------------------------------------
+//
+// The .skf format (reference merge_ska_array.rs:191-204) serializes split
+// k-mers / variant bytes / counts as CBOR arrays of unsigned ints (ciborium:
+// minimal-length heads; u128 values above u64::MAX become tag-2 positive
+// bignums). Per-element Python encode/decode costs ~10s per 4M-k-mer file;
+// these bulk codecs run at memory speed.
+
+static inline size_t put_be(uint8_t* o, size_t p, uint64_t x, int nbytes) {
+    for (int i = nbytes - 1; i >= 0; i--) o[p++] = (uint8_t)(x >> (8 * i));
+    return p;
+}
+
+// Encode n uint64 values as consecutive CBOR unsigned ints. out capacity
+// must be >= 9*n. Returns bytes written.
+long long ska_cbor_encode_uints(const uint64_t* v, long long n, uint8_t* out) {
+    size_t p = 0;
+    for (long long i = 0; i < n; i++) {
+        uint64_t x = v[i];
+        if (x < 24) out[p++] = (uint8_t)x;
+        else if (x < 0x100) { out[p++] = 0x18; out[p++] = (uint8_t)x; }
+        else if (x < 0x10000) { out[p++] = 0x19; p = put_be(out, p, x, 2); }
+        else if (x < 0x100000000ULL) { out[p++] = 0x1A; p = put_be(out, p, x, 4); }
+        else { out[p++] = 0x1B; p = put_be(out, p, x, 8); }
+    }
+    return (long long)p;
+}
+
+// Encode n u128 values (hi, lo limbs) the way ciborium does: plain uint if
+// it fits u64, else tag-2 positive bignum with minimal big-endian bytes.
+// out capacity must be >= 19*n. Returns bytes written.
+long long ska_cbor_encode_u128(
+    const uint64_t* hi, const uint64_t* lo, long long n, uint8_t* out
+) {
+    size_t p = 0;
+    for (long long i = 0; i < n; i++) {
+        uint64_t h = hi[i], l = lo[i];
+        if (h == 0) {
+            if (l < 24) out[p++] = (uint8_t)l;
+            else if (l < 0x100) { out[p++] = 0x18; out[p++] = (uint8_t)l; }
+            else if (l < 0x10000) { out[p++] = 0x19; p = put_be(out, p, l, 2); }
+            else if (l < 0x100000000ULL) { out[p++] = 0x1A; p = put_be(out, p, l, 4); }
+            else { out[p++] = 0x1B; p = put_be(out, p, l, 8); }
+        } else {
+            out[p++] = 0xC2;  // tag 2: positive bignum
+            int hb = 8;
+            while (hb > 0 && !(h >> (8 * (hb - 1)))) hb--;
+            int blen = hb + 8;
+            // byte-string head (major 2)
+            if (blen < 24) out[p++] = (uint8_t)(0x40 | blen);
+            else { out[p++] = 0x58; out[p++] = (uint8_t)blen; }
+            p = put_be(out, p, h, hb);
+            p = put_be(out, p, l, 8);
+        }
+    }
+    return (long long)p;
+}
+
+// Decode up to n consecutive CBOR unsigned ints (incl. tag-2 bignums up to
+// 16 bytes) into hi/lo limb arrays. Returns the count decoded (stops early
+// at any non-uint item or truncation); *consumed gets bytes read.
+long long ska_cbor_decode_uints(
+    const uint8_t* in, long long len, long long n,
+    uint64_t* hi, uint64_t* lo, long long* consumed
+) {
+    size_t p = 0;
+    long long i = 0;
+    for (; i < n; i++) {
+        if ((long long)p >= len) break;
+        uint8_t ib = in[p];
+        uint8_t major = ib >> 5, info = ib & 0x1F;
+        if (major == 0) {
+            uint64_t x;
+            if (info < 24) { x = info; p += 1; }
+            else if (info == 24) { if ((long long)(p + 2) > len) break; x = in[p + 1]; p += 2; }
+            else if (info == 25) { if ((long long)(p + 3) > len) break; x = ((uint64_t)in[p+1] << 8) | in[p+2]; p += 3; }
+            else if (info == 26) {
+                if ((long long)(p + 5) > len) break;
+                x = 0; for (int b = 1; b <= 4; b++) x = (x << 8) | in[p + b];
+                p += 5;
+            } else if (info == 27) {
+                if ((long long)(p + 9) > len) break;
+                x = 0; for (int b = 1; b <= 8; b++) x = (x << 8) | in[p + b];
+                p += 9;
+            } else break;
+            hi[i] = 0; lo[i] = x;
+        } else if (major == 6 && info == 2) {
+            // tag 2 bignum; byte string follows
+            if ((long long)(p + 1) >= len) break;
+            uint8_t sb = in[p + 1];
+            if ((sb >> 5) != 2) break;
+            uint8_t sinfo = sb & 0x1F;
+            size_t q = p + 2;
+            uint64_t blen;
+            if (sinfo < 24) blen = sinfo;
+            else if (sinfo == 24) { if ((long long)(q + 1) > len) break; blen = in[q]; q += 1; }
+            else break;
+            if (blen > 16 || (long long)(q + blen) > len) break;
+            uint64_t h = 0, l = 0;
+            for (uint64_t b = 0; b < blen; b++) {
+                h = (h << 8) | (l >> 56);
+                l = (l << 8) | in[q + b];
+            }
+            hi[i] = h; lo[i] = l;
+            p = q + blen;
+        } else break;
+    }
+    *consumed = (long long)p;
+    return i;
+}
+
 // ---- pseudoalignment writer (ska map) -------------------------------------------
 //
 // Exact port of the AlnWriter state machine semantics

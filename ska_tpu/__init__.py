@@ -15,11 +15,24 @@ Capability parity targets the reference CLI: build, align, map, distance,
 merge, delete, weed, nk, cov and lo (see reference src/cli.rs:167-426).
 """
 
+import os
+
 import jax
 
 # Packed split k-mer keys for k<=31 need up to 60 bits; enable 64-bit types
 # before any jax.numpy use (reference uses u64/u128, src/lib.rs:592-622).
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: a fresh CLI process otherwise pays
+# ~25-30s compiling the build pipeline per shape. Opt out with
+# SKA_TPU_CACHE_DIR="".
+_cache_dir = os.environ.get(
+    "SKA_TPU_CACHE_DIR",
+    os.path.join(os.path.expanduser("~"), ".cache", "ska_tpu", "jax_cache"),
+)
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 __version__ = "0.5.2"  # capability parity with reference v0.5.2
 

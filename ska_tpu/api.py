@@ -29,11 +29,26 @@ def build(
     qual: QualOpts,
     proportion_reads: Optional[float] = None,
 ) -> SkaArray:
-    """`ska build`: per-sample dicts + merge (merge_ska_dict.rs:354-417)."""
-    from .sample import build_samples
+    """`ska build`: batched device build + on-device multi-sample merge
+    (replaces merge_ska_dict.rs:354-417's rayon hashmap tree; one global
+    sort by (key, sample) per batch, host union across batches)."""
+    import numpy as np
 
-    samples = build_samples(input_files, k, rc, qual, proportion_reads)
-    return merge_samples(samples)
+    from .sample import build_samples_merged
+
+    batches = build_samples_merged(input_files, k, rc, qual, proportion_reads)
+    arrays = [
+        SkaArray(k=k, rc=rc, names=names, keys=keys, variants=var, counts=counts)
+        for (_, names, keys, var, counts) in batches
+    ]
+    merged = arrays[0] if len(arrays) == 1 else extend_arrays(arrays)
+    # restore input column order (batch grouping may permute samples)
+    order_idx = [i for (chunk, *_rest) in batches for i in chunk]
+    if order_idx != sorted(order_idx):
+        perm = np.argsort(np.asarray(order_idx))
+        merged.variants = merged.variants[:, perm]
+        merged.names = [merged.names[p] for p in perm]
+    return merged
 
 
 def load_array(inputs: List[str]) -> SkaArray:

@@ -67,13 +67,25 @@ def _gram_chunk(classes_chunk, n: int):
 
 
 def class_gram(variants: np.ndarray) -> np.ndarray:
-    """Exact int64 co-occurrence Gram over 16 classes. variants: (S, n) uint8."""
+    """Exact int64 co-occurrence Gram over 16 classes. variants: (S, n) uint8.
+
+    Chunk sizes are fixed powers of two and tails are padded with class 0
+    ('-', zero weight in every coefficient table) so jit shapes never
+    depend on the dataset — a fresh XLA compile costs ~20s via the remote
+    compiler, so shape stability matters more than minimal padding.
+    """
     S, n = variants.shape
     classes = ASCII_TO_SET[variants].astype(np.int32)
+    # bound one-hot scratch (int8) to ~256MB and int32 accumulators
+    chunk = max(_CHUNK, min(1 << 24, (1 << 28) // max(16 * n, 1)))
+    chunk = 1 << int(np.floor(np.log2(chunk)))
     G = np.zeros((n * 16, n * 16), dtype=np.int64)
-    for s0 in range(0, S, _CHUNK):
-        chunk = classes[s0 : s0 + _CHUNK]
-        G += np.asarray(_gram_chunk(jnp.asarray(chunk), n), dtype=np.int64)
+    for s0 in range(0, S, chunk):
+        c = classes[s0 : s0 + chunk]
+        if len(c) != chunk:
+            pad = np.zeros((chunk - len(c), n), np.int32)  # class 0 = '-'
+            c = np.concatenate([c, pad])
+        G += np.asarray(_gram_chunk(jnp.asarray(c), n), dtype=np.int64)
     return G
 
 

@@ -12,6 +12,55 @@ the reference binary (and byte-compatible for identical content).
 
 import struct
 
+import numpy as np
+
+try:
+    from . import native as _native
+except Exception:  # no toolchain: pure-python paths below
+    _native = None
+
+_FAST_DECODE_MIN = 64  # bulk-decode arrays at least this long
+
+
+class UInts64:
+    """Marker for encoding: a numpy array serialized as a CBOR array of
+    unsigned ints (bulk C++ path)."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = np.ascontiguousarray(v, dtype=np.uint64)
+
+
+class U128s:
+    """Marker for encoding: (hi, lo) uint64 limb arrays serialized as a
+    CBOR array of uints / tag-2 bignums (ciborium's u128 convention)."""
+
+    __slots__ = ("hi", "lo")
+
+    def __init__(self, hi, lo):
+        self.hi = np.ascontiguousarray(hi, dtype=np.uint64)
+        self.lo = np.ascontiguousarray(lo, dtype=np.uint64)
+
+
+class UIntArray:
+    """Bulk-decoded CBOR array of unsigned ints, as (hi, lo) uint64 limbs."""
+
+    __slots__ = ("hi", "lo")
+
+    def __init__(self, hi, lo):
+        self.hi = hi
+        self.lo = lo
+
+    def __len__(self):
+        return len(self.lo)
+
+    def tolist(self):
+        if not self.hi.any():
+            return self.lo.tolist()
+        return [(int(h) << 64) | int(l) for h, l in zip(self.hi, self.lo)]
+
+
 # ---- decoding ----------------------------------------------------------------
 
 
@@ -72,6 +121,15 @@ def _decode(r):
         return bytes(r.take(_read_uint(r, info))).decode("utf-8")
     if major == 4:
         n = _read_uint(r, info)
+        if _native is not None and n >= _FAST_DECODE_MIN:
+            cnt, consumed, hi, lo = _native.cbor_decode_uints(r.buf, r.pos, n)
+            if cnt == n:
+                r.pos += consumed
+                return UIntArray(hi, lo)
+            if cnt:  # mixed content: bulk prefix + element-wise tail
+                r.pos += consumed
+                head = UIntArray(hi, lo).tolist()
+                return head + [_decode(r) for _ in range(n - cnt)]
         return [_decode(r) for _ in range(n)]
     if major == 5:
         n = _read_uint(r, info)
@@ -151,6 +209,20 @@ def _encode(out, val):
     elif isinstance(val, (bytes, bytearray, memoryview)):
         _head(out, 2, len(val))
         out += val
+    elif isinstance(val, UInts64):
+        _head(out, 4, len(val.v))
+        if _native is not None:
+            out += _native.cbor_encode_uints(val.v)
+        else:
+            for v in val.v.tolist():
+                _encode(out, v)
+    elif isinstance(val, U128s):
+        _head(out, 4, len(val.lo))
+        if _native is not None:
+            out += _native.cbor_encode_u128(val.hi, val.lo)
+        else:
+            for h, l in zip(val.hi.tolist(), val.lo.tolist()):
+                _encode(out, (h << 64) | l)
     elif isinstance(val, (list, tuple)):
         _head(out, 4, len(val))
         for v in val:

@@ -97,6 +97,63 @@ def aln_write(ref_concat, chrom_len, m_chrom, m_pos, bases, half, is_ambig_tbl,
     return out
 
 
+_u64p = ctypes.POINTER(ctypes.c_uint64)
+_lib.ska_cbor_encode_uints.restype = ctypes.c_longlong
+_lib.ska_cbor_encode_uints.argtypes = [_u64p, ctypes.c_longlong, ctypes.c_char_p]
+_lib.ska_cbor_encode_u128.restype = ctypes.c_longlong
+_lib.ska_cbor_encode_u128.argtypes = [_u64p, _u64p, ctypes.c_longlong, ctypes.c_char_p]
+_lib.ska_cbor_decode_uints.restype = ctypes.c_longlong
+_lib.ska_cbor_decode_uints.argtypes = [
+    ctypes.c_char_p,
+    ctypes.c_longlong,
+    ctypes.c_longlong,
+    _u64p,
+    _u64p,
+    ctypes.POINTER(ctypes.c_longlong),
+]
+
+
+def cbor_encode_uints(vals) -> bytes:
+    """Consecutive CBOR unsigned ints (minimal heads) for a uint64 array."""
+    v = _np.ascontiguousarray(vals, dtype=_np.uint64)
+    out = ctypes.create_string_buffer(9 * len(v) or 1)
+    n = _lib.ska_cbor_encode_uints(v.ctypes.data_as(_u64p), len(v), out)
+    return out.raw[:n]
+
+
+def cbor_encode_u128(hi, lo) -> bytes:
+    """CBOR items for u128 values (hi, lo limbs): plain uints or tag-2
+    bignums, ciborium-style."""
+    h = _np.ascontiguousarray(hi, dtype=_np.uint64)
+    l = _np.ascontiguousarray(lo, dtype=_np.uint64)
+    out = ctypes.create_string_buffer(19 * len(h) or 1)
+    n = _lib.ska_cbor_encode_u128(
+        h.ctypes.data_as(_u64p), l.ctypes.data_as(_u64p), len(h), out
+    )
+    return out.raw[:n]
+
+
+def cbor_decode_uints(buf, pos: int, n: int):
+    """Decode up to n CBOR uints/bignums starting at buf[pos].
+
+    Returns (count, consumed_bytes, hi, lo) — count < n means a non-uint
+    item was hit and the caller must fall back element-wise from there.
+    """
+    hi = _np.empty(n, dtype=_np.uint64)
+    lo = _np.empty(n, dtype=_np.uint64)
+    consumed = ctypes.c_longlong(0)
+    mv = (ctypes.c_char * (len(buf) - pos)).from_buffer_copy(memoryview(buf)[pos:])
+    cnt = _lib.ska_cbor_decode_uints(
+        ctypes.cast(mv, ctypes.c_char_p),
+        len(buf) - pos,
+        n,
+        hi.ctypes.data_as(_u64p),
+        lo.ctypes.data_as(_u64p),
+        ctypes.byref(consumed),
+    )
+    return int(cnt), int(consumed.value), hi[:cnt], lo[:cnt]
+
+
 def crc32c(data: bytes) -> int:
     return _lib.ska_crc32c(bytes(data), len(data))
 

@@ -18,17 +18,24 @@ def save(arr: SkaArray, path: str, add_suffix: bool = True):
     `ska weed` saves to the exact path (generic_modes.rs:263-266)."""
     if add_suffix and not path.endswith(".skf"):
         path = path + ".skf"
+    keys = np.asarray(arr.keys, dtype=np.uint64)
+    if keys.ndim == 1:
+        keys = keys[:, None]
+    if keys.shape[1] == 1:
+        kmers = cbor.UInts64(keys[:, 0])
+    else:
+        kmers = cbor.U128s(keys[:, 0], keys[:, 1])
     obj = {
         "k": arr.k,
         "rc": bool(arr.rc),
         "names": list(arr.names),
-        "split_kmers": K.to_python_ints(arr.keys),
+        "split_kmers": kmers,
         "variants": {
             "v": 1,
             "dim": [int(arr.ksize), int(arr.nsamples)],
-            "data": [int(x) for x in arr.variants.ravel()],
+            "data": cbor.UInts64(arr.variants.ravel().astype(np.uint64)),
         },
-        "variant_count": [int(c) for c in arr.counts],
+        "variant_count": cbor.UInts64(np.asarray(arr.counts, dtype=np.uint64)),
         "ska_version": arr.ska_version,
         "k_bits": arr.kbits,
     }
@@ -47,10 +54,25 @@ def load(path: str) -> SkaArray:
     k = obj["k"]
     k_bits = obj.get("k_bits", 64)
     W = max(1, k_bits // 64)
-    keys = K.from_python_ints(obj["split_kmers"], W)
+    sk = obj["split_kmers"]
+    if isinstance(sk, cbor.UIntArray):
+        if W == 1:
+            keys = sk.lo[:, None].copy()
+        else:
+            keys = np.stack([sk.hi, sk.lo], axis=-1)
+    else:
+        keys = K.from_python_ints(sk, W)
     v = obj["variants"]
-    variants = np.array(v["data"], dtype=np.uint8).reshape(v["dim"][0], v["dim"][1])
-    counts = np.array(obj["variant_count"], dtype=np.int64)
+    vdata = v["data"]
+    if isinstance(vdata, cbor.UIntArray):
+        variants = vdata.lo.astype(np.uint8).reshape(v["dim"][0], v["dim"][1])
+    else:
+        variants = np.array(vdata, dtype=np.uint8).reshape(v["dim"][0], v["dim"][1])
+    vc = obj["variant_count"]
+    if isinstance(vc, cbor.UIntArray):
+        counts = vc.lo.astype(np.int64)
+    else:
+        counts = np.array(vc, dtype=np.int64)
     # Row order is preserved exactly as stored: the reference's alignment
     # output follows it (tests compare `ska align` after weed byte-exactly),
     # and lookups use a lazy sorted view instead (SkaArray.sorted_view).

@@ -125,6 +125,65 @@ def sort_with(keys, payloads, extra_keys=()):
     return skeys, res[W : W + nex], res[W + nex :]
 
 
+def searchsorted_via_sort(sorted_keys, queries):
+    """Lower-bound lookup of (M, W) queries in (N, W) sorted keys via one
+    merged sort instead of binary search.
+
+    Random gathers are the TPU's weak spot: the fori_loop binary search
+    below costs ~23 full-array gathers (measured 2.25s for 4M-in-4M on
+    v5e), while sorting the concatenation with a query-first tie tag and
+    reading ranks off a cumsum costs two lax.sorts (~0.1s). Equivalent to
+    np.searchsorted(side='left').
+
+    Inputs are padded to power-of-two buckets (table pads = all-ones max
+    keys sort last and never change a lower bound; query pads are sliced
+    off) so jit shapes are dataset-independent — each fresh XLA compile
+    costs ~20s through the remote compiler.
+    """
+    N, W = sorted_keys.shape
+    M = queries.shape[0]
+    Np, Mp = _pow2(max(N, 1)), _pow2(max(M, 1))
+    if Np != N:
+        pad = jnp.full((Np - N, W), np.uint64(0xFFFFFFFFFFFFFFFF), jnp.uint64)
+        sorted_keys = jnp.concatenate([jnp.asarray(sorted_keys), pad], axis=0)
+    if Mp != M:
+        pad = jnp.full((Mp - M, W), np.uint64(0xFFFFFFFFFFFFFFFF), jnp.uint64)
+        queries = jnp.concatenate([jnp.asarray(queries), pad], axis=0)
+    out = _searchsorted_via_sort_jit(sorted_keys, queries)
+    return jnp.clip(out[:M], 0, N)
+
+
+def _pow2(n: int) -> int:
+    b = 1024
+    while b < n:
+        b *= 2
+    return b
+
+
+@jax.jit
+def _searchsorted_via_sort_jit(sorted_keys, queries):
+    N, W = sorted_keys.shape
+    M = queries.shape[0]
+    both = jnp.concatenate([sorted_keys, queries], axis=0)
+    # tag: queries sort BEFORE equal table keys (lower bound)
+    tag = jnp.concatenate(
+        [jnp.ones(N, jnp.int32), jnp.zeros(M, jnp.int32)]
+    )
+    idx = jnp.concatenate(
+        [jnp.zeros(N, jnp.int32), jnp.arange(M, dtype=jnp.int32)]
+    )
+    ops = tuple(both[:, i] for i in range(W)) + (tag, idx)
+    res = jax.lax.sort(ops, num_keys=W + 2)
+    stag, sidx = res[W], res[W + 1]
+    is_q = stag == 0
+    pos = jnp.arange(N + M, dtype=jnp.int32)
+    rank_q = jnp.cumsum(is_q.astype(jnp.int32)) - 1
+    ss = pos - rank_q  # table elements strictly before this query
+    # restore original query order: queries (tag 0) sort first, by idx
+    res2 = jax.lax.sort((stag, sidx, ss), num_keys=2)
+    return jax.lax.dynamic_slice_in_dim(res2[2], 0, M)
+
+
 def searchsorted(sorted_keys, queries):
     """Vectorized lower-bound binary search of (M, W) queries in (N, W) sorted keys.
 

@@ -159,6 +159,147 @@ def batched_pipeline(
     return jax.vmap(fn)(seqs, valid, qual_ok, rec_last)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("k", "rc", "W", "is_reads", "use_mid_qual", "min_count"),
+)
+def merged_build_pipeline(
+    seqs,
+    valid,
+    qual_ok,
+    rec_last,
+    k: int,
+    rc: bool,
+    W: int,
+    is_reads: bool,
+    use_mid_qual: bool,
+    min_count: int,
+):
+    """Whole-batch build + merge in ONE device program.
+
+    Replaces {per-sample sort + host lexsort merge + host matrix build}
+    (reference merge_ska_dict.rs:77-151,354-417 + merge_ska_array.rs:166-186)
+    with a single global sort by (split k-mer key, sample id) over all S
+    samples, a segmented IUPAC union per (key, sample) group, and
+    device-side scatters into the final variants matrix. Only the compact
+    merged array ever crosses device->host.
+
+    seqs/valid/qual_ok/rec_last: (S, L). Returns
+      ukeys    (S*L, W) uint64 — merged keys, rows [0, n_rows) valid
+      variants (S*L, S) uint8  — ASCII IUPAC / '-' matrix
+      counts   (S*L,) int32    — samples present per row
+      n_rows   int32 scalar
+    """
+    S, L = seqs.shape
+    N = S * L
+    h = (k - 1) // 2
+    want_whole = bool(is_reads and min_count > 1)
+
+    res = jax.vmap(
+        lambda s, v, r: X.extract_windows.__wrapped__(s, v, r, k, rc, W, want_whole)
+    )(seqs, valid, rec_last)
+    emit = res["emit"]
+    if is_reads and use_mid_qual:
+        mid_ok = jnp.concatenate(
+            [qual_ok[:, h:], jnp.zeros((S, h), bool)], axis=1
+        )
+        emit = emit & mid_ok
+
+    mid = res["mid"]
+    sets = (
+        jnp.left_shift(jnp.uint8(1), mid)
+        | jnp.where(res["pal"], jnp.left_shift(jnp.uint8(1), mid ^ 2), 0)
+    ).astype(jnp.uint8)
+    keys = res["key"]  # (S, L, W)
+
+    if want_whole:
+        # per-sample min-count rank filter over whole k-mers
+        # (bloom_filter.rs:116-148 semantics); lax.sort on (S, L) operands
+        # sorts each sample row independently
+        pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None], (S, L))
+        wkeys = jnp.where(
+            emit[:, :, None], res["whole"], jnp.full_like(res["whole"], _SENT)
+        )
+        ops = tuple(wkeys[..., i] for i in range(W)) + (pos,) + tuple(
+            keys[..., i] for i in range(W)
+        ) + (sets, emit)
+        sres = jax.lax.sort(ops, num_keys=W + 1, dimension=-1)
+        swk = jnp.stack(sres[:W], axis=-1)
+        keys = jnp.stack(sres[W + 1 : W + 1 + W], axis=-1)
+        sets = sres[W + 1 + W]
+        semit = sres[W + 2 + W]
+        first = jnp.concatenate(
+            [jnp.ones((S, 1), bool), jnp.any(swk[:, 1:] != swk[:, :-1], axis=-1)],
+            axis=1,
+        )
+        i32row = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None], (S, L))
+        ssi = jax.lax.cummax(jnp.where(first, i32row, -1), axis=1)
+        rank = i32row - ssi + 1
+        if min_count == 2:
+            ok = rank >= 2
+        else:
+            ok = rank == min_count
+        emit = ok & semit
+
+    # ---- global merge across samples: one sort by (key, sample id) ----
+    sid = jnp.broadcast_to(
+        jnp.arange(S, dtype=jnp.int32)[:, None], (S, L)
+    ).reshape(N)
+    kf = keys.reshape(N, W)
+    kf = jnp.where(emit.reshape(N)[:, None], kf, jnp.full_like(kf, _SENT))
+    sf = jnp.where(emit.reshape(N), sets.reshape(N), 0)
+
+    ops = tuple(kf[:, i] for i in range(W)) + (sid, sf)
+    gres = jax.lax.sort(ops, num_keys=W + 1, dimension=-1)
+    gk = jnp.stack(gres[:W], axis=-1)
+    gsid, gsets = gres[W], gres[W + 1]
+
+    live = jnp.any(gk != U64(_SENT), axis=-1)
+    diff_key = jnp.concatenate(
+        [jnp.ones(1, bool), jnp.any(gk[1:] != gk[:-1], axis=-1)]
+    )
+    first_pair = diff_key | jnp.concatenate(
+        [jnp.ones(1, bool), gsid[1:] != gsid[:-1]]
+    )
+
+    # IUPAC union within each (key, sample) group
+    ssi = _seg_start_idx(first_pair)
+    union = _seg_union(gsets, ssi)
+    pair_end = jnp.concatenate([first_pair[1:], jnp.ones(1, bool)])
+
+    newrow = diff_key & live
+    rowcum = jnp.cumsum(newrow.astype(jnp.int32))
+    rows = rowcum - 1
+    n_rows = rowcum[-1]
+
+    from ..encoding import SET_TO_ASCII
+
+    ascii_vals = jnp.asarray(SET_TO_ASCII)[union]
+
+    sel = pair_end & live
+    gap = jnp.uint8(ord("-"))
+    pos = jnp.where(sel, rows * S + gsid, N * S)
+    variants = (
+        jnp.full(N * S + 1, gap, jnp.uint8)
+        .at[pos]
+        .set(jnp.where(sel, ascii_vals, gap))[: N * S]
+        .reshape(N, S)
+    )
+
+    krows = jnp.where(newrow, rows, N)
+    ukeys = (
+        jnp.zeros((N + 1, W), U64)
+        .at[krows]
+        .set(jnp.where(newrow[:, None], gk, U64(0)))[:N]
+    )
+    counts = (
+        jnp.zeros(N + 1, jnp.int32)
+        .at[jnp.where(sel, rows, N)]
+        .add(sel.astype(jnp.int32))[:N]
+    )
+    return ukeys, variants, counts, n_rows
+
+
 def unpack_host(sp_np, union_np, end_np, W):
     """Host-side compaction of the pipeline output into (keys (n, W), sets)."""
     sp_np = np.asarray(sp_np)

@@ -128,7 +128,7 @@ class RefSka:
 
         sorted_keys, perm = arr.sorted_view()
         idx = np.asarray(
-            K.searchsorted(jnp.asarray(sorted_keys), jnp.asarray(self.kmers))
+            K.searchsorted_via_sort(jnp.asarray(sorted_keys), jnp.asarray(self.kmers))
         )
         idx_c = np.clip(idx, 0, max(arr.ksize - 1, 0))
         found = np.all(sorted_keys[idx_c] == self.kmers, axis=-1) & (arr.ksize > 0)
@@ -261,36 +261,41 @@ class RefSka:
         w("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t")
         w("\t".join(self.mapped_names) + "\n")
 
-        col = 0
-        for ci, chrom_seq in enumerate(self.seq):
-            cname = self.chrom_names[ci]
-            for p in range(len(chrom_seq)):
-                ref_base = int(chrom_seq[p])
-                ref_allele = _vcf_base(ref_base)
-                column = aln_mat[:, col]
-                col += 1
-                gts = []
-                alt_bases = []
-                variant = False
-                for mb in column:
-                    if mb == ref_base:
-                        gts.append("0")
-                    elif mb == _GAP:
-                        variant = True
-                        gts.append(".")
-                    else:
-                        variant = True
-                        ab = _vcf_base(int(mb))
-                        if ab not in alt_bases:
-                            alt_bases.append(ab)
-                        gts.append(str(alt_bases.index(ab) + 1))
-                if variant:
-                    alt = ",".join(alt_bases) if alt_bases else "."
-                    w(
-                        f"{cname}\t{p + 1}\t.\t{ref_allele}\t{alt}\t.\t.\t.\tGT\t"
-                        + "\t".join(gts)
-                        + "\n"
-                    )
+        # vectorized variant-site detection: a site is emitted iff any
+        # sample differs from the reference base (ska_ref.rs:707-750); the
+        # python per-site record builder then only touches those columns
+        ref_concat = np.concatenate(self.seq) if self.seq else np.zeros(0, np.uint8)
+        chrom_of = np.repeat(
+            np.arange(len(self.seq), dtype=np.int64),
+            [len(s) for s in self.seq],
+        )
+        chrom_start = np.cumsum([0] + [len(s) for s in self.seq[:-1]], dtype=np.int64)
+        variant_cols = np.nonzero((aln_mat != ref_concat[None, :]).any(axis=0))[0]
+
+        for col in variant_cols:
+            ci = int(chrom_of[col])
+            p = int(col - chrom_start[ci])
+            ref_base = int(ref_concat[col])
+            ref_allele = _vcf_base(ref_base)
+            column = aln_mat[:, col]
+            gts = []
+            alt_bases = []
+            for mb in column:
+                if mb == ref_base:
+                    gts.append("0")
+                elif mb == _GAP:
+                    gts.append(".")
+                else:
+                    ab = _vcf_base(int(mb))
+                    if ab not in alt_bases:
+                        alt_bases.append(ab)
+                    gts.append(str(alt_bases.index(ab) + 1))
+            alt = ",".join(alt_bases) if alt_bases else "."
+            w(
+                f"{self.chrom_names[ci]}\t{p + 1}\t.\t{ref_allele}\t{alt}\t.\t.\t.\tGT\t"
+                + "\t".join(gts)
+                + "\n"
+            )
 
 
 def _vcf_base(b: int) -> str:

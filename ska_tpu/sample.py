@@ -180,6 +180,92 @@ def build_samples(
     return results
 
 
+def build_samples_merged(
+    input_files,
+    k: int,
+    rc: bool,
+    qual: QualOpts,
+    proportion_reads: Optional[float] = None,
+    max_batch: int = 8,
+):
+    """Build + merge many samples with device-side merging.
+
+    Each same-shape batch runs ops.pipeline.merged_build_pipeline (one
+    global sort by (key, sample) + scatters) and only the compact merged
+    sub-array is transferred. Returns a list of (names, keys, variants,
+    counts) batch results in input order of columns within each batch;
+    api.build unions them and restores the global input column order.
+    """
+    import concurrent.futures as cf
+
+    from .ops import pipeline as P
+
+    check_k(k)
+    with cf.ThreadPoolExecutor(max_workers=8) as pool:
+        prepared = list(
+            pool.map(
+                lambda t: prepare_sample((t[1], t[2]), proportion_reads), input_files
+            )
+        )
+
+    groups = {}
+    for i, (batch, is_reads) in enumerate(prepared):
+        Lp = _bucket(len(batch.seq) + k + 1)
+        use_mq = bool(
+            is_reads
+            and batch.has_qual
+            and qual.qual_filter in (QUAL_MIDDLE, QUAL_STRICT)
+        )
+        key = (Lp, is_reads, use_mq)
+        groups.setdefault(key, []).append(i)
+
+    W = K.width_for_k(k)
+    out = []
+    for (Lp, is_reads, use_mq), idxs in groups.items():
+        for c0 in range(0, len(idxs), max_batch):
+            chunk = idxs[c0 : c0 + max_batch]
+            # pad the batch axis to a power of two: jit shapes must not
+            # depend on the dataset (remote XLA compiles cost ~20s each);
+            # pad rows are all-invalid and produce no k-mers
+            S = 1
+            while S < len(chunk):
+                S *= 2
+            seqs = np.zeros((S, Lp), np.uint8)
+            vs = np.zeros((S, Lp), bool)
+            qo = np.zeros((S, Lp), bool)
+            rl = np.zeros((S, Lp), bool)
+            for row, i in enumerate(chunk):
+                b = prepared[i][0]
+                L = len(b.seq)
+                seqs[row, :L] = b.seq
+                valid, qual_ok = _masks(b, qual, is_reads)
+                vs[row, :L] = valid
+                qo[row, :L] = qual_ok
+                rl[row, :L] = b.rec_last
+            ukeys, variants, counts, n_rows = P.merged_build_pipeline(
+                jnp.asarray(seqs),
+                jnp.asarray(vs),
+                jnp.asarray(qo),
+                jnp.asarray(rl),
+                k, rc, W, is_reads, use_mq, int(qual.min_count),
+            )
+            n = int(np.asarray(n_rows))
+            names = [input_files[i][0] for i in chunk]
+            keys_np = np.asarray(ukeys[:n])
+            var_np = np.asarray(variants[:n])[:, : len(chunk)]  # drop pad cols
+            counts_np = np.asarray(counts[:n]).astype(np.int64)
+            # a sample with zero k-mers panics in the reference
+            # (ska_dict.rs:374-376)
+            present = (
+                (var_np != ord("-")).any(axis=0) if n else np.zeros(len(chunk), bool)
+            )
+            for row, i in enumerate(chunk):
+                if not present[row]:
+                    raise ValueError(f"{input_files[i][1]} has no valid sequence")
+            out.append((chunk, names, keys_np, var_np, counts_np))
+    return out
+
+
 def _run_batch(batches, Lp, k, rc, qual, is_reads, use_mq):
     from .ops import pipeline as P
 

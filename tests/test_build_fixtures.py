@@ -60,3 +60,51 @@ def test_skf_roundtrip_u128(tmp_path, ref_in):
     np.testing.assert_array_equal(ref.keys, back.keys)
     np.testing.assert_array_equal(ref.variants, back.variants)
     assert back.kbits == 128
+
+
+def test_device_merge_matches_host_merge(ref_in):
+    """api.build (device-side global merge) == host merge_samples path."""
+    from ska_tpu.api import build
+
+    q = QualOpts()
+    files = [
+        ("test_1", f"{ref_in}/test_1.fa", None),
+        ("test_2", f"{ref_in}/test_2.fa", None),
+    ]
+    dev = build(files, 17, True, q)
+    host = _build_pair(ref_in, 17)
+    np.testing.assert_array_equal(dev.keys, host.keys)
+    np.testing.assert_array_equal(dev.variants, host.variants)
+    np.testing.assert_array_equal(dev.counts, host.counts)
+    assert dev.names == host.names
+
+
+def test_build_multi_bucket_column_order(tmp_path, ref_in):
+    """Samples landing in different size buckets must come back in input
+    column order (api.build's cross-batch union + reorder)."""
+    from ska_tpu.api import build
+
+    # sample 'big' is long enough to land in a larger power-of-two bucket
+    big = tmp_path / "big.fa"
+    rng = np.random.default_rng(5)
+    seq = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=9000)
+    with open(big, "wb") as f:
+        f.write(b">big\n" + seq.tobytes() + b"\n")
+
+    q = QualOpts()
+    files = [
+        ("test_1", f"{ref_in}/test_1.fa", None),
+        ("big", str(big), None),
+        ("test_2", f"{ref_in}/test_2.fa", None),
+    ]
+    arr = build(files, 17, True, q)
+    assert arr.names == ["test_1", "big", "test_2"]
+
+    # column content must match single-sample builds
+    for col, (name, path, _) in enumerate(files):
+        s = build_sample(name, 17, (path, None), True, q)
+        one = merge_samples([s])
+        present = arr.variants[:, col] != ord("-")
+        got_keys = arr.keys[present]
+        order = np.lexsort(tuple(got_keys[:, i] for i in range(got_keys.shape[1] - 1, -1, -1)))
+        np.testing.assert_array_equal(got_keys[order], one.keys)
