@@ -63,7 +63,24 @@ def build_parser():
         description="SKA (TPU-native): Split K-mer Analysis, the alignment-free aligner",
     )
     p.add_argument("-v", "--verbose", action="store_true", help="Show progress messages")
+    # the reference (clap) accepts -v after the subcommand too; SUPPRESS
+    # keeps the subparser from clobbering a -v given before the subcommand
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument(
+        "-v",
+        "--verbose",
+        action="store_true",
+        default=argparse.SUPPRESS,
+        help="Show progress messages",
+    )
     sub = p.add_subparsers(dest="command", required=True)
+    _orig_add_parser = sub.add_parser
+
+    def _add_parser(*a, **kw):
+        kw.setdefault("parents", [common])
+        return _orig_add_parser(*a, **kw)
+
+    sub.add_parser = _add_parser
 
     filt_choices = ["no-filter", "no-const", "no-ambig", "no-ambig-or-const"]
 

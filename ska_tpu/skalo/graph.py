@@ -16,50 +16,134 @@ log = logging.getLogger("ska_tpu.skalo")
 
 def build_graph(ska_array):
     """input.rs:18-125: expand degenerate middle bases, add fwd + rc edges,
-    record per-full-k-mer sample bitmasks (first insert wins)."""
+    record per-full-k-mer sample bitmasks (first insert wins).
+
+    All per-(row, middle-base) values (full k-mer, edge nodes, reverse
+    complements, sample bitmasks) are computed with vectorized numpy; a
+    single flat python loop fills the dicts in exactly the same insertion
+    order as the scalar formulation (row-major; within a row, bases ordered
+    by their first contributing sample, tie-broken by position in that
+    sample's DEGENERATE expansion), which downstream traversal depends on.
+    """
+    import numpy as np
+
+    from .kmer_utils import rev_comp2, rev_comp_np64, shl2, shr2, to_obj_ints
+
     sample_names = list(ska_array.names)
     len_kmer = ska_array.k
     h = (len_kmer - 1) // 2
 
+    keys = np.asarray(ska_array.keys, dtype=np.uint64)
+    W = keys.shape[1]
+    v = np.asarray(ska_array.variants)
+    n, S = v.shape
+
+    # per-(ascii char, base slot) expansion tables; slots follow "ACGT"
+    BASES = "ACGT"
+    T = np.zeros((256, 4), bool)
+    TPOS = np.full((256, 4), 9, np.int8)
+    for ch, lst in DEGENERATE.items():
+        for pos, b in enumerate(lst):
+            bi = BASES.index(b)
+            T[ord(ch), bi] = True
+            TPOS[ord(ch), bi] = pos
+
+    contrib = T[v]  # (n, S, 4)
+    valid = contrib.any(axis=1)  # (n, 4)
+    M = (S + 63) // 64
+    masks = np.zeros((n, 4, M), np.uint64)
+    for i in range(S):
+        masks[:, :, i // 64] |= contrib[:, i, :].astype(np.uint64) << np.uint64(i % 64)
+
+    # insertion order of middle_2_samples: first contributing sample index,
+    # tie-broken by position in that sample's DEGENERATE list
+    first_i = np.where(
+        contrib.transpose(0, 2, 1), np.arange(S, dtype=np.int32)[None, None, :], S
+    ).min(axis=2)
+    fchar = v[np.arange(n)[:, None], np.clip(first_i, 0, S - 1)]
+    fpos = TPOS[fchar, np.arange(4)[None, :]].astype(np.int32)
+    order = np.argsort(first_i * 16 + fpos, axis=1, kind="stable")
+
+    codes = np.array([(ord(c) >> 1) & 3 for c in BASES], dtype=np.uint64)
+
+    if W == 1:
+        key = keys[:, 0]
+        upper = key >> np.uint64(2 * h)
+        lower = key & np.uint64((1 << (2 * h)) - 1)
+        full = (
+            (upper << np.uint64(2 * (h + 1)))[:, None]
+            | (codes << np.uint64(2 * h))[None, :]
+            | lower[:, None]
+        )
+        k1 = full >> np.uint64(2)
+        k2 = full & np.uint64((1 << (2 * (len_kmer - 1))) - 1)
+        planes = {
+            "k1": (None, k1),
+            "k2": (None, k2),
+            "rc1": (None, rev_comp_np64(k1, len_kmer - 1)),
+            "rc2": (None, rev_comp_np64(k2, len_kmer - 1)),
+            "full": (None, full),
+            "rcf": (None, rev_comp_np64(full, len_kmer)),
+        }
+    else:
+        hi, lo = keys[:, 0], keys[:, 1]
+        uh, ul = shr2(hi, lo, 2 * h)
+        lmask = (1 << (2 * h)) - 1
+        ll = lo & np.uint64(lmask & 0xFFFFFFFFFFFFFFFF)
+        lh = hi & np.uint64((lmask >> 64) & 0xFFFFFFFFFFFFFFFF)
+        fh0, fl0 = shl2(uh, ul, 2 * (h + 1))
+        ch_, cl_ = shl2(
+            np.zeros((n, 4), np.uint64),
+            np.broadcast_to(codes[None, :], (n, 4)).copy(),
+            2 * h,
+        )
+        fh = fh0[:, None] | ch_ | lh[:, None]
+        fl = fl0[:, None] | cl_ | ll[:, None]
+        k1h, k1l = shr2(fh, fl, 2)
+        kmask = (1 << (2 * (len_kmer - 1))) - 1
+        k2l = fl & np.uint64(kmask & 0xFFFFFFFFFFFFFFFF)
+        k2h = fh & np.uint64((kmask >> 64) & 0xFFFFFFFFFFFFFFFF)
+        planes = {
+            "k1": (k1h, k1l),
+            "k2": (k2h, k2l),
+            "rc1": rev_comp2(k1h, k1l, len_kmer - 1),
+            "rc2": rev_comp2(k2h, k2l, len_kmer - 1),
+            "full": (fh, fl),
+            "rcf": rev_comp2(fh, fl, len_kmer),
+        }
+
+    # flatten (row, slot) in insertion order, valid slots only
+    sel = np.take_along_axis(valid, order, axis=1).ravel()
+
+    def flat(pair):
+        hi_, lo_ = pair
+        lo_ = np.take_along_axis(lo_, order, axis=1).ravel()[sel]
+        if hi_ is not None:
+            hi_ = np.take_along_axis(hi_, order, axis=1).ravel()[sel]
+        return to_obj_ints(hi_, lo_)
+
+    lists = {name: flat(p) for name, p in planes.items()}
+    mo = np.take_along_axis(masks, order[:, :, None], axis=1).reshape(-1, M)[sel]
+    if M == 1:
+        mask_list = mo[:, 0].tolist()
+    else:
+        acc = mo[:, 0].astype(object)
+        for j in range(1, M):
+            acc |= mo[:, j].astype(object) << (64 * j)
+        mask_list = acc.tolist()
+
     all_kmers: Dict[int, List[int]] = {}
     kmer_samples: Dict[int, int] = {}
-
-    keys = ska_array.keys
-    W = keys.shape[1]
-    variants = ska_array.variants
-    mask_km1 = (1 << (2 * (len_kmer - 1))) - 1
-
-    for r in range(ska_array.ksize):
-        if W == 1:
-            key_int = int(keys[r, 0])
-        else:
-            key_int = (int(keys[r, 0]) << 64) | int(keys[r, 1])
-        upper = key_int >> (2 * h)
-        lower = key_int & ((1 << (2 * h)) - 1)
-
-        # middle char -> sample bitmask, in deterministic A/C/G/T-expansion
-        middle_2_samples: Dict[str, int] = {}
-        row = variants[r]
-        for i in range(len(row)):
-            nucl = chr(row[i])
-            if nucl == "-":
-                continue
-            for new_nucl in DEGENERATE[nucl]:
-                middle_2_samples[new_nucl] = middle_2_samples.get(new_nucl, 0) | (1 << i)
-
-        for nucl, bitmask in middle_2_samples.items():
-            mid_code = (ord(nucl) >> 1) & 3
-            full = (upper << (2 * (h + 1))) | (mid_code << (2 * h)) | lower
-            k1 = full >> 2  # first k-1 bases
-            k2 = full & mask_km1  # last k-1 bases
-
-            all_kmers.setdefault(k1, []).append(k2)
-            rc2 = rev_comp_int(k2, len_kmer - 1)
-            rc1 = rev_comp_int(k1, len_kmer - 1)
-            all_kmers.setdefault(rc2, []).append(rc1)
-
-            kmer_samples.setdefault(full, bitmask)
-            kmer_samples.setdefault(rev_comp_int(full, len_kmer), bitmask)
+    ak = all_kmers.setdefault
+    ks = kmer_samples.setdefault
+    for a, b, ra, rb, f, rf, m in zip(
+        lists["k1"], lists["k2"], lists["rc1"], lists["rc2"],
+        lists["full"], lists["rcf"], mask_list,
+    ):
+        ak(a, []).append(b)
+        ak(rb, []).append(ra)
+        ks(f, m)
+        ks(rf, m)
 
     log.info("%d nodes", len(all_kmers))
     return len_kmer, sample_names, all_kmers, kmer_samples

@@ -63,3 +63,57 @@ def rev_compl_str(seq: str) -> str:
 
 def popcount(mask: int) -> int:
     return bin(mask).count("1")
+
+
+# ---- numpy bulk helpers (vectorized build_graph) ------------------------------
+
+import numpy as np
+
+_M2 = np.uint64(0x3333333333333333)
+_M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_M8 = np.uint64(0x00FF00FF00FF00FF)
+_M16 = np.uint64(0x0000FFFF0000FFFF)
+_COMP = np.uint64(0xAAAAAAAAAAAAAAAA)
+
+
+def _rev64_np(x):
+    """Reverse the 32 2-bit groups of each uint64 (bit_encoding.rs:182-195)."""
+    x = ((x >> np.uint64(2)) & _M2) | ((x & _M2) << np.uint64(2))
+    x = ((x >> np.uint64(4)) & _M4) | ((x & _M4) << np.uint64(4))
+    x = ((x >> np.uint64(8)) & _M8) | ((x & _M8) << np.uint64(8))
+    x = ((x >> np.uint64(16)) & _M16) | ((x & _M16) << np.uint64(16))
+    return (x >> np.uint64(32)) | (x << np.uint64(32))
+
+
+def rev_comp_np64(x, n_bases: int):
+    """Vectorized rev_comp_int for values packed in a single uint64."""
+    return (_rev64_np(x) ^ _COMP) >> np.uint64(64 - 2 * n_bases)
+
+
+def shr2(hi, lo, s: int):
+    if s == 0:
+        return hi, lo
+    if s < 64:
+        return hi >> np.uint64(s), (lo >> np.uint64(s)) | (hi << np.uint64(64 - s))
+    return np.zeros_like(hi), hi >> np.uint64(s - 64)
+
+
+def shl2(hi, lo, s: int):
+    if s == 0:
+        return hi, lo
+    if s < 64:
+        return (hi << np.uint64(s)) | (lo >> np.uint64(64 - s)), lo << np.uint64(s)
+    return lo << np.uint64(s - 64), np.zeros_like(lo)
+
+
+def rev_comp2(hi, lo, n_bases: int):
+    rhi = _rev64_np(lo) ^ _COMP
+    rlo = _rev64_np(hi) ^ _COMP
+    return shr2(rhi, rlo, 128 - 2 * n_bases)
+
+
+def to_obj_ints(hi, lo):
+    """(hi, lo) uint64 arrays -> flat list of python ints."""
+    if hi is None or not hi.any():
+        return lo.tolist()
+    return ((hi.astype(object) << 64) | lo.astype(object)).tolist()
