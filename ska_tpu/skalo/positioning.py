@@ -30,25 +30,97 @@ def extract_genomic_kmers(file_path, k: int):
         genome_name = lines[0].split()[0]
         genome_seq = "".join(lines[1:]).replace(" ", "").upper().encode()
 
+    # Vectorized: k-mers with >3 occurrences are dropped entirely
+    # (positioning.rs:16-95 appends up to 3 then deletes on the 4th), so
+    # the map is exactly {kmer: all positions} for count <= 3 k-mers —
+    # built here with one bulk encode + np.unique instead of a 4M-step
+    # python loop.
+    import numpy as np
+
+    from .kmer_utils import to_obj_ints
+
     kmer_map: Dict[int, List[int]] = {}
-    overflow = set()
     if len(genome_seq) >= k:
-        s = genome_seq.decode()
-        for n in range(len(s) - k + 1):
-            kmer = s[n : n + k]
-            if any((ord(c) & 0xF) == 14 for c in kmer):  # N check (valid_base)
-                continue
-            enc = encode_str(kmer)
-            if enc in overflow:
-                continue
-            positions = kmer_map.setdefault(enc, [])
-            if len(positions) < 3:
-                positions.append(n + k)
-            if len(positions) > 3:
-                del kmer_map[enc]
-                overflow.add(enc)
+        s = np.frombuffer(genome_seq, dtype=np.uint8)
+        L = len(s)
+        n_win = L - k + 1
+        codes = ((s >> 1) & 3).astype(np.uint64)
+        invalid = ((s & 0xF) == 14).astype(np.int32)
+        bad = np.cumsum(invalid)
+        ok = (bad[k - 1 :] - np.concatenate([[0], bad[: n_win - 1]])) == 0
+
+        hi = np.zeros(n_win, np.uint64) if k > 32 else None
+        lo = np.zeros(n_win, np.uint64)
+        for i in range(k):
+            c = codes[i : i + n_win]
+            if hi is not None:
+                hi = (hi << np.uint64(2)) | (lo >> np.uint64(62))
+            lo = (lo << np.uint64(2)) | c
+        pos = np.arange(n_win, dtype=np.int64)[ok] + k  # stored as n + k
+        if hi is None:
+            enc = lo[ok]
+            order = np.argsort(enc, kind="stable")
+            enc_s, pos_s = enc[order], pos[order]
+            first = np.ones(len(enc_s), bool)
+            first[1:] = enc_s[1:] != enc_s[:-1]
+        else:
+            hi, lo = hi[ok], lo[ok]
+            order = np.lexsort((lo, hi))
+            hi_s, lo_s, pos_s = hi[order], lo[order], pos[order]
+            first = np.ones(len(lo_s), bool)
+            first[1:] = (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])
+        starts = np.flatnonzero(first)
+        counts = np.empty(len(starts), np.int64)
+        if len(starts):
+            counts[:-1] = np.diff(starts)
+            counts[-1] = len(pos_s) - starts[-1]
+        keep_grp = counts <= 3
+        if hi is None:
+            kmer_map = _KmerMap(enc_s[first], None, starts, counts, keep_grp, pos_s)
+        else:
+            kmer_map = _KmerMap(lo_s[first], hi_s[first], starts, counts, keep_grp, pos_s)
 
     return kmer_map, genome_seq, genome_name
+
+
+class _KmerMap:
+    """dict-like {kmer int: [positions]} over sorted unique-kmer arrays.
+
+    Lookups are few (one per candidate-variant window) while the map holds
+    millions of genome k-mers, so binary search beats materializing a
+    python dict (which costs ~35s at 4Mb)."""
+
+    def __init__(self, lo, hi, starts, counts, keep, pos_s):
+        self._lo = lo
+        self._hi = hi
+        self._starts = starts
+        self._counts = counts
+        self._keep = keep
+        self._pos = pos_s
+
+    def __len__(self):
+        return int(self._keep.sum())
+
+    def get(self, enc, default=()):
+        import numpy as np
+
+        if self._hi is None:
+            i = np.searchsorted(self._lo, np.uint64(enc))
+            if i >= len(self._lo) or int(self._lo[i]) != enc:
+                return default
+        else:
+            h, l = enc >> 64, enc & 0xFFFFFFFFFFFFFFFF
+            i = np.searchsorted(self._hi, np.uint64(h), side="left")
+            j = np.searchsorted(self._hi, np.uint64(h), side="right")
+            sub = self._lo[i:j]
+            k = np.searchsorted(sub, np.uint64(l))
+            if k >= len(sub) or int(sub[k]) != l:
+                return default
+            i = i + k
+        if not self._keep[i]:
+            return default
+        st = int(self._starts[i])
+        return self._pos[st : st + int(self._counts[i])].tolist()
 
 
 def most_frequent_position(numbers):

@@ -12,11 +12,22 @@ log = logging.getLogger("ska_tpu.skalo")
 
 
 def find_internal_indels(variant, entries_indels, k_graph):
-    """process_variants.rs:227-245."""
+    """process_variants.rs:227-245 (rolling 2-bit encode; re-encoding every
+    window costs O(len * k) and dominated whole runs at genome scale)."""
+    if not entries_indels:
+        return 0
     seq = variant.sequence
+    n = len(seq)
+    if n <= k_graph:  # reference iterates windows 0 .. n-k_graph-1
+        return 0
     nb = 0
-    for i in range(len(seq) - k_graph):
-        if encode_str(seq[i : i + k_graph]) in entries_indels:
+    mask = (1 << (2 * k_graph)) - 1
+    enc = encode_str(seq[:k_graph])
+    if enc in entries_indels:
+        nb += 1
+    for i in range(k_graph, n - 1):
+        enc = ((enc << 2) | ((ord(seq[i]) >> 1) & 3)) & mask
+        if enc in entries_indels:
             nb += 1
     return nb
 
