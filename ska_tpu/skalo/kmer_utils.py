@@ -117,3 +117,71 @@ def to_obj_ints(hi, lo):
     if hi is None or not hi.any():
         return lo.tolist()
     return ((hi.astype(object) << 64) | lo.astype(object)).tolist()
+
+
+_DECB = np.frombuffer(b"ACTG", dtype=np.uint8)
+
+
+class LazySeq:
+    """A bubble path's DNA string, materialized on demand.
+
+    A path sequence = decode(entry k-mer) + last base of each later node
+    (read_graph.rs:197-213). Most variant groups only ever read small
+    windows around candidate SNP positions, so the full string (often
+    kilobases, hundreds of thousands of paths) is built only when needed.
+    Stores the tail as 2-bit codes (1 byte per node).
+    """
+
+    __slots__ = ("head", "_tail", "_parts", "_n", "_s")
+
+    def __init__(self, head: str, tail_codes=None, parts=None, n=None):
+        """tail_codes: np.uint8 codes (node & 3) of nodes[1:]; or `parts`,
+        a list of code arrays for all nodes (first element dropped when
+        the tail materializes) with n = total node count."""
+        self.head = head
+        self._tail = tail_codes
+        self._parts = parts
+        self._n = (len(tail_codes) + 1) if tail_codes is not None else n
+        self._s = None
+
+    @property
+    def tail(self):
+        if self._tail is None:
+            self._tail = np.concatenate(self._parts)[1:]
+            self._parts = None
+        return self._tail
+
+    def __len__(self):
+        return len(self.head) + self._n - 1
+
+    def __str__(self):
+        if self._s is None:
+            self._s = self.head + _DECB[self.tail].tobytes().decode()
+        return self._s
+
+    def __getitem__(self, i):
+        if self._s is not None:
+            return self._s[i]
+        kg = len(self.head)
+        n = kg + len(self.tail)
+        if isinstance(i, slice):
+            a, b, step = i.indices(n)
+            if step != 1:
+                return str(self)[i]
+            if b <= kg:
+                return self.head[a:b]
+            if a >= kg:
+                return _DECB[self.tail[a - kg : b - kg]].tobytes().decode()
+            return self.head[a:] + _DECB[self.tail[: b - kg]].tobytes().decode()
+        if i < 0:
+            i += n
+        if i < kg:
+            return self.head[i]
+        return _DECODE[self.tail[i - kg]]
+
+    def codes(self):
+        """2-bit codes of the whole sequence as np.uint8."""
+        hc = ((np.frombuffer(self.head.encode(), dtype=np.uint8) >> 1) & 3).astype(
+            np.uint8
+        )
+        return np.concatenate([hc, self.tail])

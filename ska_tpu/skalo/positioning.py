@@ -145,12 +145,68 @@ def most_frequent_position(numbers):
     return (0, 0)
 
 
+def _window_votes(codes8, k_graph: int, km: "_KmerMap"):
+    """All (stored_position - window_pos) votes for one sequence's 2-bit
+    code array, batch: horner window encode + one searchsorted against
+    the k-mer map."""
+    import numpy as np
+
+    L = len(codes8)
+    if L < k_graph or len(km._lo) == 0:
+        return []
+    codes = codes8.astype(np.uint64)
+    n_win = L - k_graph + 1
+    enc = np.zeros(n_win, np.uint64)
+    for i in range(k_graph):
+        enc = (enc << np.uint64(2)) | codes[i : i + n_win]
+    idx = np.searchsorted(km._lo, enc)
+    idx_c = np.minimum(idx, len(km._lo) - 1)
+    hit = (km._lo[idx_c] == enc) & km._keep[idx_c]
+    widx = np.nonzero(hit)[0]
+    gi = idx_c[widx]
+    cnts = km._counts[gi]
+    starts = km._starts[gi]
+    reps = np.repeat(np.arange(len(widx)), cnts)
+    flat_pos = km._pos[np.repeat(starts, cnts) + _ragged_arange(cnts)]
+    votes = (flat_pos - widx[reps]) & 0xFFFFFFFF
+    return votes.tolist()
+
+
+def _ragged_arange(counts):
+    """[0..c0-1, 0..c1-1, ...] for an int array of counts."""
+    import numpy as np
+
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    ends = np.cumsum(counts)
+    out = np.arange(total, dtype=np.int64)
+    out -= np.repeat(ends - counts, counts)
+    return out
+
+
 def scan_variants(vec_variants, k_graph: int, kmer_map):
     """positioning.rs:129-214: vote (position - offset) over fwd and rc."""
     fwd_votes: List[int] = []
     rev_votes: List[int] = []
+    fast = isinstance(kmer_map, _KmerMap) and kmer_map._hi is None and k_graph <= 32
     for variant in vec_variants:
         seq = variant.sequence
+        if fast:
+            from .kmer_utils import LazySeq
+
+            if isinstance(seq, LazySeq):
+                codes = seq.codes()
+            else:
+                import numpy as np
+
+                codes = (
+                    (np.frombuffer(seq.encode(), dtype=np.uint8) >> 1) & 3
+                ).astype(np.uint8)
+            fwd_votes.extend(_window_votes(codes, k_graph, kmer_map))
+            # rc codes: complement = code ^ 2, reversed
+            rev_votes.extend(_window_votes((codes ^ 2)[::-1], k_graph, kmer_map))
+            continue
         rc_seq = rev_compl_str(seq)
         for pos in range(len(seq) - k_graph + 1):
             enc = encode_str(seq[pos : pos + k_graph])

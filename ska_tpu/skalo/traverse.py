@@ -7,7 +7,7 @@ from dataclasses import dataclass
 from typing import Dict, List, Tuple
 
 from .graph import compact_graph
-from .kmer_utils import decode_int, last_nucl
+from .kmer_utils import LazySeq, decode_int, last_nucl
 
 log = logging.getLogger("ska_tpu.skalo")
 
@@ -26,44 +26,7 @@ def most_abundant_length(vec_variants):
     return max(counts.items(), key=lambda kv: kv[1])[0] if counts else None
 
 
-_DEC_BYTES = None
-
-
-def _decode_path(vec_visited, entry, k_graph, start_kmers, end_kmers, start_arr, end_arr):
-    """VariantInfo for one kept path (read_graph.rs:197-220 semantics):
-    sequence = decode(entry) + last base of every later node; snp
-    candidates at start-node visits (within range) else end-node visits.
-    Vectorized with numpy for k_graph <= 32; scalar fallback otherwise."""
-    import numpy as np
-
-    global _DEC_BYTES
-    n = len(vec_visited)
-    if start_arr is None:
-        seq_parts = [decode_int(entry, k_graph)]
-        vec_snps: List[int] = []
-        for i, nxt in enumerate(vec_visited):
-            if i != 0:
-                seq_parts.append(last_nucl(nxt))
-            if nxt in start_kmers and i <= n - k_graph:
-                vec_snps.append(i + k_graph)
-            elif nxt in end_kmers:
-                vec_snps.append(i - 1)
-        return VariantInfo("".join(seq_parts), vec_snps)
-
-    if _DEC_BYTES is None:
-        _DEC_BYTES = np.frombuffer(b"ACTG", dtype=np.uint8)
-    arr = np.array(vec_visited, dtype=np.uint64)
-    tail = _DEC_BYTES[(arr[1:] & np.uint64(3)).astype(np.intp)]
-    seq = decode_int(entry, k_graph) + tail.tobytes().decode()
-
-    idx = np.arange(n)
-    in_start = start_arr[np.searchsorted(start_arr, arr) % len(start_arr)] == arr
-    in_end = end_arr[np.searchsorted(end_arr, arr) % len(end_arr)] == arr
-    a = in_start & (idx <= n - k_graph)
-    b = (~a) & in_end
-    vals = np.where(a, idx + k_graph, idx - 1)
-    vec_snps = vals[a | b].tolist()
-    return VariantInfo(seq, vec_snps)
+_entry_decode_cache: Dict[int, str] = {}
 
 
 def build_variant_groups(
@@ -78,14 +41,6 @@ def build_variant_groups(
     log.info("Traversing graph")
     built_groups: Dict[Tuple[int, int], List[VariantInfo]] = {}
 
-    if k_graph <= 32:
-        import numpy as np
-
-        start_arr = np.sort(np.fromiter(start_kmers, dtype=np.uint64, count=len(start_kmers)))
-        end_arr = np.sort(np.fromiter(end_kmers, dtype=np.uint64, count=len(end_kmers)))
-    else:
-        start_arr = end_arr = None
-
     # Paths are immutable cons chains: (parent, payload_tuple, length,
     # second_to_last, last). Appends and branch forks are O(1) instead of
     # O(path length) list copies (paths span corridors of thousands of
@@ -98,17 +53,67 @@ def build_variant_groups(
         if not chain:
             return path
         prev = chain[-2] if len(chain) >= 2 else path[4]
-        return (path, tuple(chain), path[2] + len(chain), prev, chain[-1])
+        return (path, chain, path[2] + len(chain), prev, chain[-1])
 
-    def _flatten(path):
-        parts = []
+    # compacted chains are shared by many paths: freeze them as tuples and
+    # precompute each chain's 2-bit codes and extremity marks ONCE, so a
+    # kept path decodes by walking its ~10 segments with offset arithmetic
+    # instead of per-node numpy/set work (1.85M kept paths at genome scale)
+    for ck in compacted:
+        compacted[ck] = tuple(compacted[ck])
+
+    import numpy as np
+
+    seg_cache: Dict[int, tuple] = {}
+
+    def _seg_info(payload):
+        info = seg_cache.get(id(payload))
+        if info is None:
+            if k_graph <= 32:
+                codes = (np.array(payload, dtype=np.uint64) & np.uint64(3)).astype(
+                    np.uint8
+                )
+            else:  # node ints exceed uint64 for k_graph > 32
+                codes = np.fromiter(
+                    (v & 3 for v in payload), np.uint8, count=len(payload)
+                )
+            marks = [
+                (rel, v in start_kmers, v in end_kmers)
+                for rel, v in enumerate(payload)
+                if v in start_kmers or v in end_kmers
+            ]
+            info = (codes, marks)
+            if len(payload) > 2:  # only chains repeat; keep cache bounded
+                seg_cache[id(payload)] = info
+        return info
+
+    def _decode_cons(path, entry):
+        """VariantInfo from a cons path (read_graph.rs:197-220 semantics)."""
+        segs = []
+        n = path[2]
         while path is not None:
-            parts.append(path[1])
+            segs.append(path[1])
             path = path[0]
-        out = []
-        for p in reversed(parts):
-            out.extend(p)
-        return out
+        segs.reverse()
+        parts = []
+        vec_snps: List[int] = []
+        off = 0
+        cutoff = n - k_graph
+        for p in segs:
+            codes, marks = _seg_info(p)
+            parts.append(codes)
+            for rel, in_s, in_e in marks:
+                i = off + rel
+                if in_s and i <= cutoff:
+                    vec_snps.append(i + k_graph)
+                elif in_e:
+                    vec_snps.append(i - 1)
+            off += len(p)
+        head = _entry_decode_cache.get(entry)
+        if head is None:
+            head = decode_int(entry, k_graph)
+            _entry_decode_cache[entry] = head
+        return VariantInfo(LazySeq(head, parts=parts, n=n), vec_snps)
 
     for kmer in start_kmers:
         tmp_container: Dict[int, List[tuple]] = {}
@@ -171,16 +176,14 @@ def build_variant_groups(
                     if mcl is None:
                         continue
                     if len(recs) == 2:
-                        filtered = [_flatten(p) for p, _ in recs]
+                        filtered = [p for p, _ in recs]
                     else:
-                        filtered = [_flatten(p) for p, _ in recs if p[2] == mcl]
+                        filtered = [p for p, _ in recs if p[2] == mcl]
 
-                    for vec_visited in filtered:
-                        variant = _decode_path(
-                            vec_visited, kmer, k_graph, start_kmers, end_kmers,
-                            start_arr, end_arr,
+                    for p in filtered:
+                        built_groups.setdefault((kmer, exit_kmer), []).append(
+                            _decode_cons(p, kmer)
                         )
-                        built_groups.setdefault((kmer, exit_kmer), []).append(variant)
 
     log.info("%d variant groups", len(built_groups))
     log.info("Identifying indels")
