@@ -1,0 +1,79 @@
+"""Unit tests for lookup/runtime primitives added for genome-scale perf:
+sort-merge searchsorted, skalo's sorted-array k-mer map, and LazySeq."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ska_tpu.ops import keys as K
+
+
+@pytest.mark.parametrize("W", [1, 2])
+def test_searchsorted_via_sort_matches_numpy(W):
+    rng = np.random.default_rng(11)
+    N, M = 5000, 3777
+    base = np.sort(rng.integers(0, 400, size=N, dtype=np.uint64))
+    q = rng.integers(0, 400, size=M, dtype=np.uint64)
+    tab = np.zeros((N, W), np.uint64)
+    tab[:, W - 1] = base
+    qq = np.zeros((M, W), np.uint64)
+    qq[:, W - 1] = q
+    got = np.asarray(K.searchsorted_via_sort(jnp.asarray(tab), jnp.asarray(qq)))
+    assert (got == np.searchsorted(base, q, side="left")).all()
+
+
+def test_searchsorted_via_sort_edges():
+    tab = jnp.asarray(np.array([[5], [5], [9]], dtype=np.uint64))
+    q = jnp.asarray(np.array([[0], [5], [7], [9], [12]], dtype=np.uint64))
+    got = np.asarray(K.searchsorted_via_sort(tab, q))
+    assert got.tolist() == [0, 0, 2, 2, 3]
+
+
+def test_kmer_map_lookup():
+    from ska_tpu.skalo.positioning import extract_genomic_kmers
+    from ska_tpu.skalo.kmer_utils import encode_str
+
+    import tempfile, os
+
+    # ACGTACGTACGT...: every 4-mer repeats many times -> overflow (dropped);
+    # append a unique tail so some k-mers have <= 3 positions
+    seq = b"ACGT" * 50 + b"GGATCCTTAAGGCC"
+    with tempfile.NamedTemporaryFile("wb", suffix=".fa", delete=False) as f:
+        f.write(b">r\n" + seq + b"\n")
+        path = f.name
+    try:
+        km, genome, name = extract_genomic_kmers(path, 5)
+        s = seq.decode()
+        # brute force expected map
+        exp = {}
+        for n in range(len(s) - 5 + 1):
+            exp.setdefault(encode_str(s[n : n + 5]), []).append(n + 5)
+        exp = {k: v for k, v in exp.items() if len(v) <= 3}
+        for k_, v_ in exp.items():
+            assert list(km.get(k_, ())) == v_
+        # absent k-mer
+        assert km.get(encode_str("AAAAA"), ()) == ()
+    finally:
+        os.unlink(path)
+
+
+def test_lazyseq_matches_string():
+    from ska_tpu.skalo.kmer_utils import LazySeq
+
+    head = "ACTGACT"
+    tail = np.array([0, 1, 2, 3, 2, 1, 0, 3], np.uint8)  # A C T G T C A G
+    ls = LazySeq(head, tail_codes=tail)
+    full = head + "ACTGTCAG"
+    assert len(ls) == len(full)
+    assert str(ls) == full
+    ls2 = LazySeq(head, tail_codes=tail.copy())
+    for i in range(len(full)):
+        assert ls2[i] == full[i]
+    assert ls2[-3] == full[-3]
+    for a, b in [(0, 4), (3, 11), (8, 15), (0, len(full)), (5, 5), (-6, -1)]:
+        assert ls2[a:b] == full[a:b], (a, b)
+    # parts-based construction: codes of ALL nodes, first dropped
+    parts = [np.array([3, 0], np.uint8), np.array([1, 2, 3], np.uint8)]
+    ls3 = LazySeq("TTT", parts=parts, n=5)
+    assert str(ls3) == "TTT" + "ACTG"[0] + "ACTG"[1] + "ACTG"[2] + "ACTG"[3]
+    assert len(ls3) == 7
