@@ -10,21 +10,27 @@ import subprocess
 
 _HERE = os.path.dirname(__file__)
 _SO = os.path.join(_HERE, "_skanative.so")
-_SRC = os.path.join(os.path.dirname(os.path.dirname(_HERE)), "csrc", "skanative.cpp")
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(_HERE)), "csrc")
+_SRCS = [
+    os.path.join(_CSRC, "skanative.cpp"),
+    os.path.join(_CSRC, "skalo_core.cpp"),
+]
 
 
 def _build():
     subprocess.run(
-        ["g++", "-O3", "-fPIC", "-std=c++17", "-shared", "-o", _SO, _SRC],
+        ["g++", "-O3", "-fPIC", "-std=c++17", "-shared", "-o", _SO] + _SRCS,
         check=True,
         capture_output=True,
     )
 
 
+_have_src = all(os.path.exists(s) for s in _SRCS)
 if not os.path.exists(_SO) or (
-    os.path.exists(_SRC) and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
+    _have_src
+    and max(os.path.getmtime(s) for s in _SRCS) > os.path.getmtime(_SO)
 ):
-    if not os.path.exists(_SRC):
+    if not _have_src:
         raise ImportError("skanative source not found")
     _build()
 

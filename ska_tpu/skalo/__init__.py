@@ -28,7 +28,30 @@ class SkaloConfig:
 
 
 def run_skalo(ska_array, config: SkaloConfig):
-    """Orchestration, mirroring generic_modes.rs:286-306."""
+    """Orchestration, mirroring generic_modes.rs:286-306.
+
+    By default the graph core (extremities, compaction, bubble DFS) runs
+    in C++ (csrc/skalo_core.cpp); SKA_SKALO_CORE=python forces the pure
+    python implementation (also the fallback without a native toolchain).
+    """
+    import os
+
+    use_native = os.environ.get("SKA_SKALO_CORE", "native") != "python"
+    if use_native:
+        try:
+            from .core import run_core
+            from .traverse import split_and_analyse
+
+            len_kmer, sample_names, built_groups, kmer_samples = run_core(
+                ska_array, config
+            )
+            split_and_analyse(
+                built_groups, kmer_samples, config, len_kmer - 1, sample_names
+            )
+            return
+        except ImportError:
+            pass  # no toolchain: python fallback below
+
     from .graph import build_graph, identify_good_kmers
     from .traverse import build_variant_groups
 

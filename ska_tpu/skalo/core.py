@@ -1,0 +1,164 @@
+"""C++ traversal core for `ska lo` (csrc/skalo_core.cpp).
+
+Runs extremity detection, chain compaction and the bounded-depth bubble
+DFS (reference src/skalo/{extremities,compaction,read_graph}.rs) over flat
+edge arrays at native speed — the python DFS costs minutes per 4M-k-mer
+genome. Returns the kept paths as built_groups of VariantInfo with lazy
+sequences, identical in content to the python implementation (entry
+iteration uses first-seen-as-source discovery order, a fixed deterministic
+order; the python version iterates a set, which orders the same groups
+differently — group content is unaffected and the golden outputs agree).
+"""
+
+import ctypes
+import logging
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+log = logging.getLogger("ska_tpu.skalo")
+
+_u64p = ctypes.POINTER(ctypes.c_uint64)
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+
+
+def _lib():
+    from ..io.native import _lib as lib
+
+    if not hasattr(lib, "_skalo_bound"):
+        lib.skalo_core_run.restype = ctypes.c_void_p
+        lib.skalo_core_run.argtypes = [
+            _u64p, _u64p, _u64p, _u64p, _i32p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.skalo_core_n_paths.restype = ctypes.c_int64
+        lib.skalo_core_n_paths.argtypes = [ctypes.c_void_p]
+        lib.skalo_core_codes_len.restype = ctypes.c_int64
+        lib.skalo_core_codes_len.argtypes = [ctypes.c_void_p]
+        lib.skalo_core_snps_len.restype = ctypes.c_int64
+        lib.skalo_core_snps_len.argtypes = [ctypes.c_void_p]
+        lib.skalo_core_fill.restype = None
+        lib.skalo_core_fill.argtypes = [
+            ctypes.c_void_p,
+            _u64p, _u64p, _u64p, _u64p,
+            _i64p, _i64p, _i64p, _u8p, _i64p,
+        ]
+        lib.skalo_core_free.restype = None
+        lib.skalo_core_free.argtypes = [ctypes.c_void_p]
+        lib._skalo_bound = True
+    return lib
+
+
+def _interleave(a_pair, b_pair, m):
+    """(hi|None, lo) x2 -> interleaved (hi, lo) arrays of length 2m."""
+    def one(x_a, x_b):
+        out = np.empty(2 * m, np.uint64)
+        out[0::2] = x_a if x_a is not None else 0
+        out[1::2] = x_b if x_b is not None else 0
+        return out
+
+    return one(a_pair[0], b_pair[0]), one(a_pair[1], b_pair[1])
+
+
+def edge_content_ids(fhi, flo, mo):
+    """Per-edge sample-set content id of its full k-mer, after first-wins
+    resolution (kmer_samples semantics): edges whose resolved bitmask
+    contents are equal get equal ids."""
+    E = len(flo)
+    order = np.lexsort((np.arange(E), flo, fhi))
+    shi, slo = fhi[order], flo[order]
+    first = np.ones(E, bool)
+    first[1:] = (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])
+    group = np.cumsum(first) - 1
+    first_orig = order[first]          # first-inserted row per unique key
+    masks2 = np.repeat(mo, 2, axis=0)  # per-edge mask rows (fwd, rc pairs)
+    resolved = masks2[first_orig]      # (G, M)
+    _, content = np.unique(resolved, axis=0, return_inverse=True)
+    per_edge = np.empty(E, np.int32)
+    per_edge[order] = content[group].astype(np.int32)
+    return per_edge
+
+
+def run_core(ska_array, config):
+    """Graph + traversal via the C++ core. Returns
+    (len_kmer, sample_names, built_groups, kmer_samples)."""
+    from .graph import _expand_arrays, build_kmer_samples
+    from .kmer_utils import LazySeq, decode_int
+    from .traverse import VariantInfo
+
+    len_kmer, sample_names, W, arrs, mo = _expand_arrays(ska_array)
+    k_graph = len_kmer - 1
+    m = len(arrs["full"][1])
+
+    shi, slo = _interleave(arrs["k1"], arrs["rc2"], m)
+    dhi, dlo = _interleave(arrs["k2"], arrs["rc1"], m)
+    fhi, flo = _interleave(arrs["full"], arrs["rcf"], m)
+    emask = edge_content_ids(fhi, flo, mo)
+
+    kmer_samples = build_kmer_samples(arrs, mo)
+    log.info("%d edges", 2 * m)
+
+    lib = _lib()
+    h = lib.skalo_core_run(
+        shi.ctypes.data_as(_u64p), slo.ctypes.data_as(_u64p),
+        dhi.ctypes.data_as(_u64p), dlo.ctypes.data_as(_u64p),
+        np.ascontiguousarray(emask).ctypes.data_as(_i32p),
+        2 * m, k_graph, int(config.max_depth),
+    )
+    if not h:
+        raise SystemExit(
+            "Error: there is no entry node in this graph, hence no variant.\n"
+        )
+    try:
+        n = lib.skalo_core_n_paths(h)
+        ncodes = lib.skalo_core_codes_len(h)
+        nsnps = lib.skalo_core_snps_len(h)
+        ent_hi = np.empty(n, np.uint64)
+        ent_lo = np.empty(n, np.uint64)
+        ex_hi = np.empty(n, np.uint64)
+        ex_lo = np.empty(n, np.uint64)
+        plen = np.empty(n, np.int64)
+        coff = np.empty(n, np.int64)
+        soff = np.empty(n, np.int64)
+        codes = np.empty(ncodes, np.uint8)
+        snps = np.empty(nsnps, np.int64)
+        lib.skalo_core_fill(
+            h,
+            ent_hi.ctypes.data_as(_u64p), ent_lo.ctypes.data_as(_u64p),
+            ex_hi.ctypes.data_as(_u64p), ex_lo.ctypes.data_as(_u64p),
+            plen.ctypes.data_as(_i64p), coff.ctypes.data_as(_i64p),
+            soff.ctypes.data_as(_i64p), codes.ctypes.data_as(_u8p),
+            snps.ctypes.data_as(_i64p),
+        )
+    finally:
+        lib.skalo_core_free(h)
+
+    built_groups: Dict[Tuple[int, int], List[VariantInfo]] = {}
+    head_cache: Dict[int, str] = {}
+    coff_l = coff.tolist()
+    soff_l = soff.tolist()
+    plen_l = plen.tolist()
+    if W == 1:
+        ent_ints = ent_lo.tolist()
+        ex_ints = ex_lo.tolist()
+    else:
+        ent_ints = ((ent_hi.astype(object) << 64) | ent_lo.astype(object)).tolist()
+        ex_ints = ((ex_hi.astype(object) << 64) | ex_lo.astype(object)).tolist()
+    for i in range(n):
+        entry = ent_ints[i]
+        head = head_cache.get(entry)
+        if head is None:
+            head = decode_int(entry, k_graph)
+            head_cache[entry] = head
+        c0 = coff_l[i]
+        c1 = coff_l[i + 1] if i + 1 < n else ncodes
+        s0 = soff_l[i]
+        s1 = soff_l[i + 1] if i + 1 < n else nsnps
+        seq = LazySeq(head, parts=[codes[c0:c1]], n=plen_l[i])
+        vi = VariantInfo(seq, snps[s0:s1].tolist())
+        built_groups.setdefault((entry, ex_ints[i]), []).append(vi)
+
+    log.info("%d variant groups", len(built_groups))
+    return len_kmer, sample_names, built_groups, kmer_samples

@@ -14,20 +14,19 @@ from .kmer_utils import DEGENERATE, rev_comp_int
 log = logging.getLogger("ska_tpu.skalo")
 
 
-def build_graph(ska_array):
-    """input.rs:18-125: expand degenerate middle bases, add fwd + rc edges,
-    record per-full-k-mer sample bitmasks (first insert wins).
+def _expand_arrays(ska_array):
+    """Vectorized per-(row, middle-base) expansion (input.rs:18-125).
 
-    All per-(row, middle-base) values (full k-mer, edge nodes, reverse
-    complements, sample bitmasks) are computed with vectorized numpy; a
-    single flat python loop fills the dicts in exactly the same insertion
-    order as the scalar formulation (row-major; within a row, bases ordered
-    by their first contributing sample, tie-broken by position in that
-    sample's DEGENERATE expansion), which downstream traversal depends on.
+    Returns (len_kmer, sample_names, W, arrs, mo): arrs maps
+    {k1,k2,rc1,rc2,full,rcf} to flattened (hi|None, lo) uint64 arrays in
+    exactly the scalar formulation's insertion order (row-major; within a
+    row, bases ordered by their first contributing sample, tie-broken by
+    position in that sample's DEGENERATE expansion); mo is the (m, M)
+    uint64 sample-bitmask limbs per expansion.
     """
     import numpy as np
 
-    from .kmer_utils import rev_comp2, rev_comp_np64, shl2, shr2, to_obj_ints
+    from .kmer_utils import rev_comp2, rev_comp_np64, shl2, shr2
 
     sample_names = list(ska_array.names)
     len_kmer = ska_array.k
@@ -120,17 +119,50 @@ def build_graph(ska_array):
         lo_ = np.take_along_axis(lo_, order, axis=1).ravel()[sel]
         if hi_ is not None:
             hi_ = np.take_along_axis(hi_, order, axis=1).ravel()[sel]
-        return to_obj_ints(hi_, lo_)
+        return (hi_, lo_)
 
-    lists = {name: flat(p) for name, p in planes.items()}
+    arrs = {name: flat(p) for name, p in planes.items()}
     mo = np.take_along_axis(masks, order[:, :, None], axis=1).reshape(-1, M)[sel]
+    return len_kmer, sample_names, W, arrs, mo
+
+
+def _mask_list(mo):
+    import numpy as np
+
+    M = mo.shape[1]
     if M == 1:
-        mask_list = mo[:, 0].tolist()
-    else:
-        acc = mo[:, 0].astype(object)
-        for j in range(1, M):
-            acc |= mo[:, j].astype(object) << (64 * j)
-        mask_list = acc.tolist()
+        return mo[:, 0].tolist()
+    acc = mo[:, 0].astype(object)
+    for j in range(1, M):
+        acc |= mo[:, j].astype(object) << (64 * j)
+    return acc.tolist()
+
+
+def build_kmer_samples(arrs, mo):
+    """First-wins full-k-mer -> sample-bitmask dict (input.rs:107-117)."""
+    from .kmer_utils import to_obj_ints
+
+    kmer_samples: Dict[int, int] = {}
+    ks = kmer_samples.setdefault
+    mask_list = _mask_list(mo)
+    for f, rf, m in zip(
+        to_obj_ints(*arrs["full"]), to_obj_ints(*arrs["rcf"]), mask_list
+    ):
+        ks(f, m)
+        ks(rf, m)
+    return kmer_samples
+
+
+def build_graph(ska_array):
+    """input.rs:18-125: expand degenerate middle bases, add fwd + rc edges,
+    record per-full-k-mer sample bitmasks (first insert wins). Expansion is
+    vectorized (_expand_arrays); a flat python loop fills the dicts in the
+    same insertion order, which downstream traversal depends on."""
+    from .kmer_utils import to_obj_ints
+
+    len_kmer, sample_names, W, arrs, mo = _expand_arrays(ska_array)
+    lists = {name: to_obj_ints(*p) for name, p in arrs.items()}
+    mask_list = _mask_list(mo)
 
     all_kmers: Dict[int, List[int]] = {}
     kmer_samples: Dict[int, int] = {}

@@ -186,6 +186,11 @@ def build_variant_groups(
                         )
 
     log.info("%d variant groups", len(built_groups))
+    split_and_analyse(built_groups, kmer_samples, config, k_graph, sample_names)
+
+
+def split_and_analyse(built_groups, kmer_samples, config, k_graph, sample_names):
+    """Indel split (read_graph.rs:236-262) + SNP/indel analysis."""
     log.info("Identifying indels")
 
     min_indel = 2 * k_graph
