@@ -1,0 +1,360 @@
+// skalo SNP-processing stage (reference src/skalo/process_variants.rs:62-225
+// and positioning.rs:129-255), ported 1:1 from ska_tpu/skalo/variants.py's
+// "Processing SNPs" loop: per sorted variant group, find candidate
+// positions (>1 distinct base), build SNP columns from first-wins sample
+// bitmasks with N on conflicts, dedup against already-seen k-mers
+// (entries_done), then position the group on the reference genome by
+// majority vote of (stored position - window offset) over forward and
+// reverse-complement window matches.
+//
+// Groups arrive pre-sorted and pre-filtered (ratio sort, indel-entry skip
+// and path filtering stay in python); sequences arrive as 2-bit code
+// arrays. Window encodes replicate python string-slice semantics at the
+// boundaries (negative start wraps, stop clips).
+
+#include <cstdint>
+#include <cstring>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+struct K2 {
+    uint64_t hi, lo;
+    bool operator==(const K2& o) const { return hi == o.hi && lo == o.lo; }
+};
+struct K2Hash {
+    size_t operator()(const K2& k) const {
+        uint64_t x = k.lo * 0x9E3779B97F4A7C15ULL ^ (k.hi + 0x9E3779B97F4A7C15ULL);
+        x ^= x >> 29; x *= 0xBF58476D1CE4E5B9ULL; x ^= x >> 32;
+        return (size_t)x;
+    }
+};
+
+static inline uint64_t rev64s(uint64_t x) {
+    x = ((x >> 2) & 0x3333333333333333ULL) | ((x & 0x3333333333333333ULL) << 2);
+    x = ((x >> 4) & 0x0F0F0F0F0F0F0F0FULL) | ((x & 0x0F0F0F0F0F0F0F0FULL) << 4);
+    x = ((x >> 8) & 0x00FF00FF00FF00FFULL) | ((x & 0x00FF00FF00FF00FFULL) << 8);
+    x = ((x >> 16) & 0x0000FFFF0000FFFFULL) | ((x & 0x0000FFFF0000FFFFULL) << 16);
+    return (x >> 32) | (x << 32);
+}
+
+// rev comp of an n-base value packed in (hi, lo); n <= 62
+static inline K2 rc2(const K2& k, int n) {
+    const uint64_t C = 0xAAAAAAAAAAAAAAAAULL;
+    uint64_t rhi = rev64s(k.lo) ^ C, rlo = rev64s(k.hi) ^ C;
+    int s = 128 - 2 * n;
+    K2 r;
+    if (s == 0) { r.hi = rhi; r.lo = rlo; }
+    else if (s < 64) { r.lo = (rlo >> s) | (rhi << (64 - s)); r.hi = rhi >> s; }
+    else if (s == 64) { r.lo = rhi; r.hi = 0; }
+    else { r.lo = rhi >> (s - 64); r.hi = 0; }
+    return r;
+}
+
+// python slice semantics: seq[a:b] with possibly-negative a
+static inline void py_slice(int64_t a, int64_t b, int64_t L, int64_t* s, int64_t* e) {
+    if (a < 0) { a += L; if (a < 0) a = 0; }
+    if (a > L) a = L;
+    if (b < 0) { b += L; if (b < 0) b = 0; }
+    if (b > L) b = L;
+    if (a > b) b = a;
+    *s = a; *e = b;
+}
+
+// encode codes[s:e) as a 2-bit packed value (< 2^62 needed; guarded by caller)
+static inline K2 enc_range(const uint8_t* codes, int64_t s, int64_t e) {
+    K2 v{0, 0};
+    for (int64_t i = s; i < e; i++) {
+        v.hi = (v.hi << 2) | (v.lo >> 62);
+        v.lo = (v.lo << 2) | codes[i];
+    }
+    return v;
+}
+
+static const char DEC[4] = {'A', 'C', 'T', 'G'};
+
+struct SnpsCtx {
+    // kmer_samples: sorted unique full-kmer keys + mask limbs
+    const uint64_t *ks_hi, *ks_lo;
+    const uint64_t* ks_masks;  // (G, M)
+    int64_t ks_n;
+    int64_t mask_limbs;
+    // genome kmer map (positioning), single-limb keys
+    const uint64_t* gm_lo;
+    const uint8_t* gm_keep;
+    const int64_t* gm_starts;
+    const int64_t* gm_counts;
+    const int64_t* gm_pos;
+    int64_t gm_n;
+    int do_positioning;
+    int k_graph;
+    int n_samples;
+    double max_missing;
+
+    std::unordered_set<K2, K2Hash> entries_done;
+    // final_snps insertion-ordered map
+    std::unordered_map<int64_t, size_t> snp_idx;
+    std::vector<int64_t> out_pos;
+    std::vector<uint8_t> out_cols;  // n_samples per entry
+    int64_t not_positioned = 0;
+    int64_t counter = 0;
+};
+
+static int64_t ks_find(const SnpsCtx& c, const K2& k) {
+    int64_t lo = 0, hi = c.ks_n;
+    while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (c.ks_hi[mid] < k.hi || (c.ks_hi[mid] == k.hi && c.ks_lo[mid] < k.lo))
+            lo = mid + 1;
+        else hi = mid;
+    }
+    if (lo < c.ks_n && c.ks_hi[lo] == k.hi && c.ks_lo[lo] == k.lo) return lo;
+    return -1;
+}
+
+// positioning.rs:217-255
+static void most_frequent(const std::vector<int64_t>& votes, int64_t* elem, int64_t* cnt) {
+    *elem = 0; *cnt = 0;
+    if (votes.empty()) return;
+    std::unordered_map<int64_t, int64_t> counts;
+    std::vector<int64_t> order;
+    for (int64_t v : votes) {
+        auto it = counts.find(v);
+        if (it == counts.end()) { counts.emplace(v, 1); order.push_back(v); }
+        else it->second++;
+    }
+    int64_t best = 0, bestc = 0;
+    bool tie = false;
+    for (int64_t v : order) {
+        int64_t cN = counts[v];
+        if (cN > bestc) { best = v; bestc = cN; tie = false; }
+        else if (cN == bestc) tie = true;
+    }
+    if (tie || bestc < 10) { *elem = 0; *cnt = 0; return; }
+    *elem = best; *cnt = bestc;
+}
+
+// window votes for one code array (positioning fast path)
+static void window_votes(const SnpsCtx& c, const uint8_t* codes, int64_t L,
+                         std::vector<int64_t>& votes) {
+    int kg = c.k_graph;
+    if (L < kg || c.gm_n == 0) return;
+    uint64_t enc = 0;
+    uint64_t mask = (kg >= 32) ? ~0ULL : ((1ULL << (2 * kg)) - 1);
+    for (int64_t i = 0; i < kg - 1; i++) enc = ((enc << 2) | codes[i]) & mask;
+    for (int64_t p = 0; p + kg <= L; p++) {
+        enc = ((enc << 2) | codes[p + kg - 1]) & mask;
+        // lower bound in gm_lo
+        int64_t lo = 0, hi = c.gm_n;
+        while (lo < hi) {
+            int64_t mid = (lo + hi) >> 1;
+            if (c.gm_lo[mid] < enc) lo = mid + 1; else hi = mid;
+        }
+        if (lo < c.gm_n && c.gm_lo[lo] == enc && c.gm_keep[lo]) {
+            int64_t s = c.gm_starts[lo], nctn = c.gm_counts[lo];
+            for (int64_t j = 0; j < nctn; j++)
+                votes.push_back((c.gm_pos[s + j] - p) & 0xFFFFFFFFLL);
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* skalo_snps_new(
+    const uint64_t* ks_hi, const uint64_t* ks_lo, const uint64_t* ks_masks,
+    int64_t ks_n, int64_t mask_limbs,
+    const uint64_t* gm_lo, const uint8_t* gm_keep, const int64_t* gm_starts,
+    const int64_t* gm_counts, const int64_t* gm_pos, int64_t gm_n,
+    int64_t do_positioning, int64_t k_graph, int64_t n_samples,
+    double max_missing
+) {
+    SnpsCtx* c = new SnpsCtx();
+    c->ks_hi = ks_hi; c->ks_lo = ks_lo; c->ks_masks = ks_masks;
+    c->ks_n = ks_n; c->mask_limbs = mask_limbs;
+    c->gm_lo = gm_lo; c->gm_keep = gm_keep; c->gm_starts = gm_starts;
+    c->gm_counts = gm_counts; c->gm_pos = gm_pos; c->gm_n = gm_n;
+    c->do_positioning = (int)do_positioning;
+    c->k_graph = (int)k_graph;
+    c->n_samples = (int)n_samples;
+    c->max_missing = max_missing;
+    return c;
+}
+
+// Process one group. codes: concatenated variant code arrays; voff: V+1
+// offsets; snps: concatenated candidate positions; soff: V+1 offsets.
+// Returns 0 on success, -1 if a full k-mer was missing from kmer_samples
+// (caller falls back to python, which raises like the reference panics).
+int64_t skalo_snps_group(
+    void* h, const uint8_t* codes, const int64_t* voff,
+    const int64_t* snps, const int64_t* soff, int64_t V
+) {
+    SnpsCtx& c = *(SnpsCtx*)h;
+    int kg = c.k_graph;
+
+    // get_potential_snp: positions with > 1 distinct base among variants
+    std::unordered_set<int64_t> cand_set;
+    for (int64_t v = 0; v < V; v++)
+        for (int64_t i = soff[v]; i < soff[v + 1]; i++) cand_set.insert(snps[i]);
+    std::vector<int64_t> cand(cand_set.begin(), cand_set.end());
+    // positions where >1 distinct code
+    std::vector<int64_t> real;
+    for (int64_t p : cand) {
+        int seen = 0;
+        int cnt = 0;
+        for (int64_t v = 0; v < V; v++) {
+            int64_t L = voff[v + 1] - voff[v];
+            if (p < L) {
+                int b = 1 << codes[voff[v] + p];
+                if (!(seen & b)) { seen |= b; cnt++; }
+            }
+        }
+        if (cnt > 1) real.push_back(p);
+    }
+    std::sort(real.begin(), real.end());
+
+    std::vector<K2> kmers_to_save;
+    std::vector<std::pair<int64_t, std::vector<uint8_t>>> found;
+
+    for (int64_t pos : real) {
+        std::vector<uint8_t> col((size_t)c.n_samples, (uint8_t)'-');
+        std::vector<K2> tmp;
+        bool new_snp = true;
+
+        for (int64_t v = 0; v < V; v++) {
+            const uint8_t* vc = codes + voff[v];
+            int64_t L = voff[v + 1] - voff[v];
+            int64_t s, e;
+            py_slice(pos - kg, pos + 1, L, &s, &e);
+            K2 fb = enc_range(vc, s, e);
+            py_slice(pos, pos + kg + 1, L, &s, &e);
+            K2 fa = enc_range(vc, s, e);
+            K2 rca = rc2(fa, kg + 1);
+
+            if (!c.entries_done.count(fb) && !c.entries_done.count(rca)) {
+                char ln = DEC[fb.lo & 3];
+                int64_t gi = ks_find(c, fb);
+                if (gi < 0) return -1;
+                for (int64_t limb = 0; limb < c.mask_limbs; limb++) {
+                    uint64_t m = c.ks_masks[gi * c.mask_limbs + limb];
+                    int base = (int)(limb * 64);
+                    while (m) {
+                        int bit = __builtin_ctzll(m);
+                        int i = base + bit;
+                        if (i < c.n_samples) {
+                            if (col[i] == '-' || col[i] == (uint8_t)ln)
+                                col[i] = (uint8_t)ln;
+                            else col[i] = 'N';
+                        }
+                        m &= m - 1;
+                    }
+                }
+                tmp.push_back(fb);
+                tmp.push_back(rc2(fb, kg + 1));
+                tmp.push_back(fa);
+                tmp.push_back(rca);
+            } else {
+                new_snp = false;
+            }
+        }
+
+        if (new_snp) {
+            // check_missing_data
+            int present = 0, missing = 0;
+            for (uint8_t ch : col) {
+                if (ch == 'A' || ch == 'T' || ch == 'G' || ch == 'C') {
+                    present |= 1 << ((ch >> 1) & 3);
+                } else missing++;
+            }
+            int distinct = __builtin_popcount((unsigned)present);
+            double ratio = (double)missing / (double)c.n_samples;
+            if (distinct >= 2 && ratio <= c.max_missing) {
+                for (auto& k : tmp) kmers_to_save.push_back(k);
+                found.emplace_back(pos, std::move(col));
+            }
+        }
+    }
+
+    for (auto& k : kmers_to_save) c.entries_done.insert(k);
+
+    if (found.empty()) return 0;
+
+    if (c.do_positioning) {
+        // scan_variants over all variants, fwd + rc
+        std::vector<int64_t> fwd, rev;
+        std::vector<uint8_t> rc_codes;
+        for (int64_t v = 0; v < V; v++) {
+            const uint8_t* vc = codes + voff[v];
+            int64_t L = voff[v + 1] - voff[v];
+            window_votes(c, vc, L, fwd);
+            rc_codes.resize((size_t)L);
+            for (int64_t i = 0; i < L; i++) rc_codes[L - 1 - i] = vc[i] ^ 2;
+            window_votes(c, rc_codes.data(), L, rev);
+        }
+        int64_t fe, fc, re, rcnt;
+        most_frequent(fwd, &fe, &fc);
+        most_frequent(rev, &re, &rcnt);
+        bool fok = fc != 0, rok = rcnt != 0;
+        bool pos_found = false;
+        int64_t position = 0;
+        bool is_forward = true;
+        if (fok && rok) {
+            if (fc == rcnt) pos_found = false;
+            else if (fc > rcnt) { pos_found = true; position = fe; is_forward = true; }
+            else { pos_found = true; position = re; is_forward = false; }
+        } else if (fok) { pos_found = true; position = fe; is_forward = true; }
+        else if (rok) { pos_found = true; position = re; is_forward = false; }
+
+        if (pos_found) {
+            int64_t seq_len = voff[1] - voff[0];
+            for (auto& pc : found) {
+                int64_t fp = is_forward
+                    ? ((position + (pc.first - kg)) & 0xFFFFFFFFLL)
+                    : ((position + (seq_len - pc.first - kg - 1)) & 0xFFFFFFFFLL);
+                if (c.snp_idx.count(fp)) {
+                    c.not_positioned++;
+                } else {
+                    c.snp_idx.emplace(fp, c.out_pos.size());
+                    c.out_pos.push_back(fp);
+                    if (is_forward) {
+                        c.out_cols.insert(c.out_cols.end(), pc.second.begin(), pc.second.end());
+                    } else {
+                        for (uint8_t ch : pc.second) {
+                            uint8_t o = ch;
+                            if (ch == 'A') o = 'T'; else if (ch == 'T') o = 'A';
+                            else if (ch == 'C') o = 'G'; else if (ch == 'G') o = 'C';
+                            c.out_cols.push_back(o);
+                        }
+                    }
+                }
+            }
+        } else {
+            c.not_positioned += (int64_t)found.size();
+        }
+    } else {
+        for (auto& pc : found) {
+            c.counter++;
+            c.snp_idx.emplace(c.counter, c.out_pos.size());
+            c.out_pos.push_back(c.counter);
+            c.out_cols.insert(c.out_cols.end(), pc.second.begin(), pc.second.end());
+        }
+    }
+    return 0;
+}
+
+int64_t skalo_snps_count(void* h) { return (int64_t)((SnpsCtx*)h)->out_pos.size(); }
+int64_t skalo_snps_not_positioned(void* h) { return ((SnpsCtx*)h)->not_positioned; }
+
+void skalo_snps_fill(void* h, int64_t* pos, uint8_t* cols) {
+    SnpsCtx& c = *(SnpsCtx*)h;
+    memcpy(pos, c.out_pos.data(), c.out_pos.size() * 8);
+    memcpy(cols, c.out_cols.data(), c.out_cols.size());
+}
+
+void skalo_snps_free(void* h) { delete (SnpsCtx*)h; }
+
+}  // extern "C"

@@ -14,6 +14,7 @@ _CSRC = os.path.join(os.path.dirname(os.path.dirname(_HERE)), "csrc")
 _SRCS = [
     os.path.join(_CSRC, "skanative.cpp"),
     os.path.join(_CSRC, "skalo_core.cpp"),
+    os.path.join(_CSRC, "skalo_snps.cpp"),
 ]
 
 

@@ -62,10 +62,45 @@ def _interleave(a_pair, b_pair, m):
     return one(a_pair[0], b_pair[0]), one(a_pair[1], b_pair[1])
 
 
+class KmerSamplesArrays:
+    """Sorted-array first-wins {full k-mer -> sample bitmask} map
+    (kmer_samples semantics, input.rs:107-117) with dict-like access for
+    the python consumers (indels.py, fallback SNP loop) and raw arrays
+    for the C++ SNP stage."""
+
+    def __init__(self, hi, lo, masks):
+        self.hi = hi  # sorted primary
+        self.lo = lo
+        self.masks = masks  # (G, M) uint64 limbs
+
+    def _find(self, key):
+        h = (key >> 64) & 0xFFFFFFFFFFFFFFFF
+        l = key & 0xFFFFFFFFFFFFFFFF
+        i = np.searchsorted(self.hi, np.uint64(h), side="left")
+        j = np.searchsorted(self.hi, np.uint64(h), side="right")
+        k = i + np.searchsorted(self.lo[i:j], np.uint64(l))
+        if k < len(self.lo) and int(self.hi[k]) == h and int(self.lo[k]) == l:
+            return int(k)
+        return -1
+
+    def __contains__(self, key):
+        return self._find(key) >= 0
+
+    def __getitem__(self, key):
+        i = self._find(key)
+        if i < 0:
+            raise KeyError(key)
+        m = 0
+        for j in range(self.masks.shape[1] - 1, -1, -1):
+            m = (m << 64) | int(self.masks[i, j])
+        return m
+
+
 def edge_content_ids(fhi, flo, mo):
     """Per-edge sample-set content id of its full k-mer, after first-wins
     resolution (kmer_samples semantics): edges whose resolved bitmask
-    contents are equal get equal ids."""
+    contents are equal get equal ids. Also returns the resolved map as a
+    KmerSamplesArrays."""
     E = len(flo)
     order = np.lexsort((np.arange(E), flo, fhi))
     shi, slo = fhi[order], flo[order]
@@ -78,13 +113,18 @@ def edge_content_ids(fhi, flo, mo):
     _, content = np.unique(resolved, axis=0, return_inverse=True)
     per_edge = np.empty(E, np.int32)
     per_edge[order] = content[group].astype(np.int32)
-    return per_edge
+    ks = KmerSamplesArrays(
+        np.ascontiguousarray(shi[first]),
+        np.ascontiguousarray(slo[first]),
+        np.ascontiguousarray(resolved),
+    )
+    return per_edge, ks
 
 
 def run_core(ska_array, config):
     """Graph + traversal via the C++ core. Returns
     (len_kmer, sample_names, built_groups, kmer_samples)."""
-    from .graph import _expand_arrays, build_kmer_samples
+    from .graph import _expand_arrays
     from .kmer_utils import LazySeq, decode_int
     from .traverse import VariantInfo
 
@@ -95,9 +135,7 @@ def run_core(ska_array, config):
     shi, slo = _interleave(arrs["k1"], arrs["rc2"], m)
     dhi, dlo = _interleave(arrs["k2"], arrs["rc1"], m)
     fhi, flo = _interleave(arrs["full"], arrs["rcf"], m)
-    emask = edge_content_ids(fhi, flo, mo)
-
-    kmer_samples = build_kmer_samples(arrs, mo)
+    emask, kmer_samples = edge_content_ids(fhi, flo, mo)
     log.info("%d edges", 2 * m)
 
     lib = _lib()

@@ -67,6 +67,138 @@ def complement_snp(column):
     return [comp[c] for c in column]
 
 
+def _native_snps(
+    sorted_keys, variant_groups, entries_indels, kmer_samples, kmer_map,
+    do_positioning, config, k_graph, sample_names,
+):
+    """C++ SNP stage (csrc/skalo_snps.cpp). Returns (final_snps dict,
+    not_positioned) or None when the native path does not apply (no
+    toolchain, python-dict kmer_samples from the fallback graph path,
+    k_graph > 32, or a multi-limb genome map)."""
+    import os
+
+    if os.environ.get("SKA_SKALO_CORE", "native") == "python" or k_graph > 32:
+        return None
+    from .core import KmerSamplesArrays
+
+    if not isinstance(kmer_samples, KmerSamplesArrays):
+        return None
+    from .kmer_utils import LazySeq
+    from .positioning import _KmerMap
+
+    if do_positioning and (
+        not isinstance(kmer_map, _KmerMap) or kmer_map._hi is not None
+    ):
+        return None
+    try:
+        import ctypes
+
+        import numpy as np
+
+        from ..io.native import _lib as lib
+    except Exception:
+        return None
+
+    _u64p = ctypes.POINTER(ctypes.c_uint64)
+    _i64p = ctypes.POINTER(ctypes.c_int64)
+    _u8p = ctypes.POINTER(ctypes.c_uint8)
+    if not hasattr(lib, "_snps_bound"):
+        lib.skalo_snps_new.restype = ctypes.c_void_p
+        lib.skalo_snps_new.argtypes = [
+            _u64p, _u64p, _u64p, ctypes.c_int64, ctypes.c_int64,
+            _u64p, _u8p, _i64p, _i64p, _i64p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
+        ]
+        lib.skalo_snps_group.restype = ctypes.c_int64
+        lib.skalo_snps_group.argtypes = [
+            ctypes.c_void_p, _u8p, _i64p, _i64p, _i64p, ctypes.c_int64,
+        ]
+        lib.skalo_snps_count.restype = ctypes.c_int64
+        lib.skalo_snps_count.argtypes = [ctypes.c_void_p]
+        lib.skalo_snps_not_positioned.restype = ctypes.c_int64
+        lib.skalo_snps_not_positioned.argtypes = [ctypes.c_void_p]
+        lib.skalo_snps_fill.restype = None
+        lib.skalo_snps_fill.argtypes = [ctypes.c_void_p, _i64p, _u8p]
+        lib.skalo_snps_free.restype = None
+        lib.skalo_snps_free.argtypes = [ctypes.c_void_p]
+        lib._snps_bound = True
+
+    if do_positioning:
+        gm_lo = np.ascontiguousarray(kmer_map._lo)
+        gm_keep = np.ascontiguousarray(kmer_map._keep.astype(np.uint8))
+        gm_starts = np.ascontiguousarray(kmer_map._starts.astype(np.int64))
+        gm_counts = np.ascontiguousarray(kmer_map._counts.astype(np.int64))
+        gm_pos = np.ascontiguousarray(kmer_map._pos.astype(np.int64))
+    else:
+        gm_lo = np.zeros(0, np.uint64)
+        gm_keep = np.zeros(0, np.uint8)
+        gm_starts = gm_counts = gm_pos = np.zeros(0, np.int64)
+
+    h = lib.skalo_snps_new(
+        kmer_samples.hi.ctypes.data_as(_u64p),
+        kmer_samples.lo.ctypes.data_as(_u64p),
+        kmer_samples.masks.ctypes.data_as(_u64p),
+        len(kmer_samples.lo), kmer_samples.masks.shape[1],
+        gm_lo.ctypes.data_as(_u64p), gm_keep.ctypes.data_as(_u8p),
+        gm_starts.ctypes.data_as(_i64p), gm_counts.ctypes.data_as(_i64p),
+        gm_pos.ctypes.data_as(_i64p), len(gm_lo),
+        1 if do_positioning else 0, k_graph, len(sample_names),
+        float(config.max_missing),
+    )
+    try:
+        for key, _ratio in sorted_keys:
+            if (
+                key[0] in entries_indels
+                or rev_comp_int(key[1], k_graph) in entries_indels
+            ):
+                continue
+            vec_variants = variant_groups[key]
+            if len(vec_variants) < 2:
+                continue
+            codes_list = []
+            voff = [0]
+            snps_list = []
+            soff = [0]
+            for v in vec_variants:
+                seq = v.sequence
+                c = seq.codes() if isinstance(seq, LazySeq) else (
+                    (np.frombuffer(str(seq).encode(), dtype=np.uint8) >> 1) & 3
+                ).astype(np.uint8)
+                codes_list.append(c)
+                voff.append(voff[-1] + len(c))
+                snps_list.extend(v.vec_snps)
+                soff.append(len(snps_list))
+            codes = np.ascontiguousarray(np.concatenate(codes_list))
+            voff_a = np.asarray(voff, np.int64)
+            snps_a = np.asarray(snps_list, np.int64)
+            soff_a = np.asarray(soff, np.int64)
+            rcode = lib.skalo_snps_group(
+                h,
+                codes.ctypes.data_as(_u8p),
+                voff_a.ctypes.data_as(_i64p),
+                snps_a.ctypes.data_as(_i64p),
+                soff_a.ctypes.data_as(_i64p),
+                len(vec_variants),
+            )
+            if rcode != 0:
+                raise KeyError("full k-mer missing from kmer_samples")
+
+        n = lib.skalo_snps_count(h)
+        not_positioned = lib.skalo_snps_not_positioned(h)
+        pos = np.empty(n, np.int64)
+        cols = np.empty(n * len(sample_names), np.uint8)
+        lib.skalo_snps_fill(h, pos.ctypes.data_as(_i64p), cols.ctypes.data_as(_u8p))
+    finally:
+        lib.skalo_snps_free(h)
+
+    cols = cols.reshape(n, len(sample_names))
+    final_snps: Dict[int, List[str]] = {}
+    pos_l = pos.tolist()
+    for i in range(n):
+        final_snps[pos_l[i]] = [chr(b) for b in cols[i]]
+    return final_snps, int(not_positioned)
+
+
 def analyse_variant_groups(
     variant_groups: Dict[Tuple[int, int], List],
     indel_groups: Dict[Tuple[int, int], List],
@@ -108,6 +240,20 @@ def analyse_variant_groups(
     sorted_keys.sort(key=lambda kv: -kv[1])  # stable, descending ratio
 
     log.info("Processing SNPs")
+
+    native = _native_snps(
+        sorted_keys, variant_groups, entries_indels, kmer_samples, kmer_map,
+        do_positioning, config, k_graph, sample_names,
+    )
+    if native is not None:
+        final_snps, not_positioned = native
+        if do_positioning:
+            log.info("%d SNPs (+ %d w/o position)", len(final_snps), not_positioned)
+        else:
+            log.info("%d SNPs", len(final_snps))
+        create_fasta_and_vcf(genome_name, genome_seq, sample_names, final_snps, config)
+        return
+
     entries_done: Set[int] = set()
     final_snps: Dict[int, List[str]] = {}
     not_positioned = 0
