@@ -237,7 +237,11 @@ def analyse_variant_groups(
         if value:
             ratio = len(value) / len(value[0].sequence)
             sorted_keys.append((key, ratio))
-    sorted_keys.sort(key=lambda kv: -kv[1])  # stable, descending ratio
+    # Descending ratio; ties broken on (entry, exit) so the order — and the
+    # order-dependent entries_done dedup below — is identical no matter which
+    # core produced the groups (reference order among ties is HashMap
+    # iteration, i.e. unspecified; process_variants.rs:66-77).
+    sorted_keys.sort(key=lambda kv: (-kv[1], kv[0]))
 
     log.info("Processing SNPs")
 
