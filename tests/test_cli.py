@@ -50,3 +50,43 @@ def test_cli_k_validation(capsys):
         main(["build", "-o", "x", "-k", "65", "a.fa", "b.fa"])
     with pytest.raises(SystemExit):
         main(["build", "-o", "x", "-k", "8", "a.fa", "b.fa"])
+
+
+def test_align_n_oracle(tmp_path, ref_in, ref_out, capsys, monkeypatch):
+    """N/n skipped in input (reference tests/fasta_input.rs:11-31); also
+    checks -o with explicit .skf doesn't get a second suffix."""
+    monkeypatch.chdir(tmp_path)
+    _run(["build", f"{ref_in}/N_test_1.fa", f"{ref_in}/N_test_2.fa", "-o", "N_test.skf"], capsys)
+    import os
+
+    assert os.path.exists("N_test.skf") and not os.path.exists("N_test.skf.skf")
+    res = _run(["align", "N_test.skf"], capsys)
+    assert res.out == open(f"{ref_out}/align_N.stdout").read()
+
+
+def test_map_n_oracle(tmp_path, ref_in, ref_out, capsys, monkeypatch):
+    """reference tests/fasta_input.rs:34-57."""
+    monkeypatch.chdir(tmp_path)
+    _run(["build", f"{ref_in}/N_test_1.fa", f"{ref_in}/N_test_2.fa", "-k", "11", "-o", "N_test"], capsys)
+    res = _run(["map", f"{ref_in}/test_ref.fa", "N_test.skf"], capsys)
+    assert res.out == open(f"{ref_out}/map_N.stdout").read()
+
+
+def test_k33_oracle(tmp_path, ref_in, ref_out, capsys, monkeypatch):
+    """k=33 -> 128-bit keys; nk matches k33.stdout modulo the version line
+    (reference tests/align.rs:118-166)."""
+    from helpers import var_hash
+
+    monkeypatch.chdir(tmp_path)
+    _run(["build", "-o", "build_k33", "-k", "33", f"{ref_in}/test_1.fa", f"{ref_in}/test_2.fa", "-v"], capsys)
+    res = _run(["nk", "build_k33.skf", "-v"], capsys)
+    got = res.out.splitlines()
+    want = open(f"{ref_out}/k33.stdout").read().splitlines()
+    assert want[0].startswith("ska_version=") and got[0].startswith("ska_version=")
+    assert got[1:] == want[1:]
+
+    res = _run(["align", "build_k33.skf", "-v"], capsys)
+    assert var_hash(res.out) == {("C", "T"), ("T", "A")}
+
+    with pytest.raises(SystemExit):
+        main(["build", "-o", "x", "-k", "65", f"{ref_in}/test_1.fa", f"{ref_in}/test_2.fa"])
