@@ -90,3 +90,26 @@ def test_k33_oracle(tmp_path, ref_in, ref_out, capsys, monkeypatch):
 
     with pytest.raises(SystemExit):
         main(["build", "-o", "x", "-k", "65", f"{ref_in}/test_1.fa", f"{ref_in}/test_2.fa"])
+
+
+def test_build_min_count_auto(tmp_path, ref_in, capsys, monkeypatch):
+    """--min-count auto fits the coverage model; negative count rejected
+    (reference tests/fastq_input.rs:513-538)."""
+    import os
+
+    monkeypatch.chdir(tmp_path)
+    rfile = tmp_path / "reads.txt"
+    rfile.write_text(
+        f"test_1\t{ref_in}/test_1_fwd.fastq.gz\t{ref_in}/test_1_rev.fastq.gz\n"
+        f"test_2\t{ref_in}/test_2_fwd.fastq.gz\t{ref_in}/test_2_rev.fastq.gz\n"
+    )
+    _run(
+        ["build", "-f", str(rfile), "-o", "reads",
+         "--min-count", "auto", "-v", "-k", "9", "--min-qual", "2"],
+        capsys,
+    )
+    assert os.path.exists("reads.skf")
+
+    with pytest.raises(SystemExit):
+        main(["build", "-f", str(rfile), "-o", "reads",
+              "--min-count", "-1", "-v", "-k", "9", "--min-qual", "2"])
