@@ -15,7 +15,10 @@
 // Node keys are (k-1)-mers of up to 62 bases packed 2-bit as (hi, lo)
 // uint64 pairs.
 
+#include <chrono>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <unordered_map>
 #include <unordered_set>
@@ -459,13 +462,29 @@ void* skalo_core_run(
     Core* c = new Core();
     c->k_graph = (int)k_graph;
     c->max_depth = (int)max_depth;
+    const bool tim = getenv("SKALO_CORE_TIME") != nullptr;
+    auto now = [] { return std::chrono::steady_clock::now(); };
+    auto secs = [](auto a, auto b) {
+        return std::chrono::duration<double>(b - a).count();
+    };
+    auto t0 = now();
     build_nodes(*c, esrc_hi, esrc_lo, edst_hi, edst_lo, emask, E);
+    auto t1 = now();
     if (!find_extremities(*c)) {
         delete c;
         return nullptr;  // no entry node: caller raises like the reference
     }
+    auto t2 = now();
     compact(*c);
+    auto t3 = now();
     traverse(*c);
+    auto t4 = now();
+    if (tim)
+        fprintf(stderr,
+                "[skalo_core] nodes %.1fs extrem %.1fs compact %.1fs "
+                "traverse %.1fs (codes %zu MB)\n",
+                secs(t0, t1), secs(t1, t2), secs(t2, t3), secs(t3, t4),
+                c->res.codes.size() >> 20);
     return c;
 }
 

@@ -94,6 +94,12 @@ struct SnpsCtx {
     int n_samples;
     double max_missing;
 
+    // prefix-bucket index over gm_lo: bucket = key >> gm_shift; windows
+    // then probe ~1 entry instead of a ~22-step binary search (the genome
+    // map has millions of keys and most windows miss entirely)
+    std::vector<int64_t> gm_bucket;  // 2^B + 1 start offsets
+    int gm_shift = 0;
+
     std::unordered_set<K2, K2Hash> entries_done;
     // final_snps insertion-ordered map
     std::unordered_map<int64_t, size_t> snp_idx;
@@ -147,8 +153,9 @@ static void window_votes(const SnpsCtx& c, const uint8_t* codes, int64_t L,
     for (int64_t i = 0; i < kg - 1; i++) enc = ((enc << 2) | codes[i]) & mask;
     for (int64_t p = 0; p + kg <= L; p++) {
         enc = ((enc << 2) | codes[p + kg - 1]) & mask;
-        // lower bound in gm_lo
-        int64_t lo = 0, hi = c.gm_n;
+        // lower bound in gm_lo, narrowed to the key's prefix bucket
+        uint64_t b = enc >> c.gm_shift;
+        int64_t lo = c.gm_bucket[b], hi = c.gm_bucket[b + 1];
         while (lo < hi) {
             int64_t mid = (lo + hi) >> 1;
             if (c.gm_lo[mid] < enc) lo = mid + 1; else hi = mid;
@@ -182,6 +189,18 @@ void* skalo_snps_new(
     c->k_graph = (int)k_graph;
     c->n_samples = (int)n_samples;
     c->max_missing = max_missing;
+    if (gm_n > 0) {
+        int key_bits = (int)(2 * k_graph);
+        int B = 1;
+        while (B < 22 && B < key_bits && ((int64_t)1 << B) < gm_n) B++;
+        c->gm_shift = key_bits - B;
+        if (c->gm_shift >= 64) c->gm_shift = 63;
+        int64_t nb = (int64_t)1 << B;
+        c->gm_bucket.assign((size_t)nb + 1, 0);
+        for (int64_t i = 0; i < gm_n; i++)
+            c->gm_bucket[(gm_lo[i] >> c->gm_shift) + 1]++;
+        for (int64_t b = 0; b < nb; b++) c->gm_bucket[b + 1] += c->gm_bucket[b];
+    }
     return c;
 }
 
@@ -189,11 +208,10 @@ void* skalo_snps_new(
 // offsets; snps: concatenated candidate positions; soff: V+1 offsets.
 // Returns 0 on success, -1 if a full k-mer was missing from kmer_samples
 // (caller falls back to python, which raises like the reference panics).
-int64_t skalo_snps_group(
-    void* h, const uint8_t* codes, const int64_t* voff,
+static int64_t process_group(
+    SnpsCtx& c, const uint8_t* codes, const int64_t* voff,
     const int64_t* snps, const int64_t* soff, int64_t V
 ) {
-    SnpsCtx& c = *(SnpsCtx*)h;
     int kg = c.k_graph;
 
     // get_potential_snp: positions with > 1 distinct base among variants
@@ -342,6 +360,60 @@ int64_t skalo_snps_group(
             c.out_pos.push_back(c.counter);
             c.out_cols.insert(c.out_cols.end(), pc.second.begin(), pc.second.end());
         }
+    }
+    return 0;
+}
+
+int64_t skalo_snps_group(
+    void* h, const uint8_t* codes, const int64_t* voff,
+    const int64_t* snps, const int64_t* soff, int64_t V
+) {
+    return process_group(*(SnpsCtx*)h, codes, voff, snps, soff, V);
+}
+
+// Bulk driver over the traversal core's master buffers (zero python-side
+// marshaling): paths are addressed by index into the arrays that
+// skalo_core_fill produced. A path's full sequence codes are its entry
+// (k_graph bases, decoded from ent_hi/ent_lo) followed by
+// master_codes[coff[p]+1 .. coff[p+1]) — the first element of the path's
+// code slice duplicates the entry's last base (see LazySeq.tail).
+// path_idx/grp_off give the groups in processing order (ratio-sorted,
+// indel-skipped, filtered — python keeps that logic). Returns 0, or -1 if
+// a full k-mer was missing from kmer_samples.
+int64_t skalo_snps_run_paths(
+    void* h, const uint8_t* master_codes, const int64_t* coff,
+    const uint64_t* ent_hi, const uint64_t* ent_lo,
+    const int64_t* master_snps, const int64_t* soff,
+    const int64_t* path_idx, const int64_t* grp_off, int64_t n_groups
+) {
+    SnpsCtx& c = *(SnpsCtx*)h;
+    int kg = c.k_graph;
+    std::vector<uint8_t> codes_s;
+    std::vector<int64_t> voff_s, snps_s, soff_s;
+    for (int64_t g = 0; g < n_groups; g++) {
+        int64_t V = grp_off[g + 1] - grp_off[g];
+        codes_s.clear(); voff_s.clear(); snps_s.clear(); soff_s.clear();
+        voff_s.push_back(0);
+        soff_s.push_back(0);
+        for (int64_t v = 0; v < V; v++) {
+            int64_t p = path_idx[grp_off[g] + v];
+            for (int j = 0; j < kg; j++) {
+                int shift = 2 * (kg - 1 - j);
+                uint8_t code = shift >= 64
+                    ? (uint8_t)((ent_hi[p] >> (shift - 64)) & 3)
+                    : (uint8_t)((ent_lo[p] >> shift) & 3);
+                codes_s.push_back(code);
+            }
+            for (int64_t i = coff[p] + 1; i < coff[p + 1]; i++)
+                codes_s.push_back(master_codes[i]);
+            voff_s.push_back((int64_t)codes_s.size());
+            for (int64_t i = soff[p]; i < soff[p + 1]; i++)
+                snps_s.push_back(master_snps[i]);
+            soff_s.push_back((int64_t)snps_s.size());
+        }
+        int64_t r = process_group(
+            c, codes_s.data(), voff_s.data(), snps_s.data(), soff_s.data(), V);
+        if (r != 0) return r;
     }
     return 0;
 }

@@ -42,11 +42,12 @@ def run_skalo(ska_array, config: SkaloConfig):
             from .core import run_core
             from .traverse import split_and_analyse
 
-            len_kmer, sample_names, built_groups, kmer_samples = run_core(
+            len_kmer, sample_names, built_groups, kmer_samples, paths = run_core(
                 ska_array, config
             )
             split_and_analyse(
-                built_groups, kmer_samples, config, len_kmer - 1, sample_names
+                built_groups, kmer_samples, config, len_kmer - 1, sample_names,
+                path_store=paths,
             )
             return
         except ImportError:

@@ -121,14 +121,36 @@ def edge_content_ids(fhi, flo, mo):
     return per_edge, ks
 
 
+class PathStore:
+    """The traversal core's master buffers, addressed by path index: a
+    path's sequence codes are entry(k_graph bases) + codes[coff[p]+1 :
+    coff[p+1]], its candidate SNPs snps[soff[p] : soff[p+1]]. Lets the
+    C++ SNP stage (skalo_snps_run_paths) consume paths without python
+    re-marshaling each group."""
+
+    __slots__ = ("codes", "coff", "ent_hi", "ent_lo", "snps", "soff")
+
+    def __init__(self, codes, coff, ent_hi, ent_lo, snps, soff):
+        self.codes = codes
+        self.coff = coff  # n+1, extended with len(codes)
+        self.ent_hi = ent_hi
+        self.ent_lo = ent_lo
+        self.snps = snps
+        self.soff = soff  # n+1, extended with len(snps)
+
+
 def run_core(ska_array, config):
     """Graph + traversal via the C++ core. Returns
-    (len_kmer, sample_names, built_groups, kmer_samples)."""
+    (len_kmer, sample_names, built_groups, kmer_samples, path_store)."""
+    import time as _time
+
     from .graph import _expand_arrays
     from .kmer_utils import LazySeq, decode_int
     from .traverse import VariantInfo
 
+    _t0 = _time.perf_counter()
     len_kmer, sample_names, W, arrs, mo = _expand_arrays(ska_array)
+    log.info("expand: %.1fs", _time.perf_counter() - _t0)
     k_graph = len_kmer - 1
     m = len(arrs["full"][1])
 
@@ -139,6 +161,7 @@ def run_core(ska_array, config):
     log.info("%d edges", 2 * m)
 
     lib = _lib()
+    _t0 = _time.perf_counter()
     h = lib.skalo_core_run(
         shi.ctypes.data_as(_u64p), slo.ctypes.data_as(_u64p),
         dhi.ctypes.data_as(_u64p), dlo.ctypes.data_as(_u64p),
@@ -172,7 +195,9 @@ def run_core(ska_array, config):
         )
     finally:
         lib.skalo_core_free(h)
+    log.info("C++ graph core: %.1fs", _time.perf_counter() - _t0)
 
+    _t0 = _time.perf_counter()
     built_groups: Dict[Tuple[int, int], List[VariantInfo]] = {}
     head_cache: Dict[int, str] = {}
     coff_l = coff.tolist()
@@ -195,8 +220,18 @@ def run_core(ska_array, config):
         s0 = soff_l[i]
         s1 = soff_l[i + 1] if i + 1 < n else nsnps
         seq = LazySeq(head, parts=[codes[c0:c1]], n=plen_l[i])
-        vi = VariantInfo(seq, snps[s0:s1].tolist())
+        vi = VariantInfo(seq, snps[s0:s1].tolist(), idx=i)
         built_groups.setdefault((entry, ex_ints[i]), []).append(vi)
 
+    path_store = PathStore(
+        codes,
+        np.concatenate([coff, [ncodes]]).astype(np.int64),
+        ent_hi, ent_lo,
+        snps,
+        np.concatenate([soff, [nsnps]]).astype(np.int64),
+    )
+    log.info(
+        "group assembly: %.1fs (%d paths)", _time.perf_counter() - _t0, n
+    )
     log.info("%d variant groups", len(built_groups))
-    return len_kmer, sample_names, built_groups, kmer_samples
+    return len_kmer, sample_names, built_groups, kmer_samples, path_store

@@ -14,10 +14,15 @@ log = logging.getLogger("ska_tpu.skalo")
 
 @dataclass
 class VariantInfo:
-    """utils.rs:57-70: a path's sequence plus candidate SNP positions."""
+    """utils.rs:57-70: a path's sequence plus candidate SNP positions.
+
+    `idx` is the path's row in the native traversal core's master buffers
+    (core.PathStore), letting the C++ SNP stage read sequences/snps with
+    no per-group marshaling; -1 for paths built by the python core."""
 
     sequence: str
     vec_snps: List[int]
+    idx: int = -1
 
 
 def most_abundant_length(vec_variants):
@@ -189,7 +194,9 @@ def build_variant_groups(
     split_and_analyse(built_groups, kmer_samples, config, k_graph, sample_names)
 
 
-def split_and_analyse(built_groups, kmer_samples, config, k_graph, sample_names):
+def split_and_analyse(
+    built_groups, kmer_samples, config, k_graph, sample_names, path_store=None
+):
     """Indel split (read_graph.rs:236-262) + SNP/indel analysis."""
     log.info("Identifying indels")
 
@@ -211,5 +218,6 @@ def split_and_analyse(built_groups, kmer_samples, config, k_graph, sample_names)
     from .variants import analyse_variant_groups
 
     analyse_variant_groups(
-        final_groups, final_indels, kmer_samples, config, k_graph, sample_names
+        final_groups, final_indels, kmer_samples, config, k_graph, sample_names,
+        path_store=path_store,
     )

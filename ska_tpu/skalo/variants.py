@@ -69,7 +69,7 @@ def complement_snp(column):
 
 def _native_snps(
     sorted_keys, variant_groups, entries_indels, kmer_samples, kmer_map,
-    do_positioning, config, k_graph, sample_names,
+    do_positioning, config, k_graph, sample_names, path_store=None,
 ):
     """C++ SNP stage (csrc/skalo_snps.cpp). Returns (final_snps dict,
     not_positioned) or None when the native path does not apply (no
@@ -121,6 +121,11 @@ def _native_snps(
         lib.skalo_snps_fill.argtypes = [ctypes.c_void_p, _i64p, _u8p]
         lib.skalo_snps_free.restype = None
         lib.skalo_snps_free.argtypes = [ctypes.c_void_p]
+        lib.skalo_snps_run_paths.restype = ctypes.c_int64
+        lib.skalo_snps_run_paths.argtypes = [
+            ctypes.c_void_p, _u8p, _i64p, _u64p, _u64p,
+            _i64p, _i64p, _i64p, _i64p, ctypes.c_int64,
+        ]
         lib._snps_bound = True
 
     if do_positioning:
@@ -145,7 +150,13 @@ def _native_snps(
         1 if do_positioning else 0, k_graph, len(sample_names),
         float(config.max_missing),
     )
-    try:
+    # Bulk path: when the native traversal core built the groups, every
+    # variant is a row of its master buffers (PathStore); one C++ call
+    # walks the groups in order with zero per-group python marshaling.
+    use_bulk = path_store is not None
+    pidx: List[int] = []
+    grp_off: List[int] = [0]
+    if use_bulk:
         for key, _ratio in sorted_keys:
             if (
                 key[0] in entries_indels
@@ -155,33 +166,68 @@ def _native_snps(
             vec_variants = variant_groups[key]
             if len(vec_variants) < 2:
                 continue
-            codes_list = []
-            voff = [0]
-            snps_list = []
-            soff = [0]
-            for v in vec_variants:
-                seq = v.sequence
-                c = seq.codes() if isinstance(seq, LazySeq) else (
-                    (np.frombuffer(str(seq).encode(), dtype=np.uint8) >> 1) & 3
-                ).astype(np.uint8)
-                codes_list.append(c)
-                voff.append(voff[-1] + len(c))
-                snps_list.extend(v.vec_snps)
-                soff.append(len(snps_list))
-            codes = np.ascontiguousarray(np.concatenate(codes_list))
-            voff_a = np.asarray(voff, np.int64)
-            snps_a = np.asarray(snps_list, np.int64)
-            soff_a = np.asarray(soff, np.int64)
-            rcode = lib.skalo_snps_group(
+            if any(v.idx < 0 for v in vec_variants):
+                use_bulk = False
+                break
+            pidx.extend(v.idx for v in vec_variants)
+            grp_off.append(len(pidx))
+
+    try:
+        if use_bulk:
+            log.info("bulk SNP stage: %d groups", len(grp_off) - 1)
+            pidx_a = np.asarray(pidx, np.int64)
+            grp_a = np.asarray(grp_off, np.int64)
+            rcode = lib.skalo_snps_run_paths(
                 h,
-                codes.ctypes.data_as(_u8p),
-                voff_a.ctypes.data_as(_i64p),
-                snps_a.ctypes.data_as(_i64p),
-                soff_a.ctypes.data_as(_i64p),
-                len(vec_variants),
+                np.ascontiguousarray(path_store.codes).ctypes.data_as(_u8p),
+                np.ascontiguousarray(path_store.coff).ctypes.data_as(_i64p),
+                np.ascontiguousarray(path_store.ent_hi).ctypes.data_as(_u64p),
+                np.ascontiguousarray(path_store.ent_lo).ctypes.data_as(_u64p),
+                np.ascontiguousarray(path_store.snps).ctypes.data_as(_i64p),
+                np.ascontiguousarray(path_store.soff).ctypes.data_as(_i64p),
+                pidx_a.ctypes.data_as(_i64p),
+                grp_a.ctypes.data_as(_i64p),
+                len(grp_off) - 1,
             )
             if rcode != 0:
                 raise KeyError("full k-mer missing from kmer_samples")
+        else:
+            for key, _ratio in sorted_keys:
+                if (
+                    key[0] in entries_indels
+                    or rev_comp_int(key[1], k_graph) in entries_indels
+                ):
+                    continue
+                vec_variants = variant_groups[key]
+                if len(vec_variants) < 2:
+                    continue
+                codes_list = []
+                voff = [0]
+                snps_list = []
+                soff = [0]
+                for v in vec_variants:
+                    seq = v.sequence
+                    c = seq.codes() if isinstance(seq, LazySeq) else (
+                        (np.frombuffer(str(seq).encode(), dtype=np.uint8) >> 1) & 3
+                    ).astype(np.uint8)
+                    codes_list.append(c)
+                    voff.append(voff[-1] + len(c))
+                    snps_list.extend(v.vec_snps)
+                    soff.append(len(snps_list))
+                codes = np.ascontiguousarray(np.concatenate(codes_list))
+                voff_a = np.asarray(voff, np.int64)
+                snps_a = np.asarray(snps_list, np.int64)
+                soff_a = np.asarray(soff, np.int64)
+                rcode = lib.skalo_snps_group(
+                    h,
+                    codes.ctypes.data_as(_u8p),
+                    voff_a.ctypes.data_as(_i64p),
+                    snps_a.ctypes.data_as(_i64p),
+                    soff_a.ctypes.data_as(_i64p),
+                    len(vec_variants),
+                )
+                if rcode != 0:
+                    raise KeyError("full k-mer missing from kmer_samples")
 
         n = lib.skalo_snps_count(h)
         not_positioned = lib.skalo_snps_not_positioned(h)
@@ -206,6 +252,7 @@ def analyse_variant_groups(
     config,
     k_graph: int,
     sample_names: List[str],
+    path_store=None,
 ):
     """process_variants.rs:20-225."""
     if config.reference_genome is not None:
@@ -247,7 +294,7 @@ def analyse_variant_groups(
 
     native = _native_snps(
         sorted_keys, variant_groups, entries_indels, kmer_samples, kmer_map,
-        do_positioning, config, k_graph, sample_names,
+        do_positioning, config, k_graph, sample_names, path_store=path_store,
     )
     if native is not None:
         final_snps, not_positioned = native
