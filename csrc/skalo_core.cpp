@@ -62,8 +62,10 @@ static inline Key rev_comp(const Key& k, int n_bases) {
 
 struct Edge {
     Key dst;
-    int32_t dst_id;   // node id if dst is also a source, else -1
-    int32_t mask_id;  // content id of the full k-mer's sample set
+    int32_t dst_id;     // node id (every dst key is registered as a node)
+    int32_t mask_id;    // content id of the full k-mer's sample set
+    int32_t dst_chain;  // chain starting at dst, or -1 (annotated post-compact)
+    uint8_t dst_flags;  // bit0 = dst is an entry, bit1 = dst is an exit
 };
 
 struct Chain {
@@ -81,6 +83,8 @@ struct PNode {
     Key single;       // valid when chain == -1
     Key single2;      // root payload carries two keys (entry, starting)
     uint8_t is_root;
+    uint8_t flags;    // extremity flags of `single` (root: of entry)
+    uint8_t flags2;   // root only: extremity flags of `single2`
     int64_t length;   // total nodes up to and including this payload
     Key prev_last, last;
 };
@@ -105,41 +109,49 @@ struct Core {
     std::unordered_map<Key, int32_t, KeyHash> node_id;
     std::vector<Key> node_key;
     std::vector<std::vector<Edge>> adj;
-    std::unordered_set<Key, KeyHash> starts, ends;
+    // per-node extremity flags: bit0 = entry ("starts"), bit1 = exit ("ends")
+    std::vector<uint8_t> nflags;
     std::vector<int32_t> start_order;  // entry node ids, discovery order
-    std::unordered_map<Key, int32_t, KeyHash> chain_of;  // start node -> chain
+    std::unordered_map<int32_t, int32_t> chain_of;  // start node id -> chain
     std::vector<Chain> chains;
     Result res;
 };
 
+static int32_t intern(Core& c, const Key& k) {
+    auto it = c.node_id.find(k);
+    if (it != c.node_id.end()) return it->second;
+    int32_t id = (int32_t)c.node_key.size();
+    c.node_id.emplace(k, id);
+    c.node_key.push_back(k);
+    c.adj.emplace_back();
+    return id;
+}
+
 static void build_nodes(Core& c, const uint64_t* shi, const uint64_t* slo,
                         const uint64_t* dhi, const uint64_t* dlo,
                         const int32_t* emask, int64_t E) {
-    c.node_id.reserve((size_t)E);
+    // every source AND destination key gets a dense id (a dst that is
+    // never a source simply has an empty adjacency list — identical
+    // semantics to the python dict-of-lists, where it is just absent)
+    c.node_id.reserve((size_t)E * 2);
     for (int64_t i = 0; i < E; i++) {
-        Key s{shi[i], slo[i]};
-        auto it = c.node_id.find(s);
-        int32_t id;
-        if (it == c.node_id.end()) {
-            id = (int32_t)c.node_key.size();
-            c.node_id.emplace(s, id);
-            c.node_key.push_back(s);
-            c.adj.emplace_back();
-        } else {
-            id = it->second;
-        }
-        c.adj[id].push_back(Edge{Key{dhi[i], dlo[i]}, -1, emask[i]});
+        int32_t id = intern(c, Key{shi[i], slo[i]});
+        c.adj[id].push_back(Edge{Key{dhi[i], dlo[i]}, -1, emask[i], -1, 0});
     }
-    for (auto& lst : c.adj)
-        for (auto& e : lst) {
-            auto it = c.node_id.find(e.dst);
-            e.dst_id = it == c.node_id.end() ? -1 : it->second;
+    // index-based: intern() may reallocate c.adj, so never hold a
+    // reference across it
+    for (size_t id = 0, n0 = c.adj.size(); id < n0; id++)
+        for (size_t j = 0; j < c.adj[id].size(); j++) {
+            Key d = c.adj[id][j].dst;
+            int32_t di = intern(c, d);
+            c.adj[id][j].dst_id = di;
         }
 }
 
 // extremities.rs:10-51: >= 2 out-edges whose sample sets differ
 static bool find_extremities(Core& c) {
     int64_t n = (int64_t)c.node_key.size();
+    c.nflags.assign((size_t)n, 0);
     for (int64_t id = 0; id < n; id++) {
         auto& lst = c.adj[id];
         if (lst.size() < 2) continue;
@@ -148,9 +160,12 @@ static bool find_extremities(Core& c) {
             for (size_t j = i + 1; j < lst.size(); j++)
                 if (lst[i].mask_id != lst[j].mask_id) { entry = true; break; }
         if (entry) {
-            c.starts.insert(c.node_key[id]);
+            c.nflags[id] |= 1;
             c.start_order.push_back((int32_t)id);
-            c.ends.insert(rev_comp(c.node_key[id], c.k_graph));
+            // the exit twin is only ever tested on graph nodes, so an RC
+            // key that is not a node can be dropped (it can never be hit)
+            auto it = c.node_id.find(rev_comp(c.node_key[id], c.k_graph));
+            if (it != c.node_id.end()) c.nflags[it->second] |= 2;
         }
     }
     return !c.start_order.empty();
@@ -158,34 +173,48 @@ static bool find_extremities(Core& c) {
 
 // compaction.rs:10-117 (walks first, then rewiring; order-independent)
 static void compact(Core& c) {
+    // per-walk visited, epoch-stamped (no per-walk allocation)
+    std::vector<int32_t> vis_epoch(c.node_key.size(), 0);
+    int32_t epoch = 0;
+    std::vector<int32_t> chain_ids;  // scratch: walked node ids
+
     auto walk_from = [&](int32_t id) {
         // snapshot: python iterates list(all_kmers[kmer])
-        std::vector<Key> dsts;
-        for (auto& e : c.adj[id]) dsts.push_back(e.dst);
-        for (const Key& starting : dsts) {
-            Key current = starting;
-            auto cit = c.node_id.find(current);
-            std::unordered_set<Key, KeyHash> visited;
-            std::vector<Key> vec;
+        std::vector<int32_t> dsts;
+        for (auto& e : c.adj[id]) dsts.push_back(e.dst_id);
+        for (int32_t starting : dsts) {
+            int32_t cur = starting;
+            epoch++;
+            chain_ids.clear();
             while (true) {
-                if (cit == c.node_id.end()) break;
-                auto& nxt = c.adj[cit->second];
+                auto& nxt = c.adj[cur];
                 if (nxt.size() != 1) break;
-                const Key& d = nxt[0].dst;
-                if (visited.count(d)) break;
-                current = d;
-                vec.push_back(current);
-                visited.insert(current);
-                if (c.ends.count(current) || c.starts.count(current)) break;
-                cit = c.node_id.find(current);
+                int32_t d = nxt[0].dst_id;
+                if (vis_epoch[d] == epoch) break;
+                cur = d;
+                chain_ids.push_back(cur);
+                vis_epoch[cur] = epoch;
+                if (c.nflags[cur]) break;
             }
-            if (vec.size() > 1 && !c.chain_of.count(starting)) {
+            if (chain_ids.size() > 1 && !c.chain_of.count(starting)) {
                 // python dict assignment overwrites; values are identical
                 // for repeated walks (graph unmodified during walks), so
                 // first-wins is equivalent
                 int32_t cid = (int32_t)c.chains.size();
                 c.chains.push_back(Chain{});
-                c.chains.back().nodes = vec;
+                Chain& ch = c.chains.back();
+                ch.nodes.reserve(chain_ids.size());
+                ch.codes.reserve(chain_ids.size());
+                for (size_t i = 0; i < chain_ids.size(); i++) {
+                    const Key& k = c.node_key[chain_ids[i]];
+                    ch.nodes.push_back(k);
+                    ch.codes.push_back((uint8_t)(k.lo & 3));
+                    uint8_t f = c.nflags[chain_ids[i]];
+                    if (f) {
+                        ch.mark_rel.push_back((int32_t)i);
+                        ch.mark_se.push_back(f);
+                    }
+                }
                 c.chain_of.emplace(starting, cid);
             }
         }
@@ -199,24 +228,14 @@ static void compact(Core& c) {
 
     // rewiring: remove the chain from the graph, bridge start -> chain end
     for (auto& kv : c.chain_of) {
-        const Key& sk = kv.first;
+        int32_t sid = kv.first;
         Chain& ch = c.chains[kv.second];
-        auto it = c.node_id.find(sk);
         const Key& first = ch.nodes[0];
-        if (it != c.node_id.end()) {
-            auto& lst = c.adj[it->second];
-            std::vector<Edge> kept;
-            for (auto& e : lst)
-                if (!(e.dst == first)) kept.push_back(e);
-            lst = std::move(kept);
-        } else {
-            // python: all_kmers.setdefault(starting_kmer, []) creates it
-            int32_t id = (int32_t)c.node_key.size();
-            c.node_id.emplace(sk, id);
-            c.node_key.push_back(sk);
-            c.adj.emplace_back();
-            it = c.node_id.find(sk);
-        }
+        auto& lst = c.adj[sid];
+        std::vector<Edge> kept;
+        for (auto& e : lst)
+            if (!(e.dst == first)) kept.push_back(e);
+        lst = std::move(kept);
         // interiors (all but the final node) had exactly one edge: clear
         for (size_t i = 0; i + 2 < ch.nodes.size() + 0u; i++) {
             auto ii = c.node_id.find(ch.nodes[i]);
@@ -225,24 +244,26 @@ static void compact(Core& c) {
         // bridge to the chain end, then pop it from the stored chain
         Key endk = ch.nodes.back();
         auto eit = c.node_id.find(endk);
-        c.adj[it->second].push_back(
-            Edge{endk, eit == c.node_id.end() ? -1 : eit->second, -1});
+        c.adj[sid].push_back(
+            Edge{endk, eit == c.node_id.end() ? -1 : eit->second, -1, -1, 0});
         ch.nodes.pop_back();
-    }
-
-    // precompute chain codes + extremity marks
-    for (auto& ch : c.chains) {
-        ch.codes.reserve(ch.nodes.size());
-        for (size_t i = 0; i < ch.nodes.size(); i++) {
-            ch.codes.push_back((uint8_t)(ch.nodes[i].lo & 3));
-            bool is = c.starts.count(ch.nodes[i]);
-            bool ie = c.ends.count(ch.nodes[i]);
-            if (is || ie) {
-                ch.mark_rel.push_back((int32_t)i);
-                ch.mark_se.push_back((uint8_t)((is ? 1 : 0) | (ie ? 2 : 0)));
-            }
+        ch.codes.pop_back();
+        // the popped end never contributes marks in the stored chain
+        if (!ch.mark_rel.empty() &&
+            (size_t)ch.mark_rel.back() == ch.nodes.size()) {
+            ch.mark_rel.pop_back();
+            ch.mark_se.pop_back();
         }
     }
+
+    // annotate every surviving edge with its dst's flags and chain (turns
+    // per-step hash lookups in the traversal into array reads)
+    for (auto& lst : c.adj)
+        for (auto& e : lst) {
+            e.dst_flags = c.nflags[e.dst_id];
+            auto cit = c.chain_of.find(e.dst_id);
+            e.dst_chain = cit == c.chain_of.end() ? -1 : cit->second;
+        }
 }
 
 // read_graph.rs:19-272 via the cons-path formulation of traverse.py
@@ -250,18 +271,21 @@ static void traverse(Core& c) {
     std::vector<PNode> arena;
     arena.reserve(1 << 20);
 
-    auto mk_root = [&](const Key& a, const Key& b) -> int32_t {
+    auto mk_root = [&](const Key& a, uint8_t fa, const Key& b,
+                       uint8_t fb) -> int32_t {
         PNode p;
         p.parent = -1; p.chain = -1; p.is_root = 1;
         p.single = a; p.single2 = b;
+        p.flags = fa; p.flags2 = fb;
         p.length = 2; p.prev_last = a; p.last = b;
         arena.push_back(p);
         return (int32_t)arena.size() - 1;
     };
-    auto mk_append = [&](int32_t par, const Key& item) -> int32_t {
+    auto mk_append = [&](int32_t par, const Key& item, uint8_t f) -> int32_t {
         PNode p;
         p.parent = par; p.chain = -1; p.is_root = 0;
         p.single = item;
+        p.flags = f; p.flags2 = 0;
         p.length = arena[par].length + 1;
         p.prev_last = arena[par].last; p.last = item;
         arena.push_back(p);
@@ -281,9 +305,8 @@ static void traverse(Core& c) {
     };
 
     struct Frame {
-        Key current;
         int32_t cur_id;
-        std::unordered_set<Key, KeyHash> visited;
+        std::unordered_set<int32_t> visited;  // node ids
         int32_t path;
         int32_t depth;
     };
@@ -305,11 +328,13 @@ static void traverse(Core& c) {
         for (auto si = segs.rbegin(); si != segs.rend(); ++si) {
             PNode& p = arena[*si];
             if (p.is_root) {
-                for (const Key* kk : {&p.single, &p.single2}) {
-                    R.codes.push_back((uint8_t)(kk->lo & 3));
-                    bool is = c.starts.count(*kk), ie = c.ends.count(*kk);
-                    if (is && off <= cutoff) R.snps.push_back(off + c.k_graph);
-                    else if (ie) R.snps.push_back(off - 1);
+                const Key* ks[2] = {&p.single, &p.single2};
+                const uint8_t fs[2] = {p.flags, p.flags2};
+                for (int q2 = 0; q2 < 2; q2++) {
+                    R.codes.push_back((uint8_t)(ks[q2]->lo & 3));
+                    if ((fs[q2] & 1) && off <= cutoff)
+                        R.snps.push_back(off + c.k_graph);
+                    else if (fs[q2] & 2) R.snps.push_back(off - 1);
                     off++;
                 }
             } else if (p.chain >= 0) {
@@ -325,9 +350,9 @@ static void traverse(Core& c) {
                 off += (int64_t)ch.codes.size();
             } else {
                 R.codes.push_back((uint8_t)(p.single.lo & 3));
-                bool is = c.starts.count(p.single), ie = c.ends.count(p.single);
-                if (is && off <= cutoff) R.snps.push_back(off + c.k_graph);
-                else if (ie) R.snps.push_back(off - 1);
+                if ((p.flags & 1) && off <= cutoff)
+                    R.snps.push_back(off + c.k_graph);
+                else if (p.flags & 2) R.snps.push_back(off - 1);
                 off++;
             }
         }
@@ -354,19 +379,16 @@ static void traverse(Core& c) {
         for (auto& e0 : c.adj[entry_id]) {
             const Key starting = e0.dst;
             Frame f;
-            f.current = starting;
             f.cur_id = e0.dst_id;
-            f.visited.insert(entry);
-            f.visited.insert(starting);
-            f.path = mk_root(entry, starting);
-            {
-                auto cit = c.chain_of.find(starting);
-                if (cit != c.chain_of.end()) f.path = mk_extend(f.path, cit->second);
-            }
+            f.visited.insert(entry_id);
+            f.visited.insert(e0.dst_id);
+            f.path = mk_root(entry, c.nflags[entry_id], starting, e0.dst_flags);
+            if (e0.dst_chain >= 0) f.path = mk_extend(f.path, e0.dst_chain);
             f.depth = 0;
 
             std::vector<Frame> stack;
             stack.push_back(std::move(f));
+            std::vector<const Edge*> good;
             while (!stack.empty()) {
                 Frame fr = std::move(stack.back());
                 stack.pop_back();
@@ -374,32 +396,27 @@ static void traverse(Core& c) {
 
                 bool walking = true;
                 while (walking) {
-                    std::vector<const Edge*> good;
-                    if (fr.cur_id >= 0)
-                        for (auto& e : c.adj[fr.cur_id])
-                            if (!fr.visited.count(e.dst)) good.push_back(&e);
+                    good.clear();
+                    for (auto& e : c.adj[fr.cur_id])
+                        if (!fr.visited.count(e.dst_id)) good.push_back(&e);
                     if (good.size() == 1) {
-                        const Key nxt = good[0]->dst;
-                        fr.visited.insert(nxt);
-                        fr.path = mk_append(fr.path, nxt);
-                        fr.current = nxt;
-                        fr.cur_id = good[0]->dst_id;
-                        auto cit = c.chain_of.find(nxt);
-                        if (cit != c.chain_of.end())
-                            fr.path = mk_extend(fr.path, cit->second);
-                        if (c.ends.count(nxt)) record(nxt, fr.path, starting);
+                        const Edge& e = *good[0];
+                        fr.visited.insert(e.dst_id);
+                        fr.path = mk_append(fr.path, e.dst, e.dst_flags);
+                        fr.cur_id = e.dst_id;
+                        if (e.dst_chain >= 0)
+                            fr.path = mk_extend(fr.path, e.dst_chain);
+                        if (e.dst_flags & 2) record(e.dst, fr.path, starting);
                     } else if (good.size() > 1) {
                         for (auto* ep : good) {
                             Frame nf;
-                            nf.current = ep->dst;
                             nf.cur_id = ep->dst_id;
                             nf.visited = fr.visited;
-                            nf.visited.insert(ep->dst);
-                            nf.path = mk_append(fr.path, ep->dst);
-                            auto cit = c.chain_of.find(ep->dst);
-                            if (cit != c.chain_of.end())
-                                nf.path = mk_extend(nf.path, cit->second);
-                            if (c.ends.count(ep->dst))
+                            nf.visited.insert(ep->dst_id);
+                            nf.path = mk_append(fr.path, ep->dst, ep->dst_flags);
+                            if (ep->dst_chain >= 0)
+                                nf.path = mk_extend(nf.path, ep->dst_chain);
+                            if (ep->dst_flags & 2)
                                 record(ep->dst, nf.path, starting);
                             nf.depth = fr.depth + 1;
                             stack.push_back(std::move(nf));
