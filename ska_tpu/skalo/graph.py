@@ -26,7 +26,7 @@ def _expand_arrays(ska_array):
     """
     import numpy as np
 
-    from .kmer_utils import rev_comp2, rev_comp_np64, shl2, shr2
+    from .kmer_utils import shl2, shr2
 
     sample_names = list(ska_array.names)
     len_kmer = ska_array.k
@@ -65,24 +65,36 @@ def _expand_arrays(ska_array):
 
     codes = np.array([(ord(c) >> 1) & 3 for c in BASES], dtype=np.uint64)
 
+    # Derived-plane algebra (saves three full-width rev-comp passes over
+    # (n, 4) arrays — the old formulation dominated this function):
+    #   full = base | (code << 2h), with base and code in disjoint bits,
+    #   and _rev64 is linear over OR of disjoint bit groups, so
+    #   rcf = ((_rev64(base) | _rev64(code << 2h)) ^ C) >> (w - 2k).
+    #   k1 = full >> 2 keeps the FIRST k-1 bases, whose revcomp is the
+    #   LAST k-1 bases of rcf: rc1 = rcf & mask_{k-1}; symmetrically
+    #   k2 = full & mask keeps the last k-1 bases and rc2 = rcf >> 2.
+    from .kmer_utils import _COMP, _rev64_np
+
     if W == 1:
         key = keys[:, 0]
         upper = key >> np.uint64(2 * h)
         lower = key & np.uint64((1 << (2 * h)) - 1)
-        full = (
-            (upper << np.uint64(2 * (h + 1)))[:, None]
-            | (codes << np.uint64(2 * h))[None, :]
-            | lower[:, None]
+        base = (upper << np.uint64(2 * (h + 1))) | lower
+        code_sh = codes << np.uint64(2 * h)  # (4,)
+        full = base[:, None] | code_sh[None, :]
+        rb = _rev64_np(base)
+        rcodes = _rev64_np(code_sh)
+        rcf = ((rb[:, None] | rcodes[None, :]) ^ _COMP) >> np.uint64(
+            64 - 2 * len_kmer
         )
-        k1 = full >> np.uint64(2)
-        k2 = full & np.uint64((1 << (2 * (len_kmer - 1))) - 1)
+        kmask = np.uint64((1 << (2 * (len_kmer - 1))) - 1)
         planes = {
-            "k1": (None, k1),
-            "k2": (None, k2),
-            "rc1": (None, rev_comp_np64(k1, len_kmer - 1)),
-            "rc2": (None, rev_comp_np64(k2, len_kmer - 1)),
+            "k1": (None, full >> np.uint64(2)),
+            "k2": (None, full & kmask),
+            "rc1": (None, rcf & kmask),
+            "rc2": (None, rcf >> np.uint64(2)),
             "full": (None, full),
-            "rcf": (None, rev_comp_np64(full, len_kmer)),
+            "rcf": (None, rcf),
         }
     else:
         hi, lo = keys[:, 0], keys[:, 1]
@@ -90,25 +102,29 @@ def _expand_arrays(ska_array):
         lmask = (1 << (2 * h)) - 1
         ll = lo & np.uint64(lmask & 0xFFFFFFFFFFFFFFFF)
         lh = hi & np.uint64((lmask >> 64) & 0xFFFFFFFFFFFFFFFF)
-        fh0, fl0 = shl2(uh, ul, 2 * (h + 1))
-        ch_, cl_ = shl2(
-            np.zeros((n, 4), np.uint64),
-            np.broadcast_to(codes[None, :], (n, 4)).copy(),
-            2 * h,
+        bh0, bl0 = shl2(uh, ul, 2 * (h + 1))
+        bh, bl = bh0 | lh, bl0 | ll  # base (n,)
+        ch_, cl_ = shl2(np.zeros(4, np.uint64), codes.copy(), 2 * h)  # (4,)
+        fh = bh[:, None] | ch_[None, :]
+        fl = bl[:, None] | cl_[None, :]
+        # 128-bit reverse of base and of the code contribution (un-XORed)
+        rbh, rbl = _rev64_np(bl), _rev64_np(bh)
+        rch, rcl = _rev64_np(cl_), _rev64_np(ch_)
+        rfh, rfl = shr2(
+            (rbh[:, None] | rch[None, :]) ^ _COMP,
+            (rbl[:, None] | rcl[None, :]) ^ _COMP,
+            128 - 2 * len_kmer,
         )
-        fh = fh0[:, None] | ch_ | lh[:, None]
-        fl = fl0[:, None] | cl_ | ll[:, None]
-        k1h, k1l = shr2(fh, fl, 2)
         kmask = (1 << (2 * (len_kmer - 1))) - 1
-        k2l = fl & np.uint64(kmask & 0xFFFFFFFFFFFFFFFF)
-        k2h = fh & np.uint64((kmask >> 64) & 0xFFFFFFFFFFFFFFFF)
+        kml = np.uint64(kmask & 0xFFFFFFFFFFFFFFFF)
+        kmh = np.uint64((kmask >> 64) & 0xFFFFFFFFFFFFFFFF)
         planes = {
-            "k1": (k1h, k1l),
-            "k2": (k2h, k2l),
-            "rc1": rev_comp2(k1h, k1l, len_kmer - 1),
-            "rc2": rev_comp2(k2h, k2l, len_kmer - 1),
+            "k1": shr2(fh, fl, 2),
+            "k2": (fh & kmh, fl & kml),
+            "rc1": (rfh & kmh, rfl & kml),
+            "rc2": shr2(rfh, rfl, 2),
             "full": (fh, fl),
-            "rcf": rev_comp2(fh, fl, len_kmer),
+            "rcf": (rfh, rfl),
         }
 
     # flatten (row, slot) in insertion order, valid slots only

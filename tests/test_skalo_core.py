@@ -36,11 +36,12 @@ def _make_inputs(tmp_path, n_samples=4, L=20000, n_snps=20, seed=9):
 
 
 @pytest.mark.parametrize("with_ref", [True, False])
-def test_native_matches_python(tmp_path, with_ref):
+@pytest.mark.parametrize("k", [31, 41])
+def test_native_matches_python(tmp_path, with_ref, k):
     from ska_tpu.skalo import SkaloConfig, run_skalo
 
     ref_f, files = _make_inputs(tmp_path)
-    arr = build(files, 31, True, QualOpts())
+    arr = build(files, k, True, QualOpts())
 
     outs = {}
     for mode in ("native", "python"):
