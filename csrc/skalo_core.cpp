@@ -95,10 +95,14 @@ struct Record {
 };
 
 struct Result {
-    // per kept path
+    // per kept path: instead of flat per-path code arrays (1.5 GB at
+    // dense genome scale, ~75x denormalization of shared chains), each
+    // path is a list of segments: seg >= 0 is a chain id, seg < 0 is a
+    // single node with code -(seg + 1). Consumers (LazySeq tail, the
+    // bulk SNP stage) re-assemble codes from the chain table on demand.
     std::vector<uint64_t> ent_hi, ent_lo, ex_hi, ex_lo;
-    std::vector<int64_t> path_len, codes_off, snps_off;
-    std::vector<uint8_t> codes;     // concatenated node codes (ALL nodes)
+    std::vector<int64_t> path_len, segs_off, snps_off;
+    std::vector<int32_t> segs;      // concatenated segment descriptors
     std::vector<int64_t> snps;      // concatenated vec_snps values
     int64_t n_entries = 0;
 };
@@ -321,7 +325,7 @@ static void traverse(Core& c) {
         R.ent_hi.push_back(entry.hi); R.ent_lo.push_back(entry.lo);
         R.ex_hi.push_back(exitk.hi); R.ex_lo.push_back(exitk.lo);
         R.path_len.push_back(n);
-        R.codes_off.push_back((int64_t)R.codes.size());
+        R.segs_off.push_back((int64_t)R.segs.size());
         R.snps_off.push_back((int64_t)R.snps.size());
         int64_t off = 0;
         int64_t cutoff = n - c.k_graph;
@@ -331,7 +335,7 @@ static void traverse(Core& c) {
                 const Key* ks[2] = {&p.single, &p.single2};
                 const uint8_t fs[2] = {p.flags, p.flags2};
                 for (int q2 = 0; q2 < 2; q2++) {
-                    R.codes.push_back((uint8_t)(ks[q2]->lo & 3));
+                    R.segs.push_back(-(int32_t)(ks[q2]->lo & 3) - 1);
                     if ((fs[q2] & 1) && off <= cutoff)
                         R.snps.push_back(off + c.k_graph);
                     else if (fs[q2] & 2) R.snps.push_back(off - 1);
@@ -339,7 +343,7 @@ static void traverse(Core& c) {
                 }
             } else if (p.chain >= 0) {
                 Chain& ch = c.chains[p.chain];
-                R.codes.insert(R.codes.end(), ch.codes.begin(), ch.codes.end());
+                R.segs.push_back(p.chain);
                 for (size_t m = 0; m < ch.mark_rel.size(); m++) {
                     int64_t i = off + ch.mark_rel[m];
                     if ((ch.mark_se[m] & 1) && i <= cutoff)
@@ -349,7 +353,7 @@ static void traverse(Core& c) {
                 }
                 off += (int64_t)ch.codes.size();
             } else {
-                R.codes.push_back((uint8_t)(p.single.lo & 3));
+                R.segs.push_back(-(int32_t)(p.single.lo & 3) - 1);
                 if ((p.flags & 1) && off <= cutoff)
                     R.snps.push_back(off + c.k_graph);
                 else if (p.flags & 2) R.snps.push_back(off - 1);
@@ -499,21 +503,41 @@ void* skalo_core_run(
     if (tim)
         fprintf(stderr,
                 "[skalo_core] nodes %.1fs extrem %.1fs compact %.1fs "
-                "traverse %.1fs (codes %zu MB)\n",
+                "traverse %.1fs (%zu segs)\n",
                 secs(t0, t1), secs(t1, t2), secs(t2, t3), secs(t3, t4),
-                c->res.codes.size() >> 20);
+                c->res.segs.size());
     return c;
 }
 
 int64_t skalo_core_n_paths(void* h) { return (int64_t)((Core*)h)->res.path_len.size(); }
-int64_t skalo_core_codes_len(void* h) { return (int64_t)((Core*)h)->res.codes.size(); }
+int64_t skalo_core_segs_len(void* h) { return (int64_t)((Core*)h)->res.segs.size(); }
 int64_t skalo_core_snps_len(void* h) { return (int64_t)((Core*)h)->res.snps.size(); }
+int64_t skalo_core_n_chains(void* h) { return (int64_t)((Core*)h)->chains.size(); }
+
+int64_t skalo_core_chain_codes_len(void* h) {
+    int64_t total = 0;
+    for (auto& ch : ((Core*)h)->chains) total += (int64_t)ch.codes.size();
+    return total;
+}
+
+// chain_off: n_chains + 1 offsets; chain_codes: concatenated chain codes
+void skalo_core_fill_chains(void* h, int64_t* chain_off, uint8_t* chain_codes) {
+    Core& c = *(Core*)h;
+    int64_t off = 0;
+    for (size_t i = 0; i < c.chains.size(); i++) {
+        chain_off[i] = off;
+        memcpy(chain_codes + off, c.chains[i].codes.data(),
+               c.chains[i].codes.size());
+        off += (int64_t)c.chains[i].codes.size();
+    }
+    chain_off[c.chains.size()] = off;
+}
 
 void skalo_core_fill(
     void* h,
     uint64_t* ent_hi, uint64_t* ent_lo, uint64_t* ex_hi, uint64_t* ex_lo,
-    int64_t* path_len, int64_t* codes_off, int64_t* snps_off,
-    uint8_t* codes, int64_t* snps
+    int64_t* path_len, int64_t* segs_off, int64_t* snps_off,
+    int32_t* segs, int64_t* snps
 ) {
     Result& r = ((Core*)h)->res;
     size_t n = r.path_len.size();
@@ -522,9 +546,9 @@ void skalo_core_fill(
     memcpy(ex_hi, r.ex_hi.data(), n * 8);
     memcpy(ex_lo, r.ex_lo.data(), n * 8);
     memcpy(path_len, r.path_len.data(), n * 8);
-    memcpy(codes_off, r.codes_off.data(), n * 8);
+    memcpy(segs_off, r.segs_off.data(), n * 8);
     memcpy(snps_off, r.snps_off.data(), n * 8);
-    memcpy(codes, r.codes.data(), r.codes.size());
+    memcpy(segs, r.segs.data(), r.segs.size() * 4);
     memcpy(snps, r.snps.data(), r.snps.size() * 8);
 }
 

@@ -374,14 +374,17 @@ int64_t skalo_snps_group(
 // Bulk driver over the traversal core's master buffers (zero python-side
 // marshaling): paths are addressed by index into the arrays that
 // skalo_core_fill produced. A path's full sequence codes are its entry
-// (k_graph bases, decoded from ent_hi/ent_lo) followed by
-// master_codes[coff[p]+1 .. coff[p+1]) — the first element of the path's
-// code slice duplicates the entry's last base (see LazySeq.tail).
-// path_idx/grp_off give the groups in processing order (ratio-sorted,
-// indel-skipped, filtered — python keeps that logic). Returns 0, or -1 if
-// a full k-mer was missing from kmer_samples.
+// (k_graph bases, decoded from ent_hi/ent_lo) followed by the codes of
+// its segments (seg >= 0: chain_codes[chain_off[seg]..chain_off[seg+1]),
+// seg < 0: the single code -(seg+1)) with the FIRST segment element
+// skipped — it is the root entry single, duplicating the entry's last
+// base (see LazySeq.tail). path_idx/grp_off give the groups in
+// processing order (ratio-sorted, indel-skipped, filtered — python keeps
+// that logic). Returns 0, or -1 if a full k-mer was missing from
+// kmer_samples.
 int64_t skalo_snps_run_paths(
-    void* h, const uint8_t* master_codes, const int64_t* coff,
+    void* h, const int32_t* segs, const int64_t* segs_off,
+    const int64_t* chain_off, const uint8_t* chain_codes,
     const uint64_t* ent_hi, const uint64_t* ent_lo,
     const int64_t* master_snps, const int64_t* soff,
     const int64_t* path_idx, const int64_t* grp_off, int64_t n_groups
@@ -404,8 +407,17 @@ int64_t skalo_snps_run_paths(
                     : (uint8_t)((ent_lo[p] >> shift) & 3);
                 codes_s.push_back(code);
             }
-            for (int64_t i = coff[p] + 1; i < coff[p + 1]; i++)
-                codes_s.push_back(master_codes[i]);
+            for (int64_t s = segs_off[p]; s < segs_off[p + 1]; s++) {
+                int32_t sg = segs[s];
+                if (sg >= 0) {
+                    codes_s.insert(codes_s.end(),
+                                   chain_codes + chain_off[sg],
+                                   chain_codes + chain_off[sg + 1]);
+                } else if (s > segs_off[p]) {
+                    codes_s.push_back((uint8_t)(-sg - 1));
+                }
+                // s == segs_off[p]: root entry single, skipped
+            }
             voff_s.push_back((int64_t)codes_s.size());
             for (int64_t i = soff[p]; i < soff[p + 1]; i++)
                 snps_s.push_back(master_snps[i]);

@@ -33,17 +33,20 @@ def _lib():
             _u64p, _u64p, _u64p, _u64p, _i32p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ]
-        lib.skalo_core_n_paths.restype = ctypes.c_int64
-        lib.skalo_core_n_paths.argtypes = [ctypes.c_void_p]
-        lib.skalo_core_codes_len.restype = ctypes.c_int64
-        lib.skalo_core_codes_len.argtypes = [ctypes.c_void_p]
-        lib.skalo_core_snps_len.restype = ctypes.c_int64
-        lib.skalo_core_snps_len.argtypes = [ctypes.c_void_p]
+        for name in (
+            "skalo_core_n_paths", "skalo_core_segs_len", "skalo_core_snps_len",
+            "skalo_core_n_chains", "skalo_core_chain_codes_len",
+        ):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [ctypes.c_void_p]
+        lib.skalo_core_fill_chains.restype = None
+        lib.skalo_core_fill_chains.argtypes = [ctypes.c_void_p, _i64p, _u8p]
         lib.skalo_core_fill.restype = None
         lib.skalo_core_fill.argtypes = [
             ctypes.c_void_p,
             _u64p, _u64p, _u64p, _u64p,
-            _i64p, _i64p, _i64p, _u8p, _i64p,
+            _i64p, _i64p, _i64p, _i32p, _i64p,
         ]
         lib.skalo_core_free.restype = None
         lib.skalo_core_free.argtypes = [ctypes.c_void_p]
@@ -133,20 +136,57 @@ def edge_content_ids(fhi, flo, mo):
 
 class PathStore:
     """The traversal core's master buffers, addressed by path index: a
-    path's sequence codes are entry(k_graph bases) + codes[coff[p]+1 :
-    coff[p+1]], its candidate SNPs snps[soff[p] : soff[p+1]]. Lets the
-    C++ SNP stage (skalo_snps_run_paths) consume paths without python
-    re-marshaling each group."""
+    path's sequence codes are entry(k_graph bases) + its segments' codes
+    (seg >= 0: chain_codes[chain_off[seg]:chain_off[seg+1]]; seg < 0:
+    the single code -(seg+1)) with the first segment element skipped
+    (it duplicates the entry's last base); candidate SNPs are
+    snps[soff[p] : soff[p+1]]. Lets the C++ SNP stage
+    (skalo_snps_run_paths) consume paths without python re-marshaling
+    each group, and keeps chain codes stored once instead of once per
+    path (~75x smaller at dense genome scale)."""
 
-    __slots__ = ("codes", "coff", "ent_hi", "ent_lo", "snps", "soff")
+    __slots__ = (
+        "segs", "segs_off", "chain_off", "chain_codes",
+        "ent_hi", "ent_lo", "snps", "soff",
+    )
 
-    def __init__(self, codes, coff, ent_hi, ent_lo, snps, soff):
-        self.codes = codes
-        self.coff = coff  # n+1, extended with len(codes)
+    def __init__(self, segs, segs_off, chain_off, chain_codes,
+                 ent_hi, ent_lo, snps, soff):
+        self.segs = segs
+        self.segs_off = segs_off  # n+1, extended with len(segs)
+        self.chain_off = chain_off
+        self.chain_codes = chain_codes
         self.ent_hi = ent_hi
         self.ent_lo = ent_lo
         self.snps = snps
         self.soff = soff  # n+1, extended with len(snps)
+
+
+_SINGLE_CODE = None  # [array([0]), ..., array([3])] uint8, shared views
+
+
+class _SegParts:
+    """Lazy parts builder for LazySeq: materializes a path's code-part
+    list from its segment descriptors only if the tail is read."""
+
+    __slots__ = ("store", "s0", "s1")
+
+    def __init__(self, store, s0, s1):
+        self.store = store
+        self.s0 = s0
+        self.s1 = s1
+
+    def __call__(self):
+        global _SINGLE_CODE
+        if _SINGLE_CODE is None:
+            _SINGLE_CODE = [np.array([c], np.uint8) for c in range(4)]
+        st = self.store
+        co = st.chain_off
+        cc = st.chain_codes
+        return [
+            cc[co[s] : co[s + 1]] if s >= 0 else _SINGLE_CODE[-1 - s]
+            for s in st.segs[self.s0 : self.s1].tolist()
+        ]
 
 
 def run_core(ska_array, config):
@@ -184,33 +224,49 @@ def run_core(ska_array, config):
         )
     try:
         n = lib.skalo_core_n_paths(h)
-        ncodes = lib.skalo_core_codes_len(h)
+        nsegs = lib.skalo_core_segs_len(h)
         nsnps = lib.skalo_core_snps_len(h)
+        nch = lib.skalo_core_n_chains(h)
+        ncc = lib.skalo_core_chain_codes_len(h)
         ent_hi = np.empty(n, np.uint64)
         ent_lo = np.empty(n, np.uint64)
         ex_hi = np.empty(n, np.uint64)
         ex_lo = np.empty(n, np.uint64)
         plen = np.empty(n, np.int64)
-        coff = np.empty(n, np.int64)
+        goff = np.empty(n, np.int64)
         soff = np.empty(n, np.int64)
-        codes = np.empty(ncodes, np.uint8)
+        segs = np.empty(nsegs, np.int32)
         snps = np.empty(nsnps, np.int64)
+        chain_off = np.empty(nch + 1, np.int64)
+        chain_codes = np.empty(ncc, np.uint8)
         lib.skalo_core_fill(
             h,
             ent_hi.ctypes.data_as(_u64p), ent_lo.ctypes.data_as(_u64p),
             ex_hi.ctypes.data_as(_u64p), ex_lo.ctypes.data_as(_u64p),
-            plen.ctypes.data_as(_i64p), coff.ctypes.data_as(_i64p),
-            soff.ctypes.data_as(_i64p), codes.ctypes.data_as(_u8p),
+            plen.ctypes.data_as(_i64p), goff.ctypes.data_as(_i64p),
+            soff.ctypes.data_as(_i64p), segs.ctypes.data_as(_i32p),
             snps.ctypes.data_as(_i64p),
+        )
+        lib.skalo_core_fill_chains(
+            h, chain_off.ctypes.data_as(_i64p),
+            chain_codes.ctypes.data_as(_u8p),
         )
     finally:
         lib.skalo_core_free(h)
     log.info("C++ graph core: %.1fs", _time.perf_counter() - _t0)
 
     _t0 = _time.perf_counter()
+    path_store = PathStore(
+        segs,
+        np.concatenate([goff, [nsegs]]).astype(np.int64),
+        chain_off, chain_codes,
+        ent_hi, ent_lo,
+        snps,
+        np.concatenate([soff, [nsnps]]).astype(np.int64),
+    )
     built_groups: Dict[Tuple[int, int], List[VariantInfo]] = {}
     head_cache: Dict[int, str] = {}
-    coff_l = coff.tolist()
+    goff_l = goff.tolist()
     soff_l = soff.tolist()
     plen_l = plen.tolist()
     if W == 1:
@@ -225,21 +281,13 @@ def run_core(ska_array, config):
         if head is None:
             head = decode_int(entry, k_graph)
             head_cache[entry] = head
-        c0 = coff_l[i]
-        c1 = coff_l[i + 1] if i + 1 < n else ncodes
+        g0 = goff_l[i]
+        g1 = goff_l[i + 1] if i + 1 < n else nsegs
         s0 = soff_l[i]
         s1 = soff_l[i + 1] if i + 1 < n else nsnps
-        seq = LazySeq(head, parts=[codes[c0:c1]], n=plen_l[i])
+        seq = LazySeq(head, parts=_SegParts(path_store, g0, g1), n=plen_l[i])
         vi = VariantInfo(seq, snps[s0:s1].tolist(), idx=i)
         built_groups.setdefault((entry, ex_ints[i]), []).append(vi)
-
-    path_store = PathStore(
-        codes,
-        np.concatenate([coff, [ncodes]]).astype(np.int64),
-        ent_hi, ent_lo,
-        snps,
-        np.concatenate([soff, [nsnps]]).astype(np.int64),
-    )
     log.info(
         "group assembly: %.1fs (%d paths)", _time.perf_counter() - _t0, n
     )

@@ -137,7 +137,10 @@ class LazySeq:
     def __init__(self, head: str, tail_codes=None, parts=None, n=None):
         """tail_codes: np.uint8 codes (node & 3) of nodes[1:]; or `parts`,
         a list of code arrays for all nodes (first element dropped when
-        the tail materializes) with n = total node count."""
+        the tail materializes) with n = total node count. `parts` may
+        also be a zero-arg callable returning that list (core._SegParts),
+        deferring even the part-list construction until the tail is
+        actually read."""
         self.head = head
         self._tail = tail_codes
         self._parts = parts
@@ -147,7 +150,8 @@ class LazySeq:
     @property
     def tail(self):
         if self._tail is None:
-            self._tail = np.concatenate(self._parts)[1:]
+            parts = self._parts() if callable(self._parts) else self._parts
+            self._tail = np.concatenate(parts)[1:]
             self._parts = None
         return self._tail
 

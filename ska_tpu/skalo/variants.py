@@ -121,9 +121,10 @@ def _native_snps(
         lib.skalo_snps_fill.argtypes = [ctypes.c_void_p, _i64p, _u8p]
         lib.skalo_snps_free.restype = None
         lib.skalo_snps_free.argtypes = [ctypes.c_void_p]
+        _i32p = ctypes.POINTER(ctypes.c_int32)
         lib.skalo_snps_run_paths.restype = ctypes.c_int64
         lib.skalo_snps_run_paths.argtypes = [
-            ctypes.c_void_p, _u8p, _i64p, _u64p, _u64p,
+            ctypes.c_void_p, _i32p, _i64p, _i64p, _u8p, _u64p, _u64p,
             _i64p, _i64p, _i64p, _i64p, ctypes.c_int64,
         ]
         lib._snps_bound = True
@@ -177,10 +178,13 @@ def _native_snps(
             log.info("bulk SNP stage: %d groups", len(grp_off) - 1)
             pidx_a = np.asarray(pidx, np.int64)
             grp_a = np.asarray(grp_off, np.int64)
+            _i32p2 = ctypes.POINTER(ctypes.c_int32)
             rcode = lib.skalo_snps_run_paths(
                 h,
-                np.ascontiguousarray(path_store.codes).ctypes.data_as(_u8p),
-                np.ascontiguousarray(path_store.coff).ctypes.data_as(_i64p),
+                np.ascontiguousarray(path_store.segs).ctypes.data_as(_i32p2),
+                np.ascontiguousarray(path_store.segs_off).ctypes.data_as(_i64p),
+                np.ascontiguousarray(path_store.chain_off).ctypes.data_as(_i64p),
+                np.ascontiguousarray(path_store.chain_codes).ctypes.data_as(_u8p),
                 np.ascontiguousarray(path_store.ent_hi).ctypes.data_as(_u64p),
                 np.ascontiguousarray(path_store.ent_lo).ctypes.data_as(_u64p),
                 np.ascontiguousarray(path_store.snps).ctypes.data_as(_i64p),
