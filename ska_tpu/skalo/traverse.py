@@ -12,7 +12,7 @@ from .kmer_utils import LazySeq, decode_int, last_nucl
 log = logging.getLogger("ska_tpu.skalo")
 
 
-@dataclass
+@dataclass(slots=True)
 class VariantInfo:
     """utils.rs:57-70: a path's sequence plus candidate SNP positions.
 
