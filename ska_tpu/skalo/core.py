@@ -269,6 +269,7 @@ def run_core(ska_array, config):
     goff_l = goff.tolist()
     soff_l = soff.tolist()
     plen_l = plen.tolist()
+    snps_l = snps.tolist()
     if W == 1:
         ent_ints = ent_lo.tolist()
         ex_ints = ex_lo.tolist()
@@ -286,7 +287,7 @@ def run_core(ska_array, config):
         s0 = soff_l[i]
         s1 = soff_l[i + 1] if i + 1 < n else nsnps
         seq = LazySeq(head, parts=_SegParts(path_store, g0, g1), n=plen_l[i])
-        vi = VariantInfo(seq, snps[s0:s1].tolist(), idx=i)
+        vi = VariantInfo(seq, snps_l[s0:s1], idx=i)
         built_groups.setdefault((entry, ex_ints[i]), []).append(vi)
     log.info(
         "group assembly: %.1fs (%d paths)", _time.perf_counter() - _t0, n
