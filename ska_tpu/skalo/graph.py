@@ -55,10 +55,11 @@ def _expand_arrays(ska_array):
         masks[:, :, i // 64] |= contrib[:, i, :].astype(np.uint64) << np.uint64(i % 64)
 
     # insertion order of middle_2_samples: first contributing sample index,
-    # tie-broken by position in that sample's DEGENERATE list
-    first_i = np.where(
-        contrib.transpose(0, 2, 1), np.arange(S, dtype=np.int32)[None, None, :], S
-    ).min(axis=2)
+    # tie-broken by position in that sample's DEGENERATE list. argmax on
+    # the bool view = index of the first True (S sentinel when none),
+    # without materializing a (n, 4, S) int array
+    first_i = contrib.transpose(0, 2, 1).argmax(axis=2).astype(np.int32)
+    first_i[~valid] = S
     fchar = v[np.arange(n)[:, None], np.clip(first_i, 0, S - 1)]
     fpos = TPOS[fchar, np.arange(4)[None, :]].astype(np.int32)
     order = np.argsort(first_i * 16 + fpos, axis=1, kind="stable")
