@@ -240,10 +240,19 @@ static void compact(Core& c) {
         for (auto& e : lst)
             if (!(e.dst == first)) kept.push_back(e);
         lst = std::move(kept);
-        // interiors (all but the final node) had exactly one edge: clear
+        // interiors: remove ONLY the edge to the chain successor
+        // (compaction.rs:98-105 retain(neighbor != window[1])). A clear()
+        // here would wipe bridge edges appended for overlapping chains
+        // whose start node sits mid-corridor of this one.
         for (size_t i = 0; i + 2 < ch.nodes.size() + 0u; i++) {
             auto ii = c.node_id.find(ch.nodes[i]);
-            if (ii != c.node_id.end()) c.adj[ii->second].clear();
+            if (ii == c.node_id.end()) continue;
+            const Key& nxt = ch.nodes[i + 1];
+            auto& al = c.adj[ii->second];
+            std::vector<Edge> kept2;
+            for (auto& e : al)
+                if (!(e.dst == nxt)) kept2.push_back(e);
+            al = std::move(kept2);
         }
         // bridge to the chain end, then pop it from the stored chain
         Key endk = ch.nodes.back();

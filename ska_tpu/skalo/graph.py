@@ -258,14 +258,16 @@ def compact_graph(all_kmers, start_kmers, end_kmers):
     for kmer in end_kmers:
         walk_from(kmer)
 
-    # modify graph (compaction.rs:92-114); chain interiors were walked
-    # under the single-successor condition, so their edge list is exactly
-    # [next] and removal empties it
+    # modify graph (compaction.rs:92-114). Removal must be BY VALUE, not a
+    # wholesale clear: a chain's starting node can itself sit mid-corridor
+    # of a longer overlapping chain, and a bridge edge appended for one
+    # chain must survive the other chain's interior pass regardless of
+    # rewiring order (retain(neighbor != window[1]) in the reference).
     for starting_kmer, vec_visited in compacted.items():
         first = vec_visited[0]
         all_kmers[starting_kmer] = [n for n in all_kmers[starting_kmer] if n != first]
-        for a in vec_visited[:-2]:
-            all_kmers[a] = []
+        for a, b in zip(vec_visited[:-2], vec_visited[1:-1]):
+            all_kmers[a] = [n for n in all_kmers[a] if n != b]
         all_kmers.setdefault(starting_kmer, []).append(vec_visited[-1])
         vec_visited.pop()
 

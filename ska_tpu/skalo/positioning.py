@@ -30,9 +30,9 @@ def extract_genomic_kmers(file_path, k: int):
         genome_name = lines[0].split()[0]
         genome_seq = "".join(lines[1:]).replace(" ", "").upper().encode()
 
-    # Vectorized: k-mers with >3 occurrences are dropped entirely
-    # (positioning.rs:16-95 appends up to 3 then deletes on the 4th), so
-    # the map is exactly {kmer: all positions} for count <= 3 k-mers —
+    # Vectorized: positioning.rs:16-95 keeps the first <=3 positions of
+    # every k-mer (its overflow-delete branch is dead code — the push is
+    # guarded by len<3), so the map is {kmer: first <=3 positions} —
     # built here with one bulk encode + np.unique instead of a 4M-step
     # python loop.
     import numpy as np
@@ -74,7 +74,11 @@ def extract_genomic_kmers(file_path, k: int):
         if len(starts):
             counts[:-1] = np.diff(starts)
             counts[-1] = len(pos_s) - starts[-1]
-        keep_grp = counts <= 3
+        # positioning.rs:80-88: the push is guarded by len<3, so the
+        # delete-on-overflow branch is dead code — every k-mer keeps its
+        # first <=3 positions (genome order; our stable sorts preserve it).
+        counts = np.minimum(counts, 3)
+        keep_grp = np.ones(len(starts), bool)
         if hi is None:
             kmer_map = _KmerMap(enc_s[first], None, starts, counts, keep_grp, pos_s)
         else:

@@ -35,8 +35,10 @@ def test_kmer_map_lookup():
 
     import tempfile, os
 
-    # ACGTACGTACGT...: every 4-mer repeats many times -> overflow (dropped);
-    # append a unique tail so some k-mers have <= 3 positions
+    # ACGTACGTACGT...: every 5-mer there repeats ~50 times; the reference
+    # (positioning.rs:80-88) keeps the FIRST <=3 positions of every k-mer
+    # (its overflow-delete branch is dead code: push is guarded by len<3).
+    # Append a unique tail so some k-mers have < 3 positions too.
     seq = b"ACGT" * 50 + b"GGATCCTTAAGGCC"
     with tempfile.NamedTemporaryFile("wb", suffix=".fa", delete=False) as f:
         f.write(b">r\n" + seq + b"\n")
@@ -44,13 +46,15 @@ def test_kmer_map_lookup():
     try:
         km, genome, name = extract_genomic_kmers(path, 5)
         s = seq.decode()
-        # brute force expected map
+        # brute force expected map: first <=3 positions of EVERY k-mer
         exp = {}
         for n in range(len(s) - 5 + 1):
             exp.setdefault(encode_str(s[n : n + 5]), []).append(n + 5)
-        exp = {k: v for k, v in exp.items() if len(v) <= 3}
+        exp = {k: v[:3] for k, v in exp.items()}
         for k_, v_ in exp.items():
             assert list(km.get(k_, ())) == v_
+        # a 50x-repeated k-mer keeps its first 3 positions
+        assert len(km.get(encode_str("ACGTA"), ())) == 3
         # absent k-mer
         assert km.get(encode_str("AAAAA"), ()) == ()
     finally:
