@@ -31,12 +31,36 @@ def build(
 ) -> SkaArray:
     """`ska build`: batched device build + on-device multi-sample merge
     (replaces merge_ska_dict.rs:354-417's rayon hashmap tree; one global
-    sort by (key, sample) per batch, host union across batches)."""
+    sort by (key, sample) per batch, host union across batches).
+
+    With more than one accelerator visible the mesh-sharded path runs
+    instead: samples are sharded over the devices and the merge is a
+    key-range-repartitioned sample sort (ska_tpu.parallel). Control with
+    SKA_DISTRIBUTED=1 (force on, e.g. for the virtual CPU mesh), =0
+    (force off); default auto = on for multi-chip accelerator backends.
+    """
+    import os
+
     import numpy as np
 
     from .sample import build_samples_merged
 
-    batches = build_samples_merged(input_files, k, rc, qual, proportion_reads)
+    flag = os.environ.get("SKA_DISTRIBUTED", "auto")
+    use_dist = False
+    if flag != "0":
+        import jax
+
+        n_dev = len(jax.devices())
+        plat = jax.devices()[0].platform
+        use_dist = flag == "1" and n_dev > 1 or (
+            flag == "auto" and n_dev > 1 and plat != "cpu"
+        )
+    if use_dist:
+        from .sample import build_samples_distributed
+
+        batches = build_samples_distributed(input_files, k, rc, qual, proportion_reads)
+    else:
+        batches = build_samples_merged(input_files, k, rc, qual, proportion_reads)
     arrays = [
         SkaArray(k=k, rc=rc, names=names, keys=keys, variants=var, counts=counts)
         for (_, names, keys, var, counts) in batches

@@ -192,8 +192,14 @@ def searchsorted(sorted_keys, queries):
     N = sorted_keys.shape[0]
     M = queries.shape[0]
     n_steps = max(1, int(np.ceil(np.log2(max(N, 1) + 1))))
-    lo = jnp.zeros((M,), dtype=jnp.int32)
-    hi = jnp.full((M,), N, dtype=jnp.int32)
+    # derive the loop carry from the inputs so it inherits their
+    # varying-manual-axes status under shard_map (a plain zeros() carry
+    # is unvarying and the fori_loop type check rejects the body output)
+    zero = (queries[:, 0] & np.uint64(0)).astype(jnp.int32) + (
+        sorted_keys[0, 0] & np.uint64(0)
+    ).astype(jnp.int32)
+    lo = zero
+    hi = zero + jnp.int32(N)
 
     def body(_, lh):
         lo, hi = lh

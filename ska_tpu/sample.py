@@ -219,8 +219,11 @@ def build_samples_merged(
         key = (Lp, is_reads, use_mq)
         groups.setdefault(key, []).append(i)
 
+    from .progress import Bar
+
     W = K.width_for_k(k)
     out = []
+    bar = Bar(len(prepared), "samples")  # merge_ska_dict.rs:403 analog
     for (Lp, is_reads, use_mq), idxs in groups.items():
         for c0 in range(0, len(idxs), max_batch):
             chunk = idxs[c0 : c0 + max_batch]
@@ -263,6 +266,8 @@ def build_samples_merged(
                 if not present[row]:
                     raise ValueError(f"{input_files[i][1]} has no valid sequence")
             out.append((chunk, names, keys_np, var_np, counts_np))
+            bar.update(len(chunk))
+    bar.finish()
     return out
 
 
@@ -344,3 +349,75 @@ def dict_from_batch(
     keys_np, sets_np = P.unpack_host(sp, union, is_end, W)
     assert len(keys_np) == int(n)
     return keys_np, sets_np
+
+
+def build_samples_distributed(
+    input_files,
+    k: int,
+    rc: bool,
+    qual: QualOpts,
+    proportion_reads: Optional[float] = None,
+    mesh=None,
+):
+    """Mesh-sharded build+merge over all visible devices.
+
+    Same result contract as build_samples_merged (list of
+    (chunk, names, keys, variants, counts) batch tuples for api.build),
+    but samples are sharded over a jax.sharding.Mesh and the dictionary
+    merge runs as a key-range-repartitioned sample sort on device
+    (ska_tpu.parallel.distributed_merged_build). Samples are grouped by
+    (is_reads, use_mid_qual) config; within a group every sample pads to
+    the group's max length bucket.
+    """
+    import concurrent.futures as cf
+
+    from .parallel import build_mesh, distributed_merged_build
+
+    check_k(k)
+    if mesh is None:
+        mesh = build_mesh()
+    with cf.ThreadPoolExecutor(max_workers=8) as pool:
+        prepared = list(
+            pool.map(
+                lambda t: prepare_sample((t[1], t[2]), proportion_reads), input_files
+            )
+        )
+
+    groups = {}
+    for i, (batch, is_reads) in enumerate(prepared):
+        use_mq = bool(
+            is_reads
+            and batch.has_qual
+            and qual.qual_filter in (QUAL_MIDDLE, QUAL_STRICT)
+        )
+        groups.setdefault((is_reads, use_mq), []).append(i)
+
+    out = []
+    for (is_reads, use_mq), idxs in groups.items():
+        Lp = max(_bucket(len(prepared[i][0].seq) + k + 1) for i in idxs)
+        S = len(idxs)
+        seqs = np.zeros((S, Lp), np.uint8)
+        vs = np.zeros((S, Lp), bool)
+        qo = np.zeros((S, Lp), bool)
+        rl = np.zeros((S, Lp), bool)
+        for row, i in enumerate(idxs):
+            b = prepared[i][0]
+            L = len(b.seq)
+            seqs[row, :L] = b.seq
+            valid, qual_ok = _masks(b, qual, is_reads)
+            vs[row, :L] = valid
+            qo[row, :L] = qual_ok
+            rl[row, :L] = b.rec_last
+        keys_np, var_np, counts_np, n_rows = distributed_merged_build(
+            seqs, vs, qo, rl, k, rc, mesh,
+            is_reads=is_reads, use_mid_qual=use_mq, min_count=int(qual.min_count),
+        )
+        names = [input_files[i][0] for i in idxs]
+        present = (
+            (var_np != ord("-")).any(axis=0) if n_rows else np.zeros(S, bool)
+        )
+        for row, i in enumerate(idxs):
+            if not present[row]:
+                raise ValueError(f"{input_files[i][1]} has no valid sequence")
+        out.append((idxs, names, keys_np, var_np, counts_np))
+    return out

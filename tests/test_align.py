@@ -104,3 +104,35 @@ def test_proportion_reads_fasta(ref_in, ref_out):
             assert g.startswith(pre) and g.endswith(post)
         else:
             assert g == w
+
+
+def test_parallel_build_scale_45_fixtures(ref_in, monkeypatch):
+    """Port of the reference's serial-vs-parallel build equivalence test
+    (tests/align.rs:349-397) at real fixture scale: build the 45 gz
+    samples under par_test/ through two different build algorithms — the
+    serial batched device path (6 batches of <=8, cross-batch union) and
+    the mesh-sharded distributed merge — and assert the `ska align`
+    outputs are column-set identical (var_hash)."""
+    import glob
+    import io
+
+    from ska_tpu.api import align, build
+    from ska_tpu.sample import QualOpts
+
+    from helpers import var_hash
+
+    files = sorted(glob.glob(f"{ref_in}/par_test/*.fa.gz"))
+    assert len(files) == 45
+    # the reference rfile uses the path as the sample name (create_par_rfile)
+    input_files = [(p, p, None) for p in files]
+
+    outs = {}
+    for mode, env in (("serial", "0"), ("distributed", "1")):
+        monkeypatch.setenv("SKA_DISTRIBUTED", env)
+        arr = build(input_files, 15, True, QualOpts())
+        fh = io.BytesIO()
+        align(arr, fh)  # ska align defaults: NoConst, min_freq 0.9
+        outs[mode] = fh.getvalue()
+
+    assert var_hash(outs["serial"]) == var_hash(outs["distributed"])
+    assert len(var_hash(outs["serial"])) > 0
