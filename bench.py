@@ -6,21 +6,49 @@ Runs the full device build step (window extraction -> canonical min(fwd,rc)
 the default JAX device (real TPU chip under the driver), and prints one
 JSON line.
 
-vs_baseline compares against the reference's estimated single-core
-throughput. The repository publishes no numbers (BASELINE.md) and this
-image has no Rust toolchain to measure the reference binary, so the
-baseline constant below is an estimate of ska.rust's hot loop
-(roll_fwd + hashmap insert, ~10M split k-mers/sec/core); replace with a
-measured value when a toolchain is available.
+vs_baseline divides by a MEASURED single-core reference throughput: the
+image has no Rust toolchain, so csrc/ref_baseline.cpp reproduces the
+reference's hot path (split_kmer.rs:159-217 rolling extraction +
+ska_dict.rs:76-113 swisstable/ahash-class hashmap insert with IUPAC
+merge) and is compiled+timed on this host right before the device run.
+If the proxy cannot be built the historical 10M/s estimate is used and
+flagged in the output.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
-REF_BASELINE_KMERS_PER_SEC = 10_000_000  # estimated; see module docstring
+REF_ESTIMATE_KMERS_PER_SEC = 10_000_000  # fallback only
+
+
+def measure_reference_proxy(k=31):
+    """Build + run csrc/ref_baseline.cpp; returns (kmers/s, 'measured')
+    or (estimate, 'estimated') if anything fails."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    exe = os.path.join(here, "csrc", "ref_baseline")
+    src = os.path.join(here, "csrc", "ref_baseline.cpp")
+    try:
+        if not os.path.exists(exe) or os.path.getmtime(src) > os.path.getmtime(exe):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-std=c++17", "-o", exe, src],
+                check=True, capture_output=True,
+            )
+        best = 0.0
+        for _ in range(3):  # best-of-3: the shared host has noisy load
+            out = subprocess.run(
+                [exe, str(k), str(4 << 20), "2"],
+                check=True, capture_output=True, text=True, timeout=300,
+            ).stdout.split()
+            best = max(best, float(out[2]))
+        return best, "measured"
+    except Exception as e:  # noqa: BLE001 - any failure falls back
+        print(f"baseline proxy failed ({e}); using estimate", file=sys.stderr)
+        return float(REF_ESTIMATE_KMERS_PER_SEC), "estimated"
 
 
 def main():
@@ -34,6 +62,8 @@ def main():
     W = K.width_for_k(k)
     L = 1 << 22  # 4M bases per genome (bacterial scale)
     S = 8  # genomes per dispatch
+
+    ref_rate, ref_kind = measure_reference_proxy(k)
 
     rng = np.random.default_rng(1)
     seqs = jnp.asarray(rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=(S, L)))
@@ -65,7 +95,10 @@ def main():
                 "metric": "split k-mers/sec/chip (ska build extract+sort+union, k=31)",
                 "value": round(kmers_per_sec),
                 "unit": "kmers/s",
-                "vs_baseline": round(kmers_per_sec / REF_BASELINE_KMERS_PER_SEC, 3),
+                "vs_baseline": round(kmers_per_sec / ref_rate, 3),
+                "baseline_kmers_per_sec": round(ref_rate),
+                "baseline_kind": ref_kind,
+                "vs_estimate": round(kmers_per_sec / REF_ESTIMATE_KMERS_PER_SEC, 3),
             }
         )
     )
