@@ -82,7 +82,9 @@ struct SnpsCtx {
     const uint64_t* ks_masks;  // (G, M)
     int64_t ks_n;
     int64_t mask_limbs;
-    // genome kmer map (positioning), single-limb keys
+    // genome kmer map (positioning): (hi, lo) two-limb lex-sorted keys;
+    // gm_hi is null for k_graph <= 32 (single-limb fast path)
+    const uint64_t* gm_hi;
     const uint64_t* gm_lo;
     const uint8_t* gm_keep;
     const int64_t* gm_starts;
@@ -94,11 +96,12 @@ struct SnpsCtx {
     int n_samples;
     double max_missing;
 
-    // prefix-bucket index over gm_lo: bucket = key >> gm_shift; windows
-    // then probe ~1 entry instead of a ~22-step binary search (the genome
-    // map has millions of keys and most windows miss entirely)
+    // prefix-bucket index over the genome keys: bucket = top B key bits;
+    // windows then probe ~1 entry instead of a ~22-step binary search
+    // (the genome map has millions of keys and most windows miss)
     std::vector<int64_t> gm_bucket;  // 2^B + 1 start offsets
-    int gm_shift = 0;
+    int gm_shift = 0;  // key_bits - B for the single-limb path
+    int gm_B = 0;
 
     std::unordered_set<K2, K2Hash> entries_done;
     // final_snps insertion-ordered map
@@ -143,7 +146,14 @@ static void most_frequent(const std::vector<int64_t>& votes, int64_t* elem, int6
     *elem = best; *cnt = bestc;
 }
 
-// window votes for one code array (positioning fast path)
+// top B bits of a key_bits-wide (hi, lo) value (key_bits > 64)
+static inline uint64_t topb2(uint64_t hi, uint64_t lo, int key_bits, int B) {
+    int sh = key_bits - B;  // B <= 22 and key_bits >= 66 keep sh > 0
+    if (sh >= 64) return hi >> (sh - 64);
+    return ((hi << (64 - sh)) | (lo >> sh)) & (((uint64_t)1 << B) - 1);
+}
+
+// window votes for one code array (positioning, k_graph <= 32 fast path)
 static void window_votes(const SnpsCtx& c, const uint8_t* codes, int64_t L,
                          std::vector<int64_t>& votes) {
     int kg = c.k_graph;
@@ -168,6 +178,39 @@ static void window_votes(const SnpsCtx& c, const uint8_t* codes, int64_t L,
     }
 }
 
+// window votes, two-limb keys (32 < k_graph <= 62)
+static void window_votes2(const SnpsCtx& c, const uint8_t* codes, int64_t L,
+                          std::vector<int64_t>& votes) {
+    int kg = c.k_graph;
+    if (L < kg || c.gm_n == 0) return;
+    int key_bits = 2 * kg;
+    uint64_t mhi = (key_bits - 64 >= 64) ? ~0ULL : ((1ULL << (key_bits - 64)) - 1);
+    K2 enc{0, 0};
+    for (int64_t i = 0; i < kg - 1; i++) {
+        enc.hi = ((enc.hi << 2) | (enc.lo >> 62)) & mhi;
+        enc.lo = (enc.lo << 2) | codes[i];
+    }
+    for (int64_t p = 0; p + kg <= L; p++) {
+        enc.hi = ((enc.hi << 2) | (enc.lo >> 62)) & mhi;
+        enc.lo = (enc.lo << 2) | codes[p + kg - 1];
+        uint64_t b = topb2(enc.hi, enc.lo, key_bits, c.gm_B);
+        int64_t lo = c.gm_bucket[b], hi = c.gm_bucket[b + 1];
+        while (lo < hi) {
+            int64_t mid = (lo + hi) >> 1;
+            if (c.gm_hi[mid] < enc.hi ||
+                (c.gm_hi[mid] == enc.hi && c.gm_lo[mid] < enc.lo))
+                lo = mid + 1;
+            else hi = mid;
+        }
+        if (lo < c.gm_n && c.gm_hi[lo] == enc.hi && c.gm_lo[lo] == enc.lo &&
+            c.gm_keep[lo]) {
+            int64_t s = c.gm_starts[lo], nctn = c.gm_counts[lo];
+            for (int64_t j = 0; j < nctn; j++)
+                votes.push_back((c.gm_pos[s + j] - p) & 0xFFFFFFFFLL);
+        }
+    }
+}
+
 }  // namespace
 
 extern "C" {
@@ -175,7 +218,8 @@ extern "C" {
 void* skalo_snps_new(
     const uint64_t* ks_hi, const uint64_t* ks_lo, const uint64_t* ks_masks,
     int64_t ks_n, int64_t mask_limbs,
-    const uint64_t* gm_lo, const uint8_t* gm_keep, const int64_t* gm_starts,
+    const uint64_t* gm_hi, const uint64_t* gm_lo, const uint8_t* gm_keep,
+    const int64_t* gm_starts,
     const int64_t* gm_counts, const int64_t* gm_pos, int64_t gm_n,
     int64_t do_positioning, int64_t k_graph, int64_t n_samples,
     double max_missing
@@ -183,6 +227,7 @@ void* skalo_snps_new(
     SnpsCtx* c = new SnpsCtx();
     c->ks_hi = ks_hi; c->ks_lo = ks_lo; c->ks_masks = ks_masks;
     c->ks_n = ks_n; c->mask_limbs = mask_limbs;
+    c->gm_hi = gm_hi;
     c->gm_lo = gm_lo; c->gm_keep = gm_keep; c->gm_starts = gm_starts;
     c->gm_counts = gm_counts; c->gm_pos = gm_pos; c->gm_n = gm_n;
     c->do_positioning = (int)do_positioning;
@@ -193,12 +238,18 @@ void* skalo_snps_new(
         int key_bits = (int)(2 * k_graph);
         int B = 1;
         while (B < 22 && B < key_bits && ((int64_t)1 << B) < gm_n) B++;
-        c->gm_shift = key_bits - B;
-        if (c->gm_shift >= 64) c->gm_shift = 63;
+        c->gm_B = B;
         int64_t nb = (int64_t)1 << B;
         c->gm_bucket.assign((size_t)nb + 1, 0);
-        for (int64_t i = 0; i < gm_n; i++)
-            c->gm_bucket[(gm_lo[i] >> c->gm_shift) + 1]++;
+        if (k_graph <= 32) {
+            c->gm_shift = key_bits - B;
+            if (c->gm_shift >= 64) c->gm_shift = 63;
+            for (int64_t i = 0; i < gm_n; i++)
+                c->gm_bucket[(gm_lo[i] >> c->gm_shift) + 1]++;
+        } else {
+            for (int64_t i = 0; i < gm_n; i++)
+                c->gm_bucket[topb2(gm_hi[i], gm_lo[i], key_bits, B) + 1]++;
+        }
         for (int64_t b = 0; b < nb; b++) c->gm_bucket[b + 1] += c->gm_bucket[b];
     }
     return c;
@@ -305,13 +356,14 @@ static int64_t process_group(
         // scan_variants over all variants, fwd + rc
         std::vector<int64_t> fwd, rev;
         std::vector<uint8_t> rc_codes;
+        auto wv = (c.k_graph <= 32) ? window_votes : window_votes2;
         for (int64_t v = 0; v < V; v++) {
             const uint8_t* vc = codes + voff[v];
             int64_t L = voff[v + 1] - voff[v];
-            window_votes(c, vc, L, fwd);
+            wv(c, vc, L, fwd);
             rc_codes.resize((size_t)L);
             for (int64_t i = 0; i < L; i++) rc_codes[L - 1 - i] = vc[i] ^ 2;
-            window_votes(c, rc_codes.data(), L, rev);
+            wv(c, rc_codes.data(), L, rev);
         }
         int64_t fe, fc, re, rcnt;
         most_frequent(fwd, &fe, &fc);

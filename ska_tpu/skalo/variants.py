@@ -71,13 +71,14 @@ def _native_snps(
     sorted_keys, variant_groups, entries_indels, kmer_samples, kmer_map,
     do_positioning, config, k_graph, sample_names, path_store=None,
 ):
-    """C++ SNP stage (csrc/skalo_snps.cpp). Returns (final_snps dict,
-    not_positioned) or None when the native path does not apply (no
-    toolchain, python-dict kmer_samples from the fallback graph path,
-    k_graph > 32, or a multi-limb genome map)."""
+    """C++ SNP stage (csrc/skalo_snps.cpp), any k_graph <= 62 (two-limb
+    window encodes and a two-limb genome map for 32 < k_graph). Returns
+    (final_snps dict, not_positioned) or None when the native path does
+    not apply (no toolchain, or python-dict kmer_samples from the
+    fallback graph path)."""
     import os
 
-    if os.environ.get("SKA_SKALO_CORE", "native") == "python" or k_graph > 32:
+    if os.environ.get("SKA_SKALO_CORE", "native") == "python":
         return None
     from .core import KmerSamplesArrays
 
@@ -86,9 +87,7 @@ def _native_snps(
     from .kmer_utils import LazySeq
     from .positioning import _KmerMap
 
-    if do_positioning and (
-        not isinstance(kmer_map, _KmerMap) or kmer_map._hi is not None
-    ):
+    if do_positioning and not isinstance(kmer_map, _KmerMap):
         return None
     try:
         import ctypes
@@ -106,7 +105,7 @@ def _native_snps(
         lib.skalo_snps_new.restype = ctypes.c_void_p
         lib.skalo_snps_new.argtypes = [
             _u64p, _u64p, _u64p, ctypes.c_int64, ctypes.c_int64,
-            _u64p, _u8p, _i64p, _i64p, _i64p, ctypes.c_int64,
+            _u64p, _u64p, _u8p, _i64p, _i64p, _i64p, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
         ]
         lib.skalo_snps_group.restype = ctypes.c_int64
@@ -131,12 +130,17 @@ def _native_snps(
 
     if do_positioning:
         gm_lo = np.ascontiguousarray(kmer_map._lo)
+        gm_hi = (
+            np.ascontiguousarray(kmer_map._hi)
+            if kmer_map._hi is not None
+            else np.zeros(0, np.uint64)
+        )
         gm_keep = np.ascontiguousarray(kmer_map._keep.astype(np.uint8))
         gm_starts = np.ascontiguousarray(kmer_map._starts.astype(np.int64))
         gm_counts = np.ascontiguousarray(kmer_map._counts.astype(np.int64))
         gm_pos = np.ascontiguousarray(kmer_map._pos.astype(np.int64))
     else:
-        gm_lo = np.zeros(0, np.uint64)
+        gm_lo = gm_hi = np.zeros(0, np.uint64)
         gm_keep = np.zeros(0, np.uint8)
         gm_starts = gm_counts = gm_pos = np.zeros(0, np.int64)
 
@@ -145,6 +149,7 @@ def _native_snps(
         kmer_samples.lo.ctypes.data_as(_u64p),
         kmer_samples.masks.ctypes.data_as(_u64p),
         len(kmer_samples.lo), kmer_samples.masks.shape[1],
+        gm_hi.ctypes.data_as(_u64p),
         gm_lo.ctypes.data_as(_u64p), gm_keep.ctypes.data_as(_u8p),
         gm_starts.ctypes.data_as(_i64p), gm_counts.ctypes.data_as(_i64p),
         gm_pos.ctypes.data_as(_i64p), len(gm_lo),

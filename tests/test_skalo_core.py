@@ -36,7 +36,7 @@ def _make_inputs(tmp_path, n_samples=4, L=20000, n_snps=20, seed=9):
 
 
 @pytest.mark.parametrize("with_ref", [True, False])
-@pytest.mark.parametrize("k", [31, 41])
+@pytest.mark.parametrize("k", [31, 41, 63])
 def test_native_matches_python(tmp_path, with_ref, k):
     from ska_tpu.skalo import SkaloConfig, run_skalo
 
@@ -63,3 +63,30 @@ def test_native_matches_python(tmp_path, with_ref, k):
     assert outs["native"] == outs["python"]
     # sanity: SNPs were actually found
     assert outs["native"]["_snps.fas"] is not None
+
+
+@pytest.mark.parametrize("E1,E2", [(100, 200), (200, 100)])
+def test_compact_graph_overlapping_chains(E1, E2):
+    """compaction.rs:92-114 removes interior edges BY VALUE, so a bridge
+    edge appended for one chain survives another (overlapping) chain's
+    interior pass regardless of rewiring order. Scenario: E2 -> n2 where
+    n2 sits mid-corridor of E1's chain n1->n2->n3->n4->X. Both extremity
+    labelings are run so both set-iteration (= rewiring) orders are hit."""
+    from ska_tpu.skalo.graph import compact_graph
+
+    n1, n2, n3, n4, X = 1, 2, 3, 4, 300
+    all_kmers = {
+        E1: [n1],
+        E2: [n2],
+        n1: [n2],
+        n2: [n3],
+        n3: [n4],
+        n4: [X],
+    }
+    compacted = compact_graph(all_kmers, {E1, E2}, {X})
+    assert compacted == {n1: [n2, n3, n4], n2: [n3, n4]}
+    # both chains bridge to X; interiors lose only their corridor edge
+    assert all_kmers[n1] == [X]
+    assert all_kmers[n2] == [X]
+    assert all_kmers[n3] == []
+    assert all_kmers[n4] == [X]
