@@ -15,6 +15,7 @@ _SRCS = [
     os.path.join(_CSRC, "skanative.cpp"),
     os.path.join(_CSRC, "skalo_core.cpp"),
     os.path.join(_CSRC, "skalo_snps.cpp"),
+    os.path.join(_CSRC, "merge_batches.cpp"),
 ]
 
 
@@ -149,9 +150,11 @@ def cbor_decode_uints(buf, pos: int, n: int):
     hi = _np.empty(n, dtype=_np.uint64)
     lo = _np.empty(n, dtype=_np.uint64)
     consumed = ctypes.c_longlong(0)
-    mv = (ctypes.c_char * (len(buf) - pos)).from_buffer_copy(memoryview(buf)[pos:])
+    # zero-copy: pass base pointer + offset instead of copying the tail
+    # of the file buffer on every bulk array decode
+    base = _np.frombuffer(buf, dtype=_np.uint8)
     cnt = _lib.ska_cbor_decode_uints(
-        ctypes.cast(mv, ctypes.c_char_p),
+        ctypes.c_char_p(base.ctypes.data + pos),
         len(buf) - pos,
         n,
         hi.ctypes.data_as(_u64p),
@@ -183,3 +186,56 @@ def snappy_compress(data: bytes) -> bytes:
     if got < 0:
         raise ValueError("snappy: compress failed")
     return out.raw[:got]
+
+
+_lib.ska_merge_batches.restype = ctypes.c_longlong
+_lib.ska_merge_batches.argtypes = [
+    _u64p, ctypes.POINTER(ctypes.c_int64),
+    ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+    ctypes.POINTER(ctypes.c_int64),
+    ctypes.c_longlong, ctypes.c_longlong,
+    _u64p, ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+    ctypes.c_longlong,
+]
+
+
+def merge_batches(keys_list, var_list):
+    """B-way merge of per-batch (sorted keys (n_b, W), variants (n_b, S_b))
+    into (union keys, variants, counts) — csrc/merge_batches.cpp."""
+    B = len(keys_list)
+    W = keys_list[0].shape[1]
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    keys_cat = _np.ascontiguousarray(
+        _np.concatenate(keys_list, axis=0), dtype=_np.uint64
+    )
+    n_off = _np.zeros(B + 1, _np.int64)
+    v_off = _np.zeros(B + 1, _np.int64)
+    col_off = _np.zeros(B + 1, _np.int64)
+    flat = []
+    for b in range(B):
+        n_off[b + 1] = n_off[b] + len(keys_list[b])
+        v_off[b + 1] = v_off[b] + var_list[b].size
+        col_off[b + 1] = col_off[b] + var_list[b].shape[1]
+        flat.append(_np.ascontiguousarray(var_list[b], dtype=_np.uint8).reshape(-1))
+    var_cat = (
+        _np.concatenate(flat) if flat else _np.zeros(0, _np.uint8)
+    )
+    s_total = int(col_off[-1])
+    cap = int(n_off[-1])
+    out_keys = _np.zeros((max(cap, 1), W), _np.uint64)
+    out_var = _np.full((max(cap, 1), max(s_total, 1)), ord("-"), _np.uint8)
+    out_counts = _np.zeros(max(cap, 1), _np.int64)
+    r = _lib.ska_merge_batches(
+        keys_cat.ctypes.data_as(_u64p),
+        n_off.ctypes.data_as(i64),
+        var_cat.ctypes.data_as(u8),
+        v_off.ctypes.data_as(i64),
+        col_off.ctypes.data_as(i64),
+        B, W,
+        out_keys.ctypes.data_as(_u64p),
+        out_var.ctypes.data_as(u8),
+        out_counts.ctypes.data_as(i64),
+        s_total,
+    )
+    return out_keys[:r], out_var[:r], out_counts[:r]

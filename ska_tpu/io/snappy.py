@@ -148,6 +148,19 @@ def compress_block(data):
 # ---- framing format -------------------------------------------------------------
 
 
+def _check_crc(stored, data):
+    """Verify a chunk's masked CRC-32C over its uncompressed bytes
+    (framing_format.txt §3; the reference's snap crate checks this and
+    fails the .skf load on mismatch)."""
+    want = int.from_bytes(bytes(stored), "little")
+    got = _masked_crc(bytes(data))
+    if want != got:
+        raise ValueError(
+            "snappy: corrupt chunk (stored checksum mismatch) - "
+            "could not parse skf file"
+        )
+
+
 def frame_decompress(buf):
     buf = memoryview(bytes(buf))
     if bytes(buf[:10]) != _MAGIC:
@@ -161,9 +174,13 @@ def frame_decompress(buf):
         chunk = buf[pos + 4 : pos + 4 + clen]
         pos += 4 + clen
         if ctype == 0x00:  # compressed data
-            out += decompress_block(chunk[4:])
+            data = decompress_block(chunk[4:])
+            _check_crc(chunk[:4], data)
+            out += data
         elif ctype == 0x01:  # uncompressed data
-            out += chunk[4:]
+            data = chunk[4:]
+            _check_crc(chunk[:4], data)
+            out += data
         elif ctype == 0xFF:  # stream identifier (repeat)
             continue
         elif 0x80 <= ctype <= 0xFD:  # skippable

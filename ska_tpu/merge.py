@@ -64,7 +64,11 @@ def merge_samples(samples: List[SampleDict], ska_version: str = None) -> SkaArra
 
 def extend_arrays(arrays: List[SkaArray]) -> SkaArray:
     """`ska merge`: union of k-mers, concatenated sample columns
-    (reference MergeSkaDict::extend, merge_ska_dict.rs:160-193)."""
+    (reference MergeSkaDict::extend, merge_ska_dict.rs:160-193).
+
+    Per-array key arrays are already sorted, so the union is a linear
+    B-way merge (csrc/merge_batches.cpp) — no host sort ever touches the
+    full union; the numpy lexsort below is the no-toolchain fallback."""
     k = arrays[0].k
     rc = arrays[0].rc
     for a in arrays[1:]:
@@ -74,6 +78,18 @@ def extend_arrays(arrays: List[SkaArray]) -> SkaArray:
             raise ValueError("Strand use inconsistent")
     names = [n for a in arrays for n in a.names]
     n_samples = len(names)
+
+    try:
+        from .io import native
+    except Exception:  # pragma: no cover - no toolchain
+        native = None
+    if native is not None:
+        ukeys, variants, counts = native.merge_batches(
+            [a.keys for a in arrays], [a.variants for a in arrays]
+        )
+        return SkaArray(
+            k=k, rc=rc, names=names, keys=ukeys, variants=variants, counts=counts
+        )
 
     all_keys = np.concatenate([a.keys for a in arrays], axis=0)
     order = K.np_lex_argsort(all_keys)

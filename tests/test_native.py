@@ -83,3 +83,28 @@ def test_aln_writer_native_vs_python(ref_in):
             for i in range(r.mapped_variants.shape[1])
         ]
         assert [bytes(a) for a in got_native] == [bytes(a) for a in got_py]
+
+
+def test_frame_decompress_verifies_crc(ref_in):
+    """A flipped byte inside a chunk body must fail the load with the
+    checksum error (the reference's snap crate verifies chunk CRCs)."""
+    import pytest
+
+    from ska_tpu.io import snappy
+
+    raw = bytearray(open(f"{ref_in}/merge.skf", "rb").read())
+    assert snappy.frame_decompress(bytes(raw))  # sanity: pristine file ok
+    # first chunk body starts after 10-byte magic + 4-byte header + 4-byte crc
+    raw[10 + 4 + 4 + 10] ^= 0xFF
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        snappy.frame_decompress(bytes(raw))
+
+
+def test_frame_decompress_rejects_bad_stored_crc():
+    from ska_tpu.io import snappy
+    import pytest
+
+    framed = bytearray(snappy.frame_compress(b"splitkmersplitkmer" * 100))
+    framed[14] ^= 0x55  # inside the 4-byte CRC of the first chunk
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        snappy.frame_decompress(bytes(framed))

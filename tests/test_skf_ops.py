@@ -114,3 +114,62 @@ def test_weed_k41(tmp_path, ref_in, ref_out):
     got = final.nk_display() + "\n" + final.nk_full_info() + "\n"
     with open(f"{ref_out}/weed_nk_k41.stdout") as f:
         _match_wildcard(got, f.read())
+
+
+def test_native_extend_matches_numpy_64_samples():
+    """The C++ B-way cross-batch merge must equal a reference numpy
+    union on a 64-sample build split into 8 uneven batches (W=1, W=2)."""
+    import numpy as np
+
+    import ska_tpu.merge as merge_mod
+    from ska_tpu.array import SkaArray
+
+    rng = np.random.default_rng(12)
+    for k, W in ((31, 1), (41, 2)):
+        arrays = []
+        col = 0
+        for b, nb in enumerate([3, 9, 8, 8, 12, 8, 8, 8]):  # 64 total
+            n = int(rng.integers(50, 200))
+            keys = np.unique(
+                rng.integers(0, 500, size=(n, W), dtype=np.uint64), axis=0
+            )
+            var = rng.choice(
+                np.frombuffer(b"ACGT-NRY", dtype=np.uint8), size=(len(keys), nb)
+            )
+            counts = (var != ord("-")).sum(axis=1).astype(np.int64)
+            arrays.append(
+                SkaArray(
+                    k=k, rc=True,
+                    names=[f"s{col + i}" for i in range(nb)],
+                    keys=keys, variants=var, counts=counts,
+                )
+            )
+            col += nb
+
+        got = merge_mod.extend_arrays(arrays)
+
+        # independent numpy union (the pre-native formulation)
+        all_keys = np.concatenate([a.keys for a in arrays], axis=0)
+        order = np.lexsort([all_keys[:, i] for i in range(W - 1, -1, -1)])
+        skeys = all_keys[order]
+        first = np.ones(len(skeys), bool)
+        first[1:] = np.any(skeys[1:] != skeys[:-1], axis=-1)
+        ukeys = skeys[first]
+        row_of = np.cumsum(first) - 1
+        inv = np.empty(len(all_keys), np.int64)
+        inv[order] = row_of
+        n_rows = int(row_of[-1]) + 1
+        variants = np.full((n_rows, 64), ord("-"), np.uint8)
+        off = colx = 0
+        for a in arrays:
+            rows = inv[off : off + a.ksize]
+            variants[rows, colx : colx + a.nsamples] = a.variants
+            off += a.ksize
+            colx += a.nsamples
+
+        assert got.ksize == n_rows
+        np.testing.assert_array_equal(got.keys, ukeys)
+        np.testing.assert_array_equal(got.variants, variants)
+        np.testing.assert_array_equal(
+            got.counts, (variants != ord("-")).sum(axis=1)
+        )
