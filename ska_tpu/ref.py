@@ -76,8 +76,8 @@ class RefSka:
         if self.kmers.shape[0] == 0:
             raise ValueError(f"{filename} has no valid sequence")
 
-        # repeat spans (ska_ref.rs:261-298), reproduced literally
-        self.repeat_coors: List[int] = []
+        # repeat spans (ska_ref.rs:261-298)
+        self.repeat_coors = np.zeros(0, np.int64)
         if repeat_mask:
             from .array import _combine128
 
@@ -90,25 +90,36 @@ class RefSka:
                 comb = _combine128(self.kmers)
                 uniq, counts = np.unique(comb, return_counts=True)
                 is_rep = np.isin(comb, uniq[counts > 1])
-            half = h
-            last_chrom = 0
-            last_end = 0
-            chrom_offset = 0
-            for i in range(len(self.kmers)):
-                ci = int(self.chrom[i])
-                if ci > last_chrom:
-                    chrom_offset += len(self.seq[last_chrom])
-                    last_chrom = ci
-                if is_rep[i]:
-                    start = int(self.pos[i]) - half + chrom_offset
-                    end = int(self.pos[i]) + half + chrom_offset
-                    if start > last_end or start == 0:
-                        rng = range(start, end + 1)
-                    else:
-                        rng = range(last_end + 1, end + 1)
-                    self.repeat_coors.extend(rng)
-                    last_chrom = ci
-                    last_end = end
+            # Vectorized interval union. Global positions ascend strictly,
+            # so the reference's running last_end is simply the previous
+            # interval's end: each span [pos-h, pos+h] is clipped to start
+            # after it (the start==0 special case keeps the first span
+            # whole), and coordinates expand with a repeat + ragged arange.
+            rep_idx = np.nonzero(is_rep)[0]
+            if len(rep_idx):
+                # chrom_offset quirk (ska_ref.rs:268-271): the offset grows
+                # by len(seq[last_chrom]) only at each chrom TRANSITION in
+                # k-mer order, so chromosomes contributing no k-mers are
+                # skipped in the sum — reproduce, don't fix
+                present = np.unique(self.chrom).tolist()
+                chain = present if present[0] == 0 else [0] + present
+                offmap = np.zeros(len(self.seq), dtype=np.int64)
+                acc = 0
+                for j in range(1, len(chain)):
+                    acc += len(self.seq[chain[j - 1]])
+                    offmap[chain[j]] = acc
+                gpos = self.pos[rep_idx] + offmap[self.chrom[rep_idx]]
+                start = gpos - h
+                end = gpos + h
+                prev_end = np.concatenate([[0], end[:-1]])
+                eff = np.where((start > prev_end) | (start == 0), start, prev_end + 1)
+                cnt = end - eff + 1
+                ends_c = np.cumsum(cnt)
+                flat = np.arange(int(ends_c[-1]), dtype=np.int64)
+                flat -= np.repeat(ends_c - cnt, cnt)
+                self.repeat_coors = np.repeat(eff, cnt) + flat
+            else:
+                self.repeat_coors = np.zeros(0, np.int64)
 
         # mapping results
         self.mapped_pos = None  # (chrom, pos) int arrays

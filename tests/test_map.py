@@ -112,3 +112,45 @@ def test_map_single_strand(ref_in, ref_out):
     assert got == _oracle(ref_out, "map_ss.stdout")
     got = _map_out(arr, f"{ref_in}/test_ref.fa", "vcf")
     _assert_vcf_matches(got, _oracle(ref_out, "map_vcf_ss.stdout"))
+
+
+def test_repeat_coors_vectorized_matches_literal_loop(tmp_path):
+    """The vectorized repeat-span union must equal the reference's literal
+    per-k-mer loop (ska_ref.rs:261-298), including the chrom_offset quirk
+    where a chromosome contributing no k-mers is skipped in the offset."""
+    import numpy as np
+
+    from ska_tpu.array import _combine128
+    from ska_tpu.ref import RefSka
+
+    rep = "ACGTACGTACGTACGTACGTT"  # repeated block -> repeat k-mers
+    fa = tmp_path / "multi.fa"
+    with open(fa, "w") as f:
+        f.write(">c0\n" + rep + "GGATC" + rep + "\n")
+        f.write(">c1\n" + "N" * 30 + "\n")  # no valid k-mers: offset quirk
+        f.write(">c2\n" + rep + "CCTAG" + rep + "\n")
+
+    ref = RefSka(9, str(fa), True, ambig_mask=False, repeat_mask=True)
+
+    # literal reimplementation of the reference loop
+    flat = ref.kmers[:, 0] if ref.kmers.shape[1] == 1 else _combine128(ref.kmers)
+    uniq, counts = np.unique(flat, return_counts=True)
+    is_rep = np.isin(flat, uniq[counts > 1])
+    h = (9 - 1) // 2
+    expected = []
+    last_chrom = last_end = chrom_offset = 0
+    for i in range(len(ref.kmers)):
+        ci = int(ref.chrom[i])
+        if ci > last_chrom:
+            chrom_offset += len(ref.seq[last_chrom])
+            last_chrom = ci
+        if is_rep[i]:
+            start = int(ref.pos[i]) - h + chrom_offset
+            end = int(ref.pos[i]) + h + chrom_offset
+            rng = range(start, end + 1) if (start > last_end or start == 0) else range(last_end + 1, end + 1)
+            expected.extend(rng)
+            last_chrom = ci
+            last_end = end
+
+    assert len(expected) > 0
+    assert ref.repeat_coors.tolist() == expected
