@@ -186,6 +186,14 @@ def main(argv=None):
     from .sample import QualOpts
 
     cmd = args.command
+    if getattr(args, "threads", 1) > 1:
+        # the reference's rayon thread count (power-of-2, >=10 samples per
+        # thread); here device batching / the mesh replaces rayon, so the
+        # flag is accepted for CLI compatibility but does nothing
+        logging.getLogger("ska_tpu").info(
+            "--threads %d requested: no-op on this backend (device batching "
+            "replaces rayon threads)", args.threads,
+        )
     if cmd == "build":
         input_files = fastx.get_input_list(args.file_list, args.seq_files or None)
         rc = not args.single_strand

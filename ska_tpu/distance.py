@@ -80,12 +80,22 @@ def class_gram(variants: np.ndarray) -> np.ndarray:
     chunk = max(_CHUNK, min(1 << 24, (1 << 28) // max(16 * n, 1)))
     chunk = 1 << int(np.floor(np.log2(chunk)))
     G = np.zeros((n * 16, n * 16), dtype=np.int64)
+    n_chunks = -(-S // chunk)
+    bar = None
+    if n_chunks > 1:  # merge_ska_array.rs:421 distance progress analog
+        from .progress import Bar
+
+        bar = Bar(n_chunks, "site chunks")
     for s0 in range(0, S, chunk):
         c = classes[s0 : s0 + chunk]
         if len(c) != chunk:
             pad = np.zeros((chunk - len(c), n), np.int32)  # class 0 = '-'
             c = np.concatenate([c, pad])
         G += np.asarray(_gram_chunk(jnp.asarray(c), n), dtype=np.int64)
+        if bar:
+            bar.update()
+    if bar:
+        bar.finish()
     return G
 
 

@@ -113,3 +113,19 @@ def test_build_min_count_auto(tmp_path, ref_in, capsys, monkeypatch):
     with pytest.raises(SystemExit):
         main(["build", "-f", str(rfile), "-o", "reads",
               "--min-count", "-1", "-v", "-k", "9", "--min-qual", "2"])
+
+
+def test_cli_threads_noop_notice_and_progress(tmp_path, ref_in, capsys, caplog):
+    """--threads is accepted for CLI parity but logged as a no-op; with -v
+    the build shows an indicatif-style progress bar on stderr."""
+    import logging as _logging
+
+    out = str(tmp_path / "thr")
+    caplog.set_level(_logging.INFO, logger="ska_tpu")
+    _run(
+        ["build", "-v", "--threads", "4", "-o", out, "-k", "17",
+         f"{ref_in}/test_1.fa", f"{ref_in}/test_2.fa"],
+        capsys,
+    )
+    _logging.getLogger().handlers.clear()  # undo basicConfig for later tests
+    assert any("no-op" in r.message for r in caplog.records)
