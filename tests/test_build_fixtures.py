@@ -108,3 +108,42 @@ def test_build_multi_bucket_column_order(tmp_path, ref_in):
         got_keys = arr.keys[present]
         order = np.lexsort(tuple(got_keys[:, i] for i in range(got_keys.shape[1] - 1, -1, -1)))
         np.testing.assert_array_equal(got_keys[order], one.keys)
+
+
+def test_cbor_writer_byte_identical_to_ciborium(ref_in):
+    """Writer byte-compat proof at the CBOR layer: decode a reference
+    fixture (written by ciborium in Rust), re-encode the parsed array
+    through our writer's CBOR path, and compare raw payload bytes.
+    (The snappy layer above it is format-valid but compressor-specific,
+    so whole-file equality is not expected.)"""
+    import numpy as np
+
+    from ska_tpu.io import cbor, skf, snappy
+
+    for fix in ("merge.skf", "merge_k9.skf", "merge_k41.skf", "test_skalo.skf"):
+        path = f"{ref_in}/{fix}"
+        ref_cbor = snappy.frame_decompress(open(path, "rb").read())
+        arr = skf.load(path)
+        keys = np.asarray(arr.keys, dtype=np.uint64)
+        if keys.ndim == 1:
+            keys = keys[:, None]
+        kmers = (
+            cbor.UInts64(keys[:, 0])
+            if keys.shape[1] == 1
+            else cbor.U128s(keys[:, 0], keys[:, 1])
+        )
+        obj = {
+            "k": arr.k,
+            "rc": bool(arr.rc),
+            "names": list(arr.names),
+            "split_kmers": kmers,
+            "variants": {
+                "v": 1,
+                "dim": [int(arr.ksize), int(arr.nsamples)],
+                "data": cbor.UInts64(arr.variants.ravel().astype(np.uint64)),
+            },
+            "variant_count": cbor.UInts64(np.asarray(arr.counts, dtype=np.uint64)),
+            "ska_version": arr.ska_version,
+            "k_bits": arr.kbits,
+        }
+        assert cbor.dumps(obj) == ref_cbor, fix
