@@ -39,6 +39,67 @@ struct KeyHash {
     }
 };
 
+// flat open-addressing Key -> int32 map (linear probing, pow2 capacity).
+// std::unordered_map spends ~700ns per op on the 18M interning ops of a
+// dense genome (node-per-bucket chasing); this is a single probe chain
+// over contiguous memory.
+struct FlatKeyMap {
+    std::vector<Key> keys;
+    std::vector<int32_t> vals;
+    std::vector<uint8_t> used;
+    size_t mask = 0, count = 0, limit = 0;
+
+    void reserve(size_t expect) {
+        size_t cap = 1024;
+        while (cap * 3 < expect * 4) cap <<= 1;  // <= 0.75 load at `expect`
+        rehash(cap);
+    }
+    void rehash(size_t cap) {
+        std::vector<Key> ok = std::move(keys);
+        std::vector<int32_t> ov = std::move(vals);
+        std::vector<uint8_t> ou = std::move(used);
+        keys.assign(cap, Key{0, 0});
+        vals.assign(cap, 0);
+        used.assign(cap, 0);
+        mask = cap - 1;
+        limit = cap - cap / 4;
+        count = 0;
+        for (size_t i = 0; i < ou.size(); i++)
+            if (ou[i]) *slot_fresh(ok[i]) = ov[i];
+    }
+    int32_t* slot_fresh(const Key& k) {  // insert, key known absent
+        size_t i = KeyHash{}(k) & mask;
+        while (used[i]) i = (i + 1) & mask;
+        used[i] = 1;
+        keys[i] = k;
+        count++;
+        return &vals[i];
+    }
+    // returns value slot; *fresh says whether it was just inserted
+    int32_t* get_or_insert(const Key& k, bool* fresh) {
+        if (count >= limit) rehash((mask + 1) * 2);
+        size_t i = KeyHash{}(k) & mask;
+        while (used[i]) {
+            if (keys[i] == k) { *fresh = false; return &vals[i]; }
+            i = (i + 1) & mask;
+        }
+        used[i] = 1;
+        keys[i] = k;
+        count++;
+        *fresh = true;
+        return &vals[i];
+    }
+    int32_t find(const Key& k) const {  // -1 if absent
+        if (mask == 0) return -1;
+        size_t i = KeyHash{}(k) & mask;
+        while (used[i]) {
+            if (keys[i] == k) return vals[i];
+            i = (i + 1) & mask;
+        }
+        return -1;
+    }
+};
+
 static inline uint64_t rev64(uint64_t x) {
     x = ((x >> 2) & 0x3333333333333333ULL) | ((x & 0x3333333333333333ULL) << 2);
     x = ((x >> 4) & 0x0F0F0F0F0F0F0F0FULL) | ((x & 0x0F0F0F0F0F0F0F0FULL) << 4);
@@ -110,7 +171,7 @@ struct Result {
 struct Core {
     int k_graph;
     int max_depth;
-    std::unordered_map<Key, int32_t, KeyHash> node_id;
+    FlatKeyMap node_id;
     std::vector<Key> node_key;
     std::vector<std::vector<Edge>> adj;
     // per-node extremity flags: bit0 = entry ("starts"), bit1 = exit ("ends")
@@ -122,10 +183,11 @@ struct Core {
 };
 
 static int32_t intern(Core& c, const Key& k) {
-    auto it = c.node_id.find(k);
-    if (it != c.node_id.end()) return it->second;
+    bool fresh;
+    int32_t* v = c.node_id.get_or_insert(k, &fresh);
+    if (!fresh) return *v;
     int32_t id = (int32_t)c.node_key.size();
-    c.node_id.emplace(k, id);
+    *v = id;
     c.node_key.push_back(k);
     c.adj.emplace_back();
     return id;
@@ -168,8 +230,8 @@ static bool find_extremities(Core& c) {
             c.start_order.push_back((int32_t)id);
             // the exit twin is only ever tested on graph nodes, so an RC
             // key that is not a node can be dropped (it can never be hit)
-            auto it = c.node_id.find(rev_comp(c.node_key[id], c.k_graph));
-            if (it != c.node_id.end()) c.nflags[it->second] |= 2;
+            int32_t rid = c.node_id.find(rev_comp(c.node_key[id], c.k_graph));
+            if (rid >= 0) c.nflags[rid] |= 2;
         }
     }
     return !c.start_order.empty();
@@ -226,8 +288,8 @@ static void compact(Core& c) {
     for (int32_t id : c.start_order) walk_from(id);
     for (int32_t id : c.start_order) {
         Key rc = rev_comp(c.node_key[id], c.k_graph);
-        auto it = c.node_id.find(rc);
-        if (it != c.node_id.end()) walk_from(it->second);
+        int32_t rid = c.node_id.find(rc);
+        if (rid >= 0) walk_from(rid);
     }
 
     // rewiring: remove the chain from the graph, bridge start -> chain end
@@ -245,10 +307,10 @@ static void compact(Core& c) {
         // here would wipe bridge edges appended for overlapping chains
         // whose start node sits mid-corridor of this one.
         for (size_t i = 0; i + 2 < ch.nodes.size() + 0u; i++) {
-            auto ii = c.node_id.find(ch.nodes[i]);
-            if (ii == c.node_id.end()) continue;
+            int32_t iid = c.node_id.find(ch.nodes[i]);
+            if (iid < 0) continue;
             const Key& nxt = ch.nodes[i + 1];
-            auto& al = c.adj[ii->second];
+            auto& al = c.adj[iid];
             std::vector<Edge> kept2;
             for (auto& e : al)
                 if (!(e.dst == nxt)) kept2.push_back(e);
@@ -256,9 +318,7 @@ static void compact(Core& c) {
         }
         // bridge to the chain end, then pop it from the stored chain
         Key endk = ch.nodes.back();
-        auto eit = c.node_id.find(endk);
-        c.adj[sid].push_back(
-            Edge{endk, eit == c.node_id.end() ? -1 : eit->second, -1, -1, 0});
+        c.adj[sid].push_back(Edge{endk, c.node_id.find(endk), -1, -1, 0});
         ch.nodes.pop_back();
         ch.codes.pop_back();
         // the popped end never contributes marks in the stored chain
@@ -319,9 +379,18 @@ static void traverse(Core& c) {
 
     struct Frame {
         int32_t cur_id;
-        std::unordered_set<int32_t> visited;  // node ids
+        // per-path visited node ids. Paths visit few nodes (branch points
+        // and chain starts/ends only — corridors are compacted), so a flat
+        // vector with linear find beats an unordered_set: branching copies
+        // become memcpys instead of per-element rehashes
+        std::vector<int32_t> visited;
         int32_t path;
         int32_t depth;
+    };
+    auto seen = [](const std::vector<int32_t>& v, int32_t id) {
+        for (int32_t x : v)
+            if (x == id) return true;
+        return false;
     };
 
     Result& R = c.res;
@@ -393,8 +462,9 @@ static void traverse(Core& c) {
             const Key starting = e0.dst;
             Frame f;
             f.cur_id = e0.dst_id;
-            f.visited.insert(entry_id);
-            f.visited.insert(e0.dst_id);
+            f.visited.reserve(8);
+            f.visited.push_back(entry_id);
+            f.visited.push_back(e0.dst_id);
             f.path = mk_root(entry, c.nflags[entry_id], starting, e0.dst_flags);
             if (e0.dst_chain >= 0) f.path = mk_extend(f.path, e0.dst_chain);
             f.depth = 0;
@@ -411,21 +481,25 @@ static void traverse(Core& c) {
                 while (walking) {
                     good.clear();
                     for (auto& e : c.adj[fr.cur_id])
-                        if (!fr.visited.count(e.dst_id)) good.push_back(&e);
+                        if (!seen(fr.visited, e.dst_id)) good.push_back(&e);
                     if (good.size() == 1) {
                         const Edge& e = *good[0];
-                        fr.visited.insert(e.dst_id);
+                        fr.visited.push_back(e.dst_id);
                         fr.path = mk_append(fr.path, e.dst, e.dst_flags);
                         fr.cur_id = e.dst_id;
                         if (e.dst_chain >= 0)
                             fr.path = mk_extend(fr.path, e.dst_chain);
                         if (e.dst_flags & 2) record(e.dst, fr.path, starting);
                     } else if (good.size() > 1) {
-                        for (auto* ep : good) {
+                        for (size_t gi2 = 0; gi2 < good.size(); gi2++) {
+                            const Edge* ep = good[gi2];
                             Frame nf;
                             nf.cur_id = ep->dst_id;
-                            nf.visited = fr.visited;
-                            nf.visited.insert(ep->dst_id);
+                            if (gi2 + 1 == good.size())
+                                nf.visited = std::move(fr.visited);
+                            else
+                                nf.visited = fr.visited;
+                            nf.visited.push_back(ep->dst_id);
                             nf.path = mk_append(fr.path, ep->dst, ep->dst_flags);
                             if (ep->dst_chain >= 0)
                                 nf.path = mk_extend(nf.path, ep->dst_chain);
