@@ -162,6 +162,97 @@ class PathStore:
         self.soff = soff  # n+1, extended with len(snps)
 
 
+class _Assembler:
+    """Materializes VariantInfo objects on demand from the traversal
+    core's master buffers (1.85M eager LazySeq/VariantInfo constructions
+    cost ~20s at dense genome scale; the native SNP stage reads the
+    buffers directly and never needs the objects)."""
+
+    __slots__ = ("store", "plen", "k_graph", "head_cache")
+
+    def __init__(self, store, plen, k_graph):
+        self.store = store
+        self.plen = plen
+        self.k_graph = k_graph
+        self.head_cache: Dict[int, str] = {}
+
+    def make(self, i: int):
+        from .kmer_utils import LazySeq, decode_int
+        from .traverse import VariantInfo
+
+        st = self.store
+        ent = (int(st.ent_hi[i]) << 64) | int(st.ent_lo[i])
+        head = self.head_cache.get(ent)
+        if head is None:
+            head = decode_int(ent, self.k_graph)
+            self.head_cache[ent] = head
+        g0 = int(st.segs_off[i])
+        g1 = int(st.segs_off[i + 1])
+        s0 = int(st.soff[i])
+        s1 = int(st.soff[i + 1])
+        seq = LazySeq(head, parts=_SegParts(st, g0, g1), n=int(self.plen[i]))
+        return VariantInfo(seq, st.snps[s0:s1].tolist(), idx=i)
+
+
+class GroupPaths:
+    """One variant group's paths as a lazy list of VariantInfo.
+
+    Length/metadata queries (len, per-path sequence lengths, path
+    indices for the bulk C++ SNP stage) cost no object creation;
+    iterating or mutating materializes (and caches) the real list, so
+    the python fallback consumers behave as with plain lists."""
+
+    __slots__ = ("_asm", "indices", "_list")
+
+    def __init__(self, asm, indices):
+        self._asm = asm
+        self.indices = indices  # np.int64 path rows, group append order
+        self._list = None
+
+    def __len__(self):
+        return len(self._list) if self._list is not None else len(self.indices)
+
+    @property
+    def lengths(self):
+        """Sequence length per path (len(head) + plen - 1)."""
+        if self._list is not None:
+            return [len(v.sequence) for v in self._list]
+        a = self._asm
+        return (a.plen[self.indices] + a.k_graph - 1).tolist()
+
+    @property
+    def first_seq_len(self) -> int:
+        if self._list is not None:
+            return len(self._list[0].sequence)
+        a = self._asm
+        return int(a.plen[self.indices[0]]) + a.k_graph - 1
+
+    def path_indices(self):
+        """Master-buffer rows for the bulk SNP driver, or None if any
+        path is detached from the buffers."""
+        if self._list is not None:
+            ids = [v.idx for v in self._list]
+            return None if any(i < 0 for i in ids) else ids
+        return self.indices.tolist()
+
+    def _materialize(self):
+        if self._list is None:
+            mk = self._asm.make
+            self._list = [mk(int(i)) for i in self.indices]
+        return self._list
+
+    def __iter__(self):
+        return iter(self._materialize())
+
+    def __getitem__(self, i):
+        if self._list is not None:
+            return self._list[i]
+        return self._asm.make(int(self.indices[i]))
+
+    def pop(self, i):
+        return self._materialize().pop(i)
+
+
 _SINGLE_CODE = None  # [array([0]), ..., array([3])] uint8, shared views
 
 
@@ -264,31 +355,33 @@ def run_core(ska_array, config):
         snps,
         np.concatenate([soff, [nsnps]]).astype(np.int64),
     )
-    built_groups: Dict[Tuple[int, int], List[VariantInfo]] = {}
-    head_cache: Dict[int, str] = {}
-    goff_l = goff.tolist()
-    soff_l = soff.tolist()
-    plen_l = plen.tolist()
-    snps_l = snps.tolist()
-    if W == 1:
-        ent_ints = ent_lo.tolist()
-        ex_ints = ex_lo.tolist()
-    else:
-        ent_ints = ((ent_hi.astype(object) << 64) | ent_lo.astype(object)).tolist()
-        ex_ints = ((ex_hi.astype(object) << 64) | ex_lo.astype(object)).tolist()
-    for i in range(n):
-        entry = ent_ints[i]
-        head = head_cache.get(entry)
-        if head is None:
-            head = decode_int(entry, k_graph)
-            head_cache[entry] = head
-        g0 = goff_l[i]
-        g1 = goff_l[i + 1] if i + 1 < n else nsegs
-        s0 = soff_l[i]
-        s1 = soff_l[i + 1] if i + 1 < n else nsnps
-        seq = LazySeq(head, parts=_SegParts(path_store, g0, g1), n=plen_l[i])
-        vi = VariantInfo(seq, snps_l[s0:s1], idx=i)
-        built_groups.setdefault((entry, ex_ints[i]), []).append(vi)
+    # vectorized grouping by (entry, exit): lexsort with the path index
+    # as minor key keeps members in append order, and groups enter the
+    # dict in first-appearance order exactly like the eager loop did
+    asm = _Assembler(path_store, plen, k_graph)
+    built_groups: Dict[Tuple[int, int], GroupPaths] = {}
+    if n:
+        pidx = np.arange(n, dtype=np.int64)
+        order = np.lexsort((pidx, ex_lo, ex_hi, ent_lo, ent_hi))
+        eh, el = ent_hi[order], ent_lo[order]
+        xh, xl = ex_hi[order], ex_lo[order]
+        first = np.ones(n, bool)
+        first[1:] = (
+            (eh[1:] != eh[:-1]) | (el[1:] != el[:-1])
+            | (xh[1:] != xh[:-1]) | (xl[1:] != xl[:-1])
+        )
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.concatenate([starts, [n]]))
+        disc = np.argsort(order[starts], kind="stable")  # discovery order
+        st_l = starts.tolist()
+        cn_l = counts.tolist()
+        for g in disc.tolist():
+            st = st_l[g]
+            ent = (int(eh[st]) << 64) | int(el[st])
+            ex = (int(xh[st]) << 64) | int(xl[st])
+            built_groups[(ent, ex)] = GroupPaths(
+                asm, order[st : st + cn_l[g]]
+            )
     log.info(
         "group assembly: %.1fs (%d paths)", _time.perf_counter() - _t0, n
     )

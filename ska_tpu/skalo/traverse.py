@@ -207,10 +207,12 @@ def split_and_analyse(
     for ext, vec_variant in built_groups.items():
         if len(vec_variant) < 2:
             continue
-        if len(vec_variant) == 2 and len(vec_variant[0].sequence) != len(
-            vec_variant[1].sequence
-        ):
-            if any(len(v.sequence) <= min_indel for v in vec_variant):
+        # GroupPaths exposes lengths without materializing VariantInfos
+        lens = getattr(vec_variant, "lengths", None)
+        if lens is None:
+            lens = [len(v.sequence) for v in vec_variant]
+        if len(vec_variant) == 2 and lens[0] != lens[1]:
+            if lens[0] <= min_indel or lens[1] <= min_indel:
                 final_indels[ext] = vec_variant
         else:
             final_groups[ext] = vec_variant

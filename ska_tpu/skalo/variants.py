@@ -172,10 +172,16 @@ def _native_snps(
             vec_variants = variant_groups[key]
             if len(vec_variants) < 2:
                 continue
-            if any(v.idx < 0 for v in vec_variants):
+            if hasattr(vec_variants, "path_indices"):
+                pi = vec_variants.path_indices()
+            else:
+                pi = [v.idx for v in vec_variants]
+                if any(i < 0 for i in pi):
+                    pi = None
+            if pi is None:
                 use_bulk = False
                 break
-            pidx.extend(v.idx for v in vec_variants)
+            pidx.extend(pi)
             grp_off.append(len(pidx))
 
     try:
@@ -279,19 +285,21 @@ def analyse_variant_groups(
     )
 
     log.info("Filtering paths")
-    for vec_variant in variant_groups.values():
-        i = 0
-        while i < len(vec_variant):
-            if find_internal_indels(vec_variant[i], entries_indels, k_graph) > config.max_indel_kmers:
-                vec_variant.pop(i)
-            else:
-                i += 1
+    if entries_indels:  # find_internal_indels is identically 0 otherwise
+        for vec_variant in variant_groups.values():
+            i = 0
+            while i < len(vec_variant):
+                if find_internal_indels(vec_variant[i], entries_indels, k_graph) > config.max_indel_kmers:
+                    vec_variant.pop(i)
+                else:
+                    i += 1
 
     log.info("Sorting variant groups")
     sorted_keys = []
     for key, value in variant_groups.items():
-        if value:
-            ratio = len(value) / len(value[0].sequence)
+        if len(value):
+            fl = getattr(value, "first_seq_len", None)
+            ratio = len(value) / (fl if fl is not None else len(value[0].sequence))
             sorted_keys.append((key, ratio))
     # Descending ratio; ties broken on (entry, exit) so the order — and the
     # order-dependent entries_done dedup below — is identical no matter which
