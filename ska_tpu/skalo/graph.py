@@ -76,20 +76,29 @@ def _expand_arrays(ska_array):
     #   k2 = full & mask keeps the last k-1 bases and rc2 = rcf >> 2.
     from .kmer_utils import _COMP, _rev64_np
 
+    # flatten (row, slot) in insertion order, valid slots only, BEFORE the
+    # plane algebra: with m = valid (row, base) pairs ~ n, every derived
+    # plane is one m-sized op instead of an (n, 4) materialization plus
+    # its own take_along_axis gather (the old formulation's cost center)
+    gidx = (np.arange(n, dtype=np.intp)[:, None] * 4 + order).ravel()
+    spos = gidx[valid.ravel()[gidx]]  # selected flat (row*4 + slot)
+    rows = spos >> 2
+    slots = spos & 3
+
     if W == 1:
         key = keys[:, 0]
         upper = key >> np.uint64(2 * h)
         lower = key & np.uint64((1 << (2 * h)) - 1)
         base = (upper << np.uint64(2 * (h + 1))) | lower
         code_sh = codes << np.uint64(2 * h)  # (4,)
-        full = base[:, None] | code_sh[None, :]
         rb = _rev64_np(base)
         rcodes = _rev64_np(code_sh)
-        rcf = ((rb[:, None] | rcodes[None, :]) ^ _COMP) >> np.uint64(
+        full = base[rows] | code_sh[slots]
+        rcf = ((rb[rows] | rcodes[slots]) ^ _COMP) >> np.uint64(
             64 - 2 * len_kmer
         )
         kmask = np.uint64((1 << (2 * (len_kmer - 1))) - 1)
-        planes = {
+        arrs = {
             "k1": (None, full >> np.uint64(2)),
             "k2": (None, full & kmask),
             "rc1": (None, rcf & kmask),
@@ -106,20 +115,20 @@ def _expand_arrays(ska_array):
         bh0, bl0 = shl2(uh, ul, 2 * (h + 1))
         bh, bl = bh0 | lh, bl0 | ll  # base (n,)
         ch_, cl_ = shl2(np.zeros(4, np.uint64), codes.copy(), 2 * h)  # (4,)
-        fh = bh[:, None] | ch_[None, :]
-        fl = bl[:, None] | cl_[None, :]
         # 128-bit reverse of base and of the code contribution (un-XORed)
         rbh, rbl = _rev64_np(bl), _rev64_np(bh)
         rch, rcl = _rev64_np(cl_), _rev64_np(ch_)
+        fh = bh[rows] | ch_[slots]
+        fl = bl[rows] | cl_[slots]
         rfh, rfl = shr2(
-            (rbh[:, None] | rch[None, :]) ^ _COMP,
-            (rbl[:, None] | rcl[None, :]) ^ _COMP,
+            (rbh[rows] | rch[slots]) ^ _COMP,
+            (rbl[rows] | rcl[slots]) ^ _COMP,
             128 - 2 * len_kmer,
         )
         kmask = (1 << (2 * (len_kmer - 1))) - 1
         kml = np.uint64(kmask & 0xFFFFFFFFFFFFFFFF)
         kmh = np.uint64((kmask >> 64) & 0xFFFFFFFFFFFFFFFF)
-        planes = {
+        arrs = {
             "k1": shr2(fh, fl, 2),
             "k2": (fh & kmh, fl & kml),
             "rc1": (rfh & kmh, rfl & kml),
@@ -128,18 +137,7 @@ def _expand_arrays(ska_array):
             "rcf": (rfh, rfl),
         }
 
-    # flatten (row, slot) in insertion order, valid slots only
-    sel = np.take_along_axis(valid, order, axis=1).ravel()
-
-    def flat(pair):
-        hi_, lo_ = pair
-        lo_ = np.take_along_axis(lo_, order, axis=1).ravel()[sel]
-        if hi_ is not None:
-            hi_ = np.take_along_axis(hi_, order, axis=1).ravel()[sel]
-        return (hi_, lo_)
-
-    arrs = {name: flat(p) for name, p in planes.items()}
-    mo = np.take_along_axis(masks, order[:, :, None], axis=1).reshape(-1, M)[sel]
+    mo = masks.reshape(n * 4, M)[spos]
     return len_kmer, sample_names, W, arrs, mo
 
 
