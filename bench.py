@@ -61,7 +61,8 @@ def main():
     k = 31
     W = K.width_for_k(k)
     L = 1 << 22  # 4M bases per genome (bacterial scale)
-    S = 8  # genomes per dispatch
+    S = 32  # genomes per dispatch (batch sweep 2026-08-17: 8->195M, 16->213M,
+    #         32->238M, 64->242M kmers/s; 32 is the knee)
 
     ref_rate, ref_kind = measure_reference_proxy(k)
 
