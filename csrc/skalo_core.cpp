@@ -177,7 +177,11 @@ struct Core {
     // per-node extremity flags: bit0 = entry ("starts"), bit1 = exit ("ends")
     std::vector<uint8_t> nflags;
     std::vector<int32_t> start_order;  // entry node ids, discovery order
-    std::unordered_map<int32_t, int32_t> chain_of;  // start node id -> chain
+    // start node id -> chain id, flat (-1 = none): the post-compaction
+    // edge annotation queries this once per edge (~9M times); an
+    // unordered_map there cost ~9s regardless of extremity count
+    std::vector<int32_t> chain_of;
+    std::vector<int32_t> chain_start_ids;  // insertion order, for rewiring
     std::vector<Chain> chains;
     Result res;
 };
@@ -239,6 +243,7 @@ static bool find_extremities(Core& c) {
 
 // compaction.rs:10-117 (walks first, then rewiring; order-independent)
 static void compact(Core& c) {
+    c.chain_of.assign(c.node_key.size(), -1);
     // per-walk visited, epoch-stamped (no per-walk allocation)
     std::vector<int32_t> vis_epoch(c.node_key.size(), 0);
     int32_t epoch = 0;
@@ -249,6 +254,9 @@ static void compact(Core& c) {
         std::vector<int32_t> dsts;
         for (auto& e : c.adj[id]) dsts.push_back(e.dst_id);
         for (int32_t starting : dsts) {
+            // a walk is a pure function of `starting` on the unmodified
+            // graph, and registration is first-wins — skip re-walks
+            if (c.chain_of[starting] >= 0) continue;
             int32_t cur = starting;
             epoch++;
             chain_ids.clear();
@@ -262,7 +270,7 @@ static void compact(Core& c) {
                 vis_epoch[cur] = epoch;
                 if (c.nflags[cur]) break;
             }
-            if (chain_ids.size() > 1 && !c.chain_of.count(starting)) {
+            if (chain_ids.size() > 1 && c.chain_of[starting] < 0) {
                 // python dict assignment overwrites; values are identical
                 // for repeated walks (graph unmodified during walks), so
                 // first-wins is equivalent
@@ -281,7 +289,8 @@ static void compact(Core& c) {
                         ch.mark_se.push_back(f);
                     }
                 }
-                c.chain_of.emplace(starting, cid);
+                c.chain_of[starting] = cid;
+                c.chain_start_ids.push_back(starting);
             }
         }
     };
@@ -293,9 +302,8 @@ static void compact(Core& c) {
     }
 
     // rewiring: remove the chain from the graph, bridge start -> chain end
-    for (auto& kv : c.chain_of) {
-        int32_t sid = kv.first;
-        Chain& ch = c.chains[kv.second];
+    for (int32_t sid : c.chain_start_ids) {
+        Chain& ch = c.chains[c.chain_of[sid]];
         const Key& first = ch.nodes[0];
         auto& lst = c.adj[sid];
         std::vector<Edge> kept;
@@ -334,8 +342,7 @@ static void compact(Core& c) {
     for (auto& lst : c.adj)
         for (auto& e : lst) {
             e.dst_flags = c.nflags[e.dst_id];
-            auto cit = c.chain_of.find(e.dst_id);
-            e.dst_chain = cit == c.chain_of.end() ? -1 : cit->second;
+            e.dst_chain = c.chain_of[e.dst_id];
         }
 }
 
