@@ -5,6 +5,7 @@ build, align, map, distance, merge, delete, weed, nk, cov, lo.
 
 import argparse
 import logging
+import os
 import sys
 import time
 
@@ -186,6 +187,12 @@ def main(argv=None):
     from .sample import QualOpts
 
     cmd = args.command
+    if os.environ.get("SKA_COORDINATOR"):
+        # pod-slice deployment: join the process group before any device
+        # use so the build mesh spans every host (parallel/multihost.py)
+        from .parallel import init_multihost
+
+        init_multihost()
     if getattr(args, "threads", 1) > 1:
         # the reference's rayon thread count (power-of-2, >=10 samples per
         # thread); here device batching / the mesh replaces rayon, so the

@@ -15,3 +15,4 @@ from .build import (  # noqa: F401
     distributed_merged_build,
     dryrun_step,
 )
+from .multihost import init_multihost, is_primary  # noqa: F401

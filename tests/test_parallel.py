@@ -172,3 +172,13 @@ def test_api_build_distributed_matches_serial(tmp_path, monkeypatch):
     np.testing.assert_array_equal(dist.keys, serial.keys)
     np.testing.assert_array_equal(dist.variants, serial.variants)
     np.testing.assert_array_equal(dist.counts, serial.counts)
+
+
+def test_init_multihost_noop_without_config(monkeypatch):
+    """Without SKA_COORDINATOR the helper is a no-op returning False."""
+    from ska_tpu.parallel import init_multihost, is_primary
+
+    monkeypatch.delenv("SKA_COORDINATOR", raising=False)
+    assert init_multihost() is False
+    assert init_multihost(num_processes=1) is False
+    assert is_primary() is True  # single process is host 0
