@@ -292,11 +292,13 @@ def distributed_build(seqs_np, valid_np, rec_last_np, k, rc, mesh):
 
 
 def dryrun_step(n_devices: int, k: int = 17, L: int = 512, per_dev_samples: int = 2):
-    """One tiny mesh-sharded build step (used by __graft_entry__).
+    """Tiny mesh-sharded build steps (used by __graft_entry__).
 
-    Uses a sample count that does NOT divide the mesh to exercise the
-    padding path, on top of the full pipeline (local build, splitter
-    selection, all_to_all key-range exchange, bucket merge).
+    Exercises the full distributed pipeline on three configs: FASTA at
+    k=17 with a sample count that does NOT divide the mesh (padding
+    path), FASTQ with the min-count rank filter, and W=2 two-limb keys
+    (k=41) — i.e. local build, splitter selection, all_to_all key-range
+    exchange, and the bucket merge, under every key/filter variant.
     """
     mesh = build_mesh(n_devices)
     n_samples = n_devices * per_dev_samples - 1 if n_devices > 1 else per_dev_samples
@@ -308,4 +310,22 @@ def dryrun_step(n_devices: int, k: int = 17, L: int = 512, per_dev_samples: int 
     keys, variants, counts, n_rows = distributed_build(seqs, valid, rec_last, k, True, mesh)
     assert n_rows > 0
     assert variants.shape == (n_rows, n_samples)
+
+    # FASTQ + min-count: two identical reads per sample so every k-mer
+    # passes the min_count=2 rank filter
+    seqs2 = seqs.copy()
+    seqs2[:, L // 2 :] = seqs[:, : L - L // 2]
+    rl2 = np.zeros((n_samples, L), bool)
+    rl2[:, L // 2 - 1] = True
+    rl2[:, -1] = True
+    qual = np.ones((n_samples, L), bool)
+    _, _, _, n2 = distributed_merged_build(
+        seqs2, valid, qual, rl2, k, True, mesh,
+        is_reads=True, use_mid_qual=True, min_count=2,
+    )
+    assert n2 > 0
+
+    # W=2 two-limb keys
+    *_, n3 = distributed_build(seqs, valid, rec_last, 41, True, mesh)
+    assert n3 > 0
     return n_rows
