@@ -12,7 +12,10 @@
 // arrays. Window encodes replicate python string-slice semantics at the
 // boundaries (negative start wraps, stop clips).
 
+#include <chrono>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <unordered_map>
 #include <unordered_set>
@@ -104,6 +107,9 @@ struct SnpsCtx {
     int gm_B = 0;
 
     std::unordered_set<K2, K2Hash> entries_done;
+    // SKALO_CORE_TIME=1: accumulated per-phase seconds
+    bool timing = false;
+    double t_cols = 0, t_pos = 0;
     // final_snps insertion-ordered map
     std::unordered_map<int64_t, size_t> snp_idx;
     std::vector<int64_t> out_pos;
@@ -234,6 +240,7 @@ void* skalo_snps_new(
     c->k_graph = (int)k_graph;
     c->n_samples = (int)n_samples;
     c->max_missing = max_missing;
+    c->timing = getenv("SKALO_CORE_TIME") != nullptr;
     if (gm_n > 0) {
         int key_bits = (int)(2 * k_graph);
         int B = 1;
@@ -264,6 +271,7 @@ static int64_t process_group(
     const int64_t* snps, const int64_t* soff, int64_t V
 ) {
     int kg = c.k_graph;
+    auto tc0 = std::chrono::steady_clock::now();
 
     // get_potential_snp: positions with > 1 distinct base among variants
     std::unordered_set<int64_t> cand_set;
@@ -350,7 +358,11 @@ static int64_t process_group(
 
     for (auto& k : kmers_to_save) c.entries_done.insert(k);
 
+    if (c.timing)
+        c.t_cols += std::chrono::duration<double>(
+            std::chrono::steady_clock::now() - tc0).count();
     if (found.empty()) return 0;
+    auto tp0 = std::chrono::steady_clock::now();
 
     if (c.do_positioning) {
         // scan_variants over all variants, fwd + rc
@@ -413,6 +425,9 @@ static int64_t process_group(
             c.out_cols.insert(c.out_cols.end(), pc.second.begin(), pc.second.end());
         }
     }
+    if (c.timing)
+        c.t_pos += std::chrono::duration<double>(
+            std::chrono::steady_clock::now() - tp0).count();
     return 0;
 }
 
@@ -491,6 +506,12 @@ void skalo_snps_fill(void* h, int64_t* pos, uint8_t* cols) {
     memcpy(cols, c.out_cols.data(), c.out_cols.size());
 }
 
-void skalo_snps_free(void* h) { delete (SnpsCtx*)h; }
+void skalo_snps_free(void* h) {
+    SnpsCtx* c = (SnpsCtx*)h;
+    if (c->timing)
+        fprintf(stderr, "[skalo_snps] columns %.1fs positioning %.1fs\n",
+                c->t_cols, c->t_pos);
+    delete c;
+}
 
 }  // extern "C"
