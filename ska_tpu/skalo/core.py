@@ -286,8 +286,6 @@ def run_core(ska_array, config):
     import time as _time
 
     from .graph import _expand_arrays
-    from .kmer_utils import LazySeq, decode_int
-    from .traverse import VariantInfo
 
     _t0 = _time.perf_counter()
     len_kmer, sample_names, W, arrs, mo = _expand_arrays(ska_array)
