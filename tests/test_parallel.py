@@ -182,3 +182,38 @@ def test_init_multihost_noop_without_config(monkeypatch):
     assert init_multihost() is False
     assert init_multihost(num_processes=1) is False
     assert is_primary() is True  # single process is host 0
+
+
+def test_distributed_fastq_mid_qual_gate():
+    """Middle-base quality gate (use_mid_qual) inside the mesh step: bases
+    with low quality at the window middle are dropped per sample, exactly
+    as in the serial pipeline."""
+    rng = np.random.default_rng(11)
+    k = 17
+    n_samples, L = 3, 240
+    mesh = build_mesh(8)
+    from ska_tpu.constants import QUAL_MIDDLE
+
+    qual = QualOpts(min_count=0, min_qual=20, qual_filter=QUAL_MIDDLE)
+
+    seqs = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=(n_samples, L))
+    squal = rng.integers(33, 75, size=(n_samples, L), dtype=np.uint8)
+    valid = np.ones((n_samples, L), bool)
+    qok = (squal.astype(np.int16) - 33) > qual.min_qual
+    rl = np.zeros((n_samples, L), bool)
+    rl[:, -1] = True
+
+    serial = []
+    for i in range(n_samples):
+        batch = fastx.build_batch([seqs[i].tobytes()], [squal[i].tobytes()])
+        kk, ss = dict_from_batch(batch, k, True, qual, True)
+        serial.append(SampleDict(name=f"s{i}", k=k, rc=True, keys=kk, sets=ss))
+    arr = merge_samples(serial)
+
+    keys, variants, counts, n_rows = distributed_merged_build(
+        seqs, valid, qok, rl, k, True, mesh,
+        is_reads=True, use_mid_qual=True, min_count=0,
+    )
+    assert n_rows == arr.ksize
+    np.testing.assert_array_equal(keys, arr.keys)
+    np.testing.assert_array_equal(variants, arr.variants)
