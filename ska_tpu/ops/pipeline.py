@@ -315,3 +315,77 @@ def unpack_host(sp_np, union_np, end_np, W):
             [hi >> np.uint64(4), (lo >> np.uint64(4)) | (hi << np.uint64(60))], axis=-1
         )
     return keys.reshape(-1, W).astype(np.uint64), sets.astype(np.uint8)
+
+
+@partial(jax.jit, static_argnames=("k", "rc", "W", "use_mid_qual"))
+def chunk_count_pipeline(seq, valid, qual_ok, rec_last, k, rc, W, use_mid_qual):
+    """Per-chunk stage of the chunked FASTQ count-filtered build.
+
+    Every occurrence of a given canonical whole k-mer yields the SAME
+    split (key, middle-base-set) pair — the split canonicalization,
+    middle base and palindrome W/S bits are all functions of the whole
+    k-mer. The min-count rank rule (bloom_filter.rs:116-148: contribute
+    iff the occurrence count reaches min_count) therefore reduces to a
+    pure per-whole-k-mer count threshold, which distributes over chunks
+    by summing per-chunk counts.
+
+    Returns (sorted whole keys (L, W), is_start bool[L], counts int32[L]
+    valid at segment starts, packed split (key<<4|set) at segment starts
+    (L, W), n_unique).
+    """
+    L = seq.shape[0]
+    h = (k - 1) // 2
+    res = X.extract_windows(seq, valid, rec_last, k, rc, W, True)
+    emit = res["emit"]
+    if use_mid_qual:
+        mid_ok = jnp.concatenate([qual_ok[h:], jnp.zeros(h, bool)])
+        emit = emit & mid_ok
+
+    mid = res["mid"]
+    sets = (
+        jnp.left_shift(jnp.uint8(1), mid)
+        | jnp.where(res["pal"], jnp.left_shift(jnp.uint8(1), mid ^ 2), 0)
+    ).astype(jnp.uint8)
+    packed = _pack_key_set(res["key"], sets, W)
+    wkeys = jnp.where(
+        emit[:, None], res["whole"], jnp.full_like(res["whole"], _SENT)
+    )
+    packed = jnp.where(emit[:, None], packed, jnp.full_like(packed, _SENT))
+
+    ops = tuple(wkeys[:, i] for i in range(W)) + tuple(
+        packed[:, i] for i in range(W)
+    ) + (emit,)
+    sres = jax.lax.sort(ops, num_keys=W)
+    swk = jnp.stack(sres[:W], axis=-1)
+    spacked = jnp.stack(sres[W : 2 * W], axis=-1)
+    semit = sres[2 * W]
+
+    first = jnp.concatenate(
+        [jnp.ones(1, bool), jnp.any(swk[1:] != swk[:-1], axis=-1)]
+    )
+    ssi = _seg_start_idx(first)
+    idx = jnp.arange(L, dtype=jnp.int32)
+    seg_end = jnp.concatenate([first[1:], jnp.ones(1, bool)])
+    # per-segment length, stored at the segment START via the end trick:
+    # length = end_idx - start_idx + 1; propagate from end backwards is
+    # awkward, so compute at ends then align: counts[start] of segment i
+    # = (next start) - start
+    next_start = jnp.concatenate(
+        [jnp.where(first[1:], idx[1:], L + 1), jnp.full(1, L, jnp.int32)]
+    )
+    # cumulative-min from the right gives each row its segment's end+1
+    rev_cummin = jnp.flip(jax.lax.cummin(jnp.flip(next_start)))
+    counts = jnp.where(first, rev_cummin - idx, 0)
+    live = jnp.any(swk != U64(_SENT), axis=-1)
+    n_unique = jnp.sum((first & live).astype(jnp.int32))
+    return swk, first & live, counts, spacked, n_unique
+
+
+def unpack_chunk_counts(swk, is_start, counts, spacked, W):
+    """Host-side compaction of chunk_count_pipeline outputs."""
+    sel = np.asarray(is_start)
+    return (
+        np.asarray(swk)[sel],
+        np.asarray(counts)[sel].astype(np.int64),
+        np.asarray(spacked)[sel],
+    )

@@ -208,8 +208,13 @@ def build_samples_merged(
             )
         )
 
+    cap = _max_chunk_bases()
     groups = {}
+    big = []
     for i, (batch, is_reads) in enumerate(prepared):
+        if len(batch.seq) + k + 1 > cap:
+            big.append(i)  # oversized sample: chunked per-sample build
+            continue
         Lp = _bucket(len(batch.seq) + k + 1)
         use_mq = bool(
             is_reads
@@ -224,6 +229,20 @@ def build_samples_merged(
     W = K.width_for_k(k)
     out = []
     bar = Bar(len(prepared), "samples")  # merge_ska_dict.rs:403 analog
+    if big:
+        from .encoding import SET_TO_ASCII
+
+        for i in big:
+            batch, is_reads = prepared[i]
+            keys_np, sets_np = dict_from_batch_chunked(
+                batch, k, rc, qual, is_reads, cap
+            )
+            if len(keys_np) == 0:
+                raise ValueError(f"{input_files[i][1]} has no valid sequence")
+            var = np.asarray(SET_TO_ASCII)[sets_np][:, None]
+            counts_np = np.ones(len(keys_np), np.int64)
+            out.append(([i], [input_files[i][0]], keys_np, var, counts_np))
+            bar.update(1)
     for (Lp, is_reads, use_mq), idxs in groups.items():
         for c0 in range(0, len(idxs), max_batch):
             chunk = idxs[c0 : c0 + max_batch]
@@ -311,6 +330,14 @@ def _run_batch(batches, Lp, k, rc, qual, is_reads, use_mq):
     ]
 
 
+def _max_chunk_bases() -> int:
+    """Device dispatch cap in bases; inputs beyond it build chunked
+    (bounded HBM, like the reference's streaming reads)."""
+    import os
+
+    return int(os.environ.get("SKA_MAX_CHUNK_BASES", str(1 << 26)))
+
+
 def dict_from_batch(
     batch: fastx.SeqBatch, k: int, rc: bool, qual: QualOpts, is_reads: bool
 ):
@@ -319,6 +346,9 @@ def dict_from_batch(
 
     W = K.width_for_k(k)
     L = len(batch.seq)
+    cap = _max_chunk_bases()
+    if L + k + 1 > cap:
+        return dict_from_batch_chunked(batch, k, rc, qual, is_reads, cap)
     Lp = _bucket(L + k + 1)
 
     valid, qual_ok = _masks(batch, qual, is_reads)
@@ -421,3 +451,117 @@ def build_samples_distributed(
                 raise ValueError(f"{input_files[i][1]} has no valid sequence")
         out.append((idxs, names, keys_np, var_np, counts_np))
     return out
+
+
+def _chunk_views(batch: fastx.SeqBatch, k: int, cap: int):
+    """Yield (seq, valid_mask_base, qual, rec_last) windows of the flat
+    batch with k-1 base overlap: chunk i covers window starts
+    [a_i, a_{i+1}) exactly (its slice is [a_i, a_{i+1}+k-1), so the
+    in-range check emits no start twice and drops none)."""
+    L = len(batch.seq)
+    step = max(cap - (k - 1), 1)
+    for a in range(0, L, step):
+        b = min(a + step, L)
+        end = min(b + k - 1, L)
+        yield a, b, end
+
+
+def dict_from_batch_chunked(
+    batch: fastx.SeqBatch, k: int, rc: bool, qual: QualOpts, is_reads: bool,
+    cap: int,
+):
+    """Chunked per-sample build for inputs larger than one device
+    dispatch (the reference streams reads with bounded memory,
+    ska_dict.rs:118-180; here bounded = `cap` bases per dispatch).
+
+    Without a count filter, chunks produce per-chunk sorted unique
+    (split key, set) pairs which merge by a host sort + segmented OR.
+    With min_count > 1, chunks produce per-whole-k-mer counts plus the
+    (identical per whole k-mer) split pair; counts sum across chunks
+    and the threshold applies globally (see
+    ops.pipeline.chunk_count_pipeline).
+    """
+    from .ops import pipeline as P
+
+    W = K.width_for_k(k)
+    valid_full, qual_full = _masks(batch, qual, is_reads)
+    use_mq = bool(
+        is_reads and batch.has_qual and qual.qual_filter in (QUAL_MIDDLE, QUAL_STRICT)
+    )
+    want_count = bool(is_reads and qual.min_count > 1)
+    Lp = _bucket(cap + k + 1)
+
+    kparts, sparts = [], []
+    wparts, cparts, pparts = [], [], []
+    for a, b, end in _chunk_views(batch, k, cap):
+        n = end - a
+        seq = np.zeros(Lp, np.uint8)
+        seq[:n] = batch.seq[a:end]
+        v = np.zeros(Lp, bool)
+        v[:n] = valid_full[a:end]
+        qo = np.zeros(Lp, bool)
+        qo[:n] = qual_full[a:end]
+        rl = np.zeros(Lp, bool)
+        rl[:n] = batch.rec_last[a:end]
+        if want_count:
+            swk, is_start, counts, spacked, nu = P.chunk_count_pipeline(
+                jnp.asarray(seq), jnp.asarray(v), jnp.asarray(qo),
+                jnp.asarray(rl), k, rc, W, use_mq,
+            )
+            wk, cnt, pk = P.unpack_chunk_counts(swk, is_start, counts, spacked, W)
+            wparts.append(wk)
+            cparts.append(cnt)
+            pparts.append(pk)
+        else:
+            sp, union, is_end, n_ = P.sample_pipeline(
+                jnp.asarray(seq), jnp.asarray(v), jnp.asarray(qo),
+                jnp.asarray(rl), k, rc, W, is_reads, use_mq, 0,
+            )
+            kk, ss = P.unpack_host(sp, union, is_end, W)
+            kparts.append(kk)
+            sparts.append(ss)
+
+    if want_count:
+        wk = np.concatenate(wparts)
+        cnt = np.concatenate(cparts)
+        pk = np.concatenate(pparts)
+        order = K.np_lex_argsort(wk)
+        wk, cnt, pk = wk[order], cnt[order], pk[order]
+        first = np.ones(len(wk), bool)
+        first[1:] = (wk[1:] != wk[:-1]).any(axis=-1)
+        gid = np.cumsum(first) - 1
+        totals = np.bincount(gid, weights=cnt).astype(np.int64)
+        # contribute iff the total occurrence count reaches min_count
+        # (identical split pair for every occurrence of a whole k-mer)
+        keep = totals >= qual.min_count
+        pk = pk[first][keep]
+        keys = _shr_np(pk)
+        sets = (pk[:, W - 1] & np.uint64(15)).astype(np.uint8)
+    else:
+        keys = np.concatenate(kparts) if kparts else np.zeros((0, W), np.uint64)
+        sets = np.concatenate(sparts) if sparts else np.zeros(0, np.uint8)
+
+    # merge across chunks / whole-kmer groups: sort by split key +
+    # segmented union of the 4-bit sets
+    if len(keys):
+        order = K.np_lex_argsort(keys)
+        keys, sets = keys[order], sets[order]
+        first = np.ones(len(keys), bool)
+        first[1:] = (keys[1:] != keys[:-1]).any(axis=-1)
+        gid = np.cumsum(first) - 1
+        uni = np.zeros(int(gid[-1]) + 1, np.uint8)
+        np.bitwise_or.at(uni, gid, sets)
+        keys = keys[first]
+        sets = uni
+    return keys.astype(np.uint64), sets.astype(np.uint8)
+
+
+def _shr_np(pk):
+    """(n, W) uint64 >> 4 across limbs."""
+    W = pk.shape[1]
+    if W == 1:
+        return pk >> np.uint64(4)
+    hi, lo = pk[:, 0], pk[:, 1]
+    return np.stack(
+        [hi >> np.uint64(4), (lo >> np.uint64(4)) | (hi << np.uint64(60))], axis=-1
+    )

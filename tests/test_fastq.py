@@ -174,3 +174,80 @@ def test_fit_histogram_unit():
     assert lines[0] == "Count\tK_mers\tMixture_density\tComponent"
     assert lines[1].startswith("1\t44633459\t")
     assert lines[8].endswith("Error") and lines[9].endswith("Coverage")
+
+
+def test_chunked_build_matches_single_dispatch(monkeypatch):
+    """Forcing a tiny per-dispatch cap must not change the sample dict:
+    FASTA contigs split mid-record (k-1 overlap slices) and FASTQ reads
+    with the min-count filter (per-whole-k-mer counts summed across
+    chunks) both reproduce the one-shot pipeline exactly."""
+    import numpy as np
+
+    from ska_tpu.io import fastx
+    from ska_tpu.sample import QualOpts, dict_from_batch
+
+    rng = np.random.default_rng(23)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+    for k in (17, 41):
+        # FASTA: one long contig + a short one, with some Ns
+        contig = rng.choice(bases, size=9000)
+        contig[rng.choice(9000, 40, replace=False)] = ord("N")
+        batch = fastx.build_batch([contig.tobytes(), contig[:500].tobytes()])
+        want = dict_from_batch(batch, k, True, QualOpts(), False)
+        monkeypatch.setenv("SKA_MAX_CHUNK_BASES", "2048")
+        got = dict_from_batch(batch, k, True, QualOpts(), False)
+        monkeypatch.delenv("SKA_MAX_CHUNK_BASES")
+        np.testing.assert_array_equal(got[0], want[0]), k
+        np.testing.assert_array_equal(got[1], want[1])
+
+    # FASTQ with min_count 2 and 3 + quality gates
+    for min_count in (0, 2, 3):
+        reads, quals = [], []
+        pool = [rng.choice(bases, size=80) for _ in range(6)]
+        for _ in range(60):
+            r = pool[rng.integers(0, 6)]
+            reads.append(r.tobytes())
+            # mostly high quality with occasional low bases, so strict
+            # filtering prunes some windows without killing them all
+            qa = rng.integers(60, 75, size=80, dtype=np.uint8)
+            low = rng.random(80) < 0.02
+            qa[low] = 40
+            quals.append(qa.tobytes())
+        batch = fastx.build_batch(reads, quals)
+        q = QualOpts(min_count=min_count, min_qual=20, qual_filter=2)
+        want = dict_from_batch(batch, 17, True, q, True)
+        monkeypatch.setenv("SKA_MAX_CHUNK_BASES", "1024")
+        got = dict_from_batch(batch, 17, True, q, True)
+        monkeypatch.delenv("SKA_MAX_CHUNK_BASES")
+        assert len(want[0]) > 0
+        np.testing.assert_array_equal(got[0], want[0]), min_count
+        np.testing.assert_array_equal(got[1], want[1])
+
+
+def test_api_build_with_chunked_samples(tmp_path, monkeypatch):
+    """api.build routes oversized samples through the chunked per-sample
+    path and still produces the exact multi-sample array."""
+    import numpy as np
+
+    from ska_tpu.api import build
+    from ska_tpu.sample import QualOpts
+
+    rng = np.random.default_rng(31)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    files = []
+    for i, size in enumerate((5000, 900, 5100)):
+        g = rng.choice(bases, size=size)
+        p = tmp_path / f"c{i}.fa"
+        with open(p, "wb") as f:
+            f.write(b">c%d\n" % i + g.tobytes() + b"\n")
+        files.append((f"c{i}", str(p), None))
+
+    want = build(files, 31, True, QualOpts())
+    monkeypatch.setenv("SKA_MAX_CHUNK_BASES", "2048")
+    got = build(files, 31, True, QualOpts())
+
+    assert got.names == want.names
+    np.testing.assert_array_equal(got.keys, want.keys)
+    np.testing.assert_array_equal(got.variants, want.variants)
+    np.testing.assert_array_equal(got.counts, want.counts)
