@@ -182,6 +182,14 @@ def main(argv=None):
     print("SKA: Split K-mer Analysis (the alignment-free aligner)", file=sys.stderr)
     start = time.time()
 
+    profile_dir = os.environ.get("SKA_PROFILE")
+    if profile_dir:
+        # device-level tracing: SKA_PROFILE=<dir> wraps the whole command
+        # in a JAX profiler trace (viewable with tensorboard/xprof)
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
+
     from . import api
     from .io import fastx, skf
     from .sample import QualOpts
@@ -284,6 +292,12 @@ def main(argv=None):
             reference_genome=args.reference,
         )
         run_skalo(arr, config)
+
+    if profile_dir:
+        import jax
+
+        jax.profiler.stop_trace()
+        log.info("profiler trace written to %s", profile_dir)
 
     elapsed = int(time.time() - start)
     print(f"SKA done in {elapsed}s", file=sys.stderr)

@@ -129,3 +129,12 @@ def test_cli_threads_noop_notice_and_progress(tmp_path, ref_in, capsys, caplog):
     )
     _logging.getLogger().handlers.clear()  # undo basicConfig for later tests
     assert any("no-op" in r.message for r in caplog.records)
+
+
+def test_cli_profile_trace(tmp_path, ref_in, capsys, monkeypatch):
+    """SKA_PROFILE=<dir> wraps the command in a JAX profiler trace."""
+    import glob
+
+    monkeypatch.setenv("SKA_PROFILE", str(tmp_path / "trace"))
+    _run(["nk", f"{ref_in}/merge.skf"], capsys)
+    assert glob.glob(str(tmp_path / "trace" / "plugins" / "profile" / "*" / "*.xplane.pb"))
