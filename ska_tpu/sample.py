@@ -335,7 +335,8 @@ def _max_chunk_bases() -> int:
     (bounded HBM, like the reference's streaming reads)."""
     import os
 
-    return int(os.environ.get("SKA_MAX_CHUNK_BASES", str(1 << 26)))
+    # default just under a pow2 so the padded chunk bucket stays 2^26
+    return int(os.environ.get("SKA_MAX_CHUNK_BASES", str((1 << 26) - 128)))
 
 
 def dict_from_batch(
