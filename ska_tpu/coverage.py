@@ -56,18 +56,24 @@ class CoverageHistogram:
             seqs.extend(fastx.read_fastx(f).seqs)
         batch = fastx.build_batch(seqs)  # quality ignored (coverage.rs:102)
         L = len(batch.seq)
-        Lp = _bucket(L + k + 1)
-        seq = np.zeros(Lp, np.uint8)
-        seq[:L] = batch.seq
-        valid = ((seq & 0xF) != 14) & (seq != 0)
-        rec_last = np.zeros(Lp, bool)
-        rec_last[:L] = batch.rec_last
         W = K.width_for_k(k)
-        res = X.extract_windows(
-            jnp.asarray(seq), jnp.asarray(valid), jnp.asarray(rec_last), k, rc, W
-        )
-        hist = S.count_histogram(res["key"], res["emit"], MAX_COUNT)
-        self.counts = np.asarray(hist, dtype=np.int64)
+        from .sample import _max_chunk_bases
+
+        cap = _max_chunk_bases()
+        if L + k + 1 > cap:
+            self.counts = _chunked_hist(batch, k, rc, W, cap)
+        else:
+            Lp = _bucket(L + k + 1)
+            seq = np.zeros(Lp, np.uint8)
+            seq[:L] = batch.seq
+            valid = ((seq & 0xF) != 14) & (seq != 0)
+            rec_last = np.zeros(Lp, bool)
+            rec_last[:L] = batch.rec_last
+            res = X.extract_windows(
+                jnp.asarray(seq), jnp.asarray(valid), jnp.asarray(rec_last), k, rc, W
+            )
+            hist = S.count_histogram(res["key"], res["emit"], MAX_COUNT)
+            self.counts = np.asarray(hist, dtype=np.int64)
 
     def fit_histogram(self) -> int:
         if self.fitted:
@@ -220,3 +226,42 @@ def _rust_exp(x: float) -> str:
     if len(digits) == 1:
         return f"{sign}{digits}e{e}"
     return f"{sign}{digits[0]}.{digits[1:]}e{e}"
+
+
+def _chunked_hist(batch, k, rc, W, cap):
+    """Bounded-memory count histogram: per-chunk sorted split-key counts
+    summed across k-1-overlap slices, then binned (same rules as
+    ops.segment.count_histogram: bin[c-1] for c <= MAX_COUNT)."""
+    from .ops import pipeline as P
+    from .sample import _chunk_views
+
+    Lp = _bucket(cap + k + 1)
+    kparts, cparts = [], []
+    for a, b, end in _chunk_views(batch, k, cap):
+        n = end - a
+        seq = np.zeros(Lp, np.uint8)
+        seq[:n] = batch.seq[a:end]
+        valid = ((seq & 0xF) != 14) & (seq != 0)
+        rec_last = np.zeros(Lp, bool)
+        rec_last[:n] = batch.rec_last[a:end]
+        skeys, is_start, counts = P.chunk_key_counts(
+            jnp.asarray(seq), jnp.asarray(valid), jnp.asarray(rec_last), k, rc, W
+        )
+        sel = np.asarray(is_start)
+        kparts.append(np.asarray(skeys)[sel])
+        cparts.append(np.asarray(counts)[sel].astype(np.int64))
+
+    keys = np.concatenate(kparts) if kparts else np.zeros((0, W), np.uint64)
+    cnts = np.concatenate(cparts) if cparts else np.zeros(0, np.int64)
+    if len(keys) == 0:
+        return np.zeros(MAX_COUNT, np.int64)
+    order = K.np_lex_argsort(keys)
+    keys, cnts = keys[order], cnts[order]
+    first = np.ones(len(keys), bool)
+    first[1:] = (keys[1:] != keys[:-1]).any(axis=-1)
+    gid = np.cumsum(first) - 1
+    totals = np.bincount(gid, weights=cnts).astype(np.int64)
+    keep = totals <= MAX_COUNT
+    return np.bincount(
+        totals[keep] - 1, minlength=MAX_COUNT
+    ).astype(np.int64)[:MAX_COUNT]

@@ -389,3 +389,28 @@ def unpack_chunk_counts(swk, is_start, counts, spacked, W):
         np.asarray(counts)[sel].astype(np.int64),
         np.asarray(spacked)[sel],
     )
+
+
+@partial(jax.jit, static_argnames=("k", "rc", "W"))
+def chunk_key_counts(seq, valid, rec_last, k, rc, W):
+    """Per-chunk split-key occurrence counts for chunked `ska cov`
+    (coverage.rs:104-135 counts split k-mer keys, qualities ignored).
+    Returns (sorted keys (L, W), is_start, counts at starts)."""
+    L = seq.shape[0]
+    res = X.extract_windows(seq, valid, rec_last, k, rc, W)
+    emit = res["emit"]
+    keys = jnp.where(
+        emit[:, None], res["key"], jnp.full_like(res["key"], _SENT)
+    )
+    skeys, _, _ = K.sort_with(keys, ())
+    first = jnp.concatenate(
+        [jnp.ones(1, bool), jnp.any(skeys[1:] != skeys[:-1], axis=-1)]
+    )
+    idx = jnp.arange(L, dtype=jnp.int32)
+    next_start = jnp.concatenate(
+        [jnp.where(first[1:], idx[1:], L + 1), jnp.full(1, L, jnp.int32)]
+    )
+    rev_cummin = jnp.flip(jax.lax.cummin(jnp.flip(next_start)))
+    counts = jnp.where(first, rev_cummin - idx, 0)
+    live = jnp.any(skeys != U64(_SENT), axis=-1)
+    return skeys, first & live, counts

@@ -251,3 +251,15 @@ def test_api_build_with_chunked_samples(tmp_path, monkeypatch):
     np.testing.assert_array_equal(got.keys, want.keys)
     np.testing.assert_array_equal(got.variants, want.variants)
     np.testing.assert_array_equal(got.counts, want.counts)
+
+
+def test_cov_chunked_matches_single_dispatch(ref_in, monkeypatch):
+    """A tiny forced chunk cap must not change the cov histogram."""
+    want = CoverageHistogram(
+        f"{ref_in}/test_1_fwd.fastq.gz", f"{ref_in}/test_1_rev.fastq.gz", 9, True
+    ).counts
+    monkeypatch.setenv("SKA_MAX_CHUNK_BASES", "1024")
+    got = CoverageHistogram(
+        f"{ref_in}/test_1_fwd.fastq.gz", f"{ref_in}/test_1_rev.fastq.gz", 9, True
+    ).counts
+    np.testing.assert_array_equal(got, want)
