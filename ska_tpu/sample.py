@@ -414,8 +414,13 @@ def build_samples_distributed(
             )
         )
 
+    cap = _max_chunk_bases()
     groups = {}
+    big = []
     for i, (batch, is_reads) in enumerate(prepared):
+        if len(batch.seq) + k + 1 > cap:
+            big.append(i)  # oversized: chunked per-sample build
+            continue
         use_mq = bool(
             is_reads
             and batch.has_qual
@@ -424,6 +429,19 @@ def build_samples_distributed(
         groups.setdefault((is_reads, use_mq), []).append(i)
 
     out = []
+    if big:
+        from .encoding import SET_TO_ASCII
+
+        for i in big:
+            batch, is_reads = prepared[i]
+            keys_np, sets_np = dict_from_batch_chunked(
+                batch, k, rc, qual, is_reads, cap
+            )
+            if len(keys_np) == 0:
+                raise ValueError(f"{input_files[i][1]} has no valid sequence")
+            var = np.asarray(SET_TO_ASCII)[sets_np][:, None]
+            out.append(([i], [input_files[i][0]], keys_np, var,
+                        np.ones(len(keys_np), np.int64)))
     for (is_reads, use_mq), idxs in groups.items():
         Lp = max(_bucket(len(prepared[i][0].seq) + k + 1) for i in idxs)
         S = len(idxs)

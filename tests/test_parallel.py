@@ -217,3 +217,28 @@ def test_distributed_fastq_mid_qual_gate():
     assert n_rows == arr.ksize
     np.testing.assert_array_equal(keys, arr.keys)
     np.testing.assert_array_equal(variants, arr.variants)
+
+
+def test_api_build_distributed_with_oversized_sample(tmp_path, monkeypatch):
+    """An oversized sample routes through the chunked per-sample build
+    even on the mesh path; the result equals the serial build."""
+    from ska_tpu.api import build
+
+    rng = np.random.default_rng(17)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    files = []
+    for i, size in enumerate((600, 5000, 700)):
+        g = rng.choice(bases, size=size)
+        p = tmp_path / f"m{i}.fa"
+        with open(p, "wb") as f:
+            f.write(b">m%d\n" % i + g.tobytes() + b"\n")
+        files.append((f"m{i}", str(p), None))
+
+    monkeypatch.setenv("SKA_DISTRIBUTED", "0")
+    want = build(files, 31, True, QualOpts())
+    monkeypatch.setenv("SKA_DISTRIBUTED", "1")
+    monkeypatch.setenv("SKA_MAX_CHUNK_BASES", "2048")
+    got = build(files, 31, True, QualOpts())
+    assert got.names == want.names
+    np.testing.assert_array_equal(got.keys, want.keys)
+    np.testing.assert_array_equal(got.variants, want.variants)
