@@ -50,24 +50,35 @@ class RefSka:
         poss = []
         chroms = []
         rcs = []
+        from .sample import _max_chunk_bases
+
+        cap = _max_chunk_bases()
         for ci, s in enumerate(self.seq):
             L = len(s)
-            Lp = _bucket(L + k + 1)
-            seq = np.zeros(Lp, np.uint8)
-            seq[:L] = s
-            valid = ((seq & 0xF) != 14) & (seq != 0)
-            rec_last = np.zeros(Lp, bool)
-            if L:
-                rec_last[L - 1] = True
-            res = X.extract_windows(
-                jnp.asarray(seq), jnp.asarray(valid), jnp.asarray(rec_last), k, rc, W
-            )
-            emit = np.asarray(res["emit"])
-            idx = np.nonzero(emit)[0]
-            kmers.append(np.asarray(res["key"])[idx])
-            poss.append(idx.astype(np.int64) + h)  # middle-base position
-            chroms.append(np.full(len(idx), ci, dtype=np.int32))
-            rcs.append(np.asarray(res["is_rc"])[idx])
+            # chromosomes beyond one device dispatch extract in k-1-overlap
+            # slices: slice [a, b+k-1) owns exactly the window starts in
+            # [a, b), so positions concatenate without loss or duplication
+            step = min(L + 1, max(cap - (k - 1), 1))
+            Lp = _bucket(min(L, step + k - 1) + k + 1)
+            for a in range(0, max(L, 1), step):
+                b = min(a + step, L)
+                end = min(b + k - 1, L)
+                n = end - a
+                seq = np.zeros(Lp, np.uint8)
+                seq[:n] = s[a:end]
+                valid = ((seq & 0xF) != 14) & (seq != 0)
+                rec_last = np.zeros(Lp, bool)
+                if end == L and L:
+                    rec_last[n - 1] = True
+                res = X.extract_windows(
+                    jnp.asarray(seq), jnp.asarray(valid), jnp.asarray(rec_last), k, rc, W
+                )
+                emit = np.asarray(res["emit"])
+                idx = np.nonzero(emit)[0]
+                kmers.append(np.asarray(res["key"])[idx])
+                poss.append(idx.astype(np.int64) + a + h)  # middle-base position
+                chroms.append(np.full(len(idx), ci, dtype=np.int32))
+                rcs.append(np.asarray(res["is_rc"])[idx])
 
         self.kmers = np.concatenate(kmers) if kmers else np.zeros((0, W), np.uint64)
         self.pos = np.concatenate(poss) if poss else np.zeros(0, np.int64)

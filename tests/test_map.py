@@ -154,3 +154,32 @@ def test_repeat_coors_vectorized_matches_literal_loop(tmp_path):
 
     assert len(expected) > 0
     assert ref.repeat_coors.tolist() == expected
+
+
+def test_refska_chunked_matches_single_dispatch(tmp_path, monkeypatch):
+    """A tiny forced chunk cap must not change the reference index
+    (keys, positions, chrom ids, strands) or map/vcf output."""
+    import io
+
+    import numpy as np
+
+    from ska_tpu.ref import RefSka
+
+    rng = np.random.default_rng(41)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    fa = tmp_path / "big.fa"
+    g1 = rng.choice(bases, size=7000)
+    g1[rng.choice(7000, 30, replace=False)] = ord("N")
+    g2 = rng.choice(bases, size=900)
+    with open(fa, "w") as f:
+        f.write(">c1\n" + g1.tobytes().decode() + "\n>c2\n" + g2.tobytes().decode() + "\n")
+
+    want = RefSka(31, str(fa), True, False, True)
+    monkeypatch.setenv("SKA_MAX_CHUNK_BASES", "2048")
+    got = RefSka(31, str(fa), True, False, True)
+
+    np.testing.assert_array_equal(got.kmers, want.kmers)
+    np.testing.assert_array_equal(got.pos, want.pos)
+    np.testing.assert_array_equal(got.chrom, want.chrom)
+    np.testing.assert_array_equal(got.krc, want.krc)
+    np.testing.assert_array_equal(got.repeat_coors, want.repeat_coors)
