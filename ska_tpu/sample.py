@@ -567,11 +567,10 @@ def dict_from_batch_chunked(
         keys, sets = keys[order], sets[order]
         first = np.ones(len(keys), bool)
         first[1:] = (keys[1:] != keys[:-1]).any(axis=-1)
-        gid = np.cumsum(first) - 1
-        uni = np.zeros(int(gid[-1]) + 1, np.uint8)
-        np.bitwise_or.at(uni, gid, sets)
+        # segmented OR via reduceat (ufunc.at is unbuffered and ~100x
+        # slower at genome scale)
+        sets = np.bitwise_or.reduceat(sets, np.flatnonzero(first))
         keys = keys[first]
-        sets = uni
     return keys.astype(np.uint64), sets.astype(np.uint8)
 
 
