@@ -92,15 +92,11 @@ class RefSka:
         if repeat_mask:
             from .array import _combine128
 
-            if W == 1:
-                flat = self.kmers[:, 0]
-                uniq, counts = np.unique(flat, return_counts=True)
-                rep_set = set(uniq[counts > 1].tolist())
-                is_rep = np.isin(flat, uniq[counts > 1])
-            else:
-                comb = _combine128(self.kmers)
-                uniq, counts = np.unique(comb, return_counts=True)
-                is_rep = np.isin(comb, uniq[counts > 1])
+            flat = self.kmers[:, 0] if W == 1 else _combine128(self.kmers)
+            # one sort: return_inverse gives per-row group membership, so
+            # no second np.isin sort is needed
+            _, inv, counts = np.unique(flat, return_inverse=True, return_counts=True)
+            is_rep = counts[inv] > 1
             # Vectorized interval union. Global positions ascend strictly,
             # so the reference's running last_end is simply the previous
             # interval's end: each span [pos-h, pos+h] is clipped to start
