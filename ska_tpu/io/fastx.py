@@ -107,39 +107,28 @@ class SeqBatch:
 
 
 def build_batch(seqs, quals=None) -> SeqBatch:
-    """Concatenate records with separators into a SeqBatch."""
+    """Concatenate records with zero-byte separators into a SeqBatch.
+
+    bytes.join + frombuffer instead of per-record numpy arrays: the old
+    3-arrays-per-record loop cost ~30s at a million reads."""
     n = len(seqs)
     has_qual = quals is not None and any(q is not None for q in quals)
-    parts = []
-    qparts = []
-    last = []
-    for i, s in enumerate(seqs):
-        arr = np.frombuffer(bytes(s), dtype=np.uint8)
-        parts.append(arr)
-        if has_qual:
-            q = quals[i]
-            qa = (
-                np.frombuffer(bytes(q), dtype=np.uint8)
-                if q is not None
-                else np.zeros(len(arr), dtype=np.uint8)
-            )
-            qparts.append(qa)
-        rl = np.zeros(len(arr), dtype=bool)
-        if len(arr):
-            rl[-1] = True
-        last.append(rl)
-        if i != n - 1:
-            parts.append(np.zeros(1, dtype=np.uint8))
-            if has_qual:
-                qparts.append(np.zeros(1, dtype=np.uint8))
-            last.append(np.zeros(1, dtype=bool))
-    seq = np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint8)
-    qual = (
-        np.concatenate(qparts)
-        if has_qual
-        else np.zeros(len(seq), dtype=np.uint8)
-    )
-    rec_last = np.concatenate(last) if last else np.zeros(0, dtype=bool)
+    seqs_b = [bytes(s) for s in seqs]
+    seq = np.frombuffer(b"\x00".join(seqs_b), dtype=np.uint8)
+    lengths = np.array([len(s) for s in seqs_b], dtype=np.int64)
+    rec_last = np.zeros(len(seq), dtype=bool)
+    if n:
+        offs = np.concatenate([[0], np.cumsum(lengths[:-1] + 1)])
+        ends = offs + lengths - 1
+        rec_last[ends[lengths > 0]] = True
+    if has_qual:
+        quals_b = [
+            bytes(q) if q is not None else b"\x00" * len(s)
+            for q, s in zip(quals, seqs_b)
+        ]
+        qual = np.frombuffer(b"\x00".join(quals_b), dtype=np.uint8)
+    else:
+        qual = np.zeros(len(seq), dtype=np.uint8)
     return SeqBatch(seq=seq, qual=qual, rec_last=rec_last, has_qual=has_qual, n_records=n)
 
 
