@@ -76,17 +76,20 @@ def main():
         sp, union, is_end, n = P.batched_pipeline(
             seqs, valid, qual_ok, rec_last, k, True, W, False, False, 0
         )
-        # scalar readback forces completion (block_until_ready is not
-        # reliable through the axon relay)
-        return int(np.asarray(n)[0])
+        return n
 
-    step()  # warm up / compile
+    # scalar readback forces completion (block_until_ready is not
+    # reliable through the axon relay)
+    int(np.asarray(step())[0])  # warm up / compile
     iters = 5
     t0 = time.perf_counter()
-    for _ in range(iters):
-        n = step()
+    # queue all dispatches, then force completion once: per-iteration
+    # readbacks would add one relay round-trip (~30-100ms) per step
+    ns = [step() for _ in range(iters)]
+    # dispatches execute in order, so syncing on the last result covers all
+    n = int(np.asarray(ns[-1])[0])
     dt = time.perf_counter() - t0
-    assert n > 0
+    assert n > 0 and all(x.shape == ns[-1].shape for x in ns)
 
     windows = S * (L - k + 1)
     kmers_per_sec = windows * iters / dt
