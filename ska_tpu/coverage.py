@@ -236,8 +236,9 @@ def _chunked_hist(batch, k, rc, W, cap):
     from .sample import _chunk_views
 
     Lp = _bucket(cap + k + 1)
+    valid_full = ((batch.seq & 0xF) != 14) & (batch.seq != 0)
     kparts, cparts = [], []
-    for a, b, end in _chunk_views(batch, k, cap):
+    for a, b, end in _chunk_views(batch, k, cap, valid_full):
         n = end - a
         seq = np.zeros(Lp, np.uint8)
         seq[:n] = batch.seq[a:end]

@@ -59,9 +59,17 @@ class RefSka:
             # slices: slice [a, b+k-1) owns exactly the window starts in
             # [a, b), so positions concatenate without loss or duplication
             step = min(L + 1, max(cap - (k - 1), 1))
-            Lp = _bucket(min(L, step + k - 1) + k + 1)
-            for a in range(0, max(L, 1), step):
+            Lp = _bucket(min(L, step + k - 1) + k + 1 + 8)
+            a = 0
+            first_pass = True
+            while a < L or (first_pass and L == 0):
+                first_pass = False
                 b = min(a + step, L)
+                # the chromosome-final window's emission consults the
+                # previous base (roll-only rule); never start a chunk
+                # exactly on it
+                if b == L - k and b > 0 and (s[b - 1] & 0xF) != 14:
+                    b += 1
                 end = min(b + k - 1, L)
                 n = end - a
                 seq = np.zeros(Lp, np.uint8)
@@ -79,6 +87,7 @@ class RefSka:
                 poss.append(idx.astype(np.int64) + a + h)  # middle-base position
                 chroms.append(np.full(len(idx), ci, dtype=np.int32))
                 rcs.append(np.asarray(res["is_rc"])[idx])
+                a = b
 
         self.kmers = np.concatenate(kmers) if kmers else np.zeros((0, W), np.uint64)
         self.pos = np.concatenate(poss) if poss else np.zeros(0, np.int64)

@@ -472,17 +472,36 @@ def build_samples_distributed(
     return out
 
 
-def _chunk_views(batch: fastx.SeqBatch, k: int, cap: int):
-    """Yield (seq, valid_mask_base, qual, rec_last) windows of the flat
-    batch with k-1 base overlap: chunk i covers window starts
-    [a_i, a_{i+1}) exactly (its slice is [a_i, a_{i+1}+k-1), so the
-    in-range check emits no start twice and drops none)."""
+def _chunk_views(batch: fastx.SeqBatch, k: int, cap: int, valid=None):
+    """Yield (a, b, end) slice windows of the flat batch with k-1 base
+    overlap: chunk i covers window starts [a_i, a_{i+1}) exactly (its
+    slice is [a_i, a_{i+1}+k-1), so the in-range check emits no start
+    twice and drops none).
+
+    A boundary may not land where the next chunk's FIRST window is a
+    record-final window whose previous base is valid: that window's
+    emission rule (split_kmer.rs roll-only last window) consults
+    valid[a-1], which the next slice cannot see — nudge the boundary
+    forward past such spots (drift is bounded by the record length;
+    separators break the valid[b-1] condition)."""
     L = len(batch.seq)
+    rl = batch.rec_last
     step = max(cap - (k - 1), 1)
-    for a in range(0, L, step):
+    a = 0
+    while a < L:
         b = min(a + step, L)
+        if valid is not None:
+            while (
+                b < L
+                and b + k - 1 < L
+                and rl[b + k - 1]
+                and b > 0
+                and valid[b - 1]
+            ):
+                b += 1
         end = min(b + k - 1, L)
         yield a, b, end
+        a = b
 
 
 def dict_from_batch_chunked(
@@ -512,7 +531,7 @@ def dict_from_batch_chunked(
 
     kparts, sparts = [], []
     wparts, cparts, pparts = [], [], []
-    for a, b, end in _chunk_views(batch, k, cap):
+    for a, b, end in _chunk_views(batch, k, cap, valid_full):
         n = end - a
         seq = np.zeros(Lp, np.uint8)
         seq[:n] = batch.seq[a:end]

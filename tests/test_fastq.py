@@ -263,3 +263,25 @@ def test_cov_chunked_matches_single_dispatch(ref_in, monkeypatch):
         f"{ref_in}/test_1_fwd.fastq.gz", f"{ref_in}/test_1_rev.fastq.gz", 9, True
     ).counts
     np.testing.assert_array_equal(got, want)
+
+
+def test_chunked_boundary_on_record_final_window(monkeypatch):
+    """A record whose final (roll-only) window starts exactly at a chunk
+    boundary must still be emitted: the boundary nudges forward so the
+    emission rule can see the previous base's validity."""
+    import numpy as np
+
+    from ska_tpu.io import fastx
+    from ska_tpu.sample import QualOpts, dict_from_batch
+
+    k, cap = 9, 64
+    step = cap - (k - 1)  # 56
+    rng = np.random.default_rng(2)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    rec = rng.choice(bases, size=step + k)  # final window starts at `step`
+    batch = fastx.build_batch([rec.tobytes()])
+    want = dict_from_batch(batch, k, True, QualOpts(), False)
+    monkeypatch.setenv("SKA_MAX_CHUNK_BASES", str(cap))
+    got = dict_from_batch(batch, k, True, QualOpts(), False)
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])
