@@ -115,7 +115,13 @@ def edge_content_ids(fhi, flo, mo):
     resolved = masks2[first_orig]      # (G, M)
     # content ids: any bijection of equal-rows -> equal-ids works (only
     # mask_id equality is ever tested); np.unique(axis=0) is ~20x slower
-    if resolved.shape[1] == 1:
+    if resolved.shape[1] == 1 and (
+        len(resolved) == 0 or int(resolved[:, 0].max()) < (1 << 31)
+    ):
+        # <= 31 samples: the bitmask itself is a valid int32 content id
+        # (np.unique here cost ~4.6s on an 8.4M-edge dense genome)
+        content = resolved[:, 0]
+    elif resolved.shape[1] == 1:
         _, content = np.unique(resolved[:, 0], return_inverse=True)
     else:
         rorder = np.lexsort(resolved.T[::-1])
