@@ -23,6 +23,15 @@ import jax
 # before any jax.numpy use (reference uses u64/u128, src/lib.rs:592-622).
 jax.config.update("jax_enable_x64", True)
 
+# SKA_PLATFORM=cpu|tpu|... pins the JAX platform for the whole toolchain.
+# Plugin site hooks may pin a remote accelerator platform in a way plain
+# JAX_PLATFORMS cannot override; this gives operators an escape hatch to
+# run host-only (e.g. no accelerator attached, or a degraded link) —
+# everything in the pipeline also runs on the CPU backend, just slower.
+_platform = os.environ.get("SKA_PLATFORM", "")
+if _platform:
+    jax.config.update("jax_platforms", _platform)
+
 # Persistent XLA compilation cache: a fresh CLI process otherwise pays
 # ~25-30s compiling the build pipeline per shape. Opt out with
 # SKA_TPU_CACHE_DIR="".

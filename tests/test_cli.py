@@ -138,3 +138,21 @@ def test_cli_profile_trace(tmp_path, ref_in, capsys, monkeypatch):
     monkeypatch.setenv("SKA_PROFILE", str(tmp_path / "trace"))
     _run(["nk", f"{ref_in}/merge.skf"], capsys)
     assert glob.glob(str(tmp_path / "trace" / "plugins" / "profile" / "*" / "*.xplane.pb"))
+
+
+def test_ska_platform_env_pins_backend():
+    """SKA_PLATFORM=cpu must pin the JAX platform even when a plugin
+    sitecustomize pins an accelerator (ska_tpu/__init__.py)."""
+    import os
+    import subprocess
+
+    env = dict(os.environ, SKA_PLATFORM="cpu")
+    env.pop("JAX_PLATFORMS", None)
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import ska_tpu, jax; print(jax.devices()[0].platform)"],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert r.stdout.strip().splitlines()[-1] == "cpu"
