@@ -72,12 +72,9 @@ while time.time() < t_end and it < 40:
                           ("chunk", {"SKA_DISTRIBUTED": "0", "SKA_MAX_CHUNK_BASES": "512"}),
                           ("dist+chunk", {"SKA_DISTRIBUTED": "1", "SKA_MAX_CHUNK_BASES": "512"})):
             os.environ.update(env)
-            try:
-                got = build(files, k, rc, qual)
-            except ValueError as e:
-                if "no valid sequence" in str(e):
-                    continue
-                raise
+            # the ref build succeeded, so a "no valid sequence" here IS a
+            # divergence between the paths — let it propagate
+            got = build(files, k, rc, qual)
             assert got.names == ref.names, (it, mode, k, fmt)
             np.testing.assert_array_equal(got.keys, ref.keys, err_msg=f"{it} {mode} k={k} {fmt} {qual}")
             np.testing.assert_array_equal(got.variants, ref.variants, err_msg=f"{it} {mode} k={k} {fmt} {qual}")

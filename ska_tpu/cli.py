@@ -182,14 +182,6 @@ def main(argv=None):
     print("SKA: Split K-mer Analysis (the alignment-free aligner)", file=sys.stderr)
     start = time.time()
 
-    profile_dir = os.environ.get("SKA_PROFILE")
-    if profile_dir:
-        # device-level tracing: SKA_PROFILE=<dir> wraps the whole command
-        # in a JAX profiler trace (viewable with tensorboard/xprof)
-        import jax
-
-        jax.profiler.start_trace(profile_dir)
-
     from . import api
     from .io import fastx, skf
     from .sample import QualOpts
@@ -201,6 +193,17 @@ def main(argv=None):
         from .parallel import init_multihost
 
         init_multihost()
+
+    profile_dir = os.environ.get("SKA_PROFILE")
+    if profile_dir:
+        # device-level tracing: SKA_PROFILE=<dir> wraps the whole command
+        # in a JAX profiler trace (viewable with tensorboard/xprof).
+        # Must come AFTER init_multihost: start_trace force-initializes
+        # the backends, and jax.distributed.initialize has to run first
+        # or the process group join fails / the mesh spans one host only.
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
     if getattr(args, "threads", 1) > 1:
         # the reference's rayon thread count (power-of-2, >=10 samples per
         # thread); here device batching / the mesh replaces rayon, so the

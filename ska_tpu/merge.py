@@ -62,13 +62,35 @@ def merge_samples(samples: List[SampleDict], ska_version: str = None) -> SkaArra
     return SkaArray(k=k, rc=rc, names=names, keys=ukeys, variants=variants, counts=counts)
 
 
+def _sorted_rows(a: SkaArray):
+    """(keys, variants) with rows in lexicographic key order; no copy when
+    already sorted (the common case for arrays built by this framework)."""
+    keys = a.keys
+    if keys.shape[0] > 1:
+        if keys.shape[1] == 1:
+            flat = keys[:, 0]
+            is_sorted = bool(np.all(flat[1:] >= flat[:-1]))
+        else:
+            from .array import _combine128
+
+            comb = _combine128(keys)
+            is_sorted = bool(np.all(comb[1:] >= comb[:-1]))
+        if not is_sorted:
+            order = K.np_lex_argsort(keys)
+            return keys[order], a.variants[order]
+    return keys, a.variants
+
+
 def extend_arrays(arrays: List[SkaArray]) -> SkaArray:
     """`ska merge`: union of k-mers, concatenated sample columns
     (reference MergeSkaDict::extend, merge_ska_dict.rs:160-193).
 
-    Per-array key arrays are already sorted, so the union is a linear
-    B-way merge (csrc/merge_batches.cpp) — no host sort ever touches the
-    full union; the numpy lexsort below is the no-toolchain fallback."""
+    Arrays built by this framework are key-sorted, so the union is a
+    linear B-way merge (csrc/merge_batches.cpp) — no host sort ever
+    touches the full union. Arrays loaded from reference-written `.skf`
+    files keep the file's hashmap row order (io/skf.py preserves it), so
+    any unsorted input is per-array sorted first; the numpy lexsort below
+    is the no-toolchain fallback."""
     k = arrays[0].k
     rc = arrays[0].rc
     for a in arrays[1:]:
@@ -84,8 +106,9 @@ def extend_arrays(arrays: List[SkaArray]) -> SkaArray:
     except Exception:  # pragma: no cover - no toolchain
         native = None
     if native is not None:
+        pairs = [_sorted_rows(a) for a in arrays]
         ukeys, variants, counts = native.merge_batches(
-            [a.keys for a in arrays], [a.variants for a in arrays]
+            [p[0] for p in pairs], [p[1] for p in pairs]
         )
         return SkaArray(
             k=k, rc=rc, names=names, keys=ukeys, variants=variants, counts=counts

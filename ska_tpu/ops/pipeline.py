@@ -354,18 +354,15 @@ def chunk_count_pipeline(seq, valid, qual_ok, rec_last, k, rc, W, use_mid_qual):
 
     ops = tuple(wkeys[:, i] for i in range(W)) + tuple(
         packed[:, i] for i in range(W)
-    ) + (emit,)
+    )
     sres = jax.lax.sort(ops, num_keys=W)
     swk = jnp.stack(sres[:W], axis=-1)
     spacked = jnp.stack(sres[W : 2 * W], axis=-1)
-    semit = sres[2 * W]
 
     first = jnp.concatenate(
         [jnp.ones(1, bool), jnp.any(swk[1:] != swk[:-1], axis=-1)]
     )
-    ssi = _seg_start_idx(first)
     idx = jnp.arange(L, dtype=jnp.int32)
-    seg_end = jnp.concatenate([first[1:], jnp.ones(1, bool)])
     # per-segment length, stored at the segment START via the end trick:
     # length = end_idx - start_idx + 1; propagate from end backwards is
     # awkward, so compute at ends then align: counts[start] of segment i

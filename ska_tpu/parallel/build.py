@@ -144,7 +144,14 @@ def _shard_step(
 
     ascii_vals = jnp.asarray(SET_TO_ASCII)[mset]
     gap = jnp.uint8(ord("-"))
-    pos = jnp.where(mlive, rows * n_samples + msid, M * n_samples)
+    # flat scatter position: int32 wraps once M * n_samples exceeds 2^31
+    # (large-sample mesh builds), silently dropping rows — both factors
+    # are static, so widen exactly when needed
+    idt = jnp.int32 if M * n_samples + 1 < 2**31 else jnp.int64
+    pos = jnp.where(
+        mlive, rows.astype(idt) * idt(n_samples) + msid.astype(idt),
+        idt(M * n_samples),
+    )
     variants = (
         jnp.full(M * n_samples + 1, gap, jnp.uint8)
         .at[pos]

@@ -6,6 +6,7 @@ middle-base-set column, produced on device by
 extract -> (count filter for reads) -> sort -> segmented union.
 """
 
+import os
 from dataclasses import dataclass
 from functools import lru_cache
 from typing import List, Optional, Tuple
@@ -426,7 +427,12 @@ def build_samples_distributed(
             and batch.has_qual
             and qual.qual_filter in (QUAL_MIDDLE, QUAL_STRICT)
         )
-        groups.setdefault((is_reads, use_mq), []).append(i)
+        # group by actual padded-length bucket (as the serial path does):
+        # grouping only by config would pad every sample to the group max
+        # and materialize the whole group on the host at once — one
+        # near-cap sample among N small ones costs N x cap bytes
+        Lp = _bucket(len(batch.seq) + k + 1)
+        groups.setdefault((Lp, is_reads, use_mq), []).append(i)
 
     out = []
     if big:
@@ -442,33 +448,40 @@ def build_samples_distributed(
             var = np.asarray(SET_TO_ASCII)[sets_np][:, None]
             out.append(([i], [input_files[i][0]], keys_np, var,
                         np.ones(len(keys_np), np.int64)))
-    for (is_reads, use_mq), idxs in groups.items():
-        Lp = max(_bucket(len(prepared[i][0].seq) + k + 1) for i in idxs)
-        S = len(idxs)
-        seqs = np.zeros((S, Lp), np.uint8)
-        vs = np.zeros((S, Lp), bool)
-        qo = np.zeros((S, Lp), bool)
-        rl = np.zeros((S, Lp), bool)
-        for row, i in enumerate(idxs):
-            b = prepared[i][0]
-            L = len(b.seq)
-            seqs[row, :L] = b.seq
-            valid, qual_ok = _masks(b, qual, is_reads)
-            vs[row, :L] = valid
-            qo[row, :L] = qual_ok
-            rl[row, :L] = b.rec_last
-        keys_np, var_np, counts_np, n_rows = distributed_merged_build(
-            seqs, vs, qo, rl, k, rc, mesh,
-            is_reads=is_reads, use_mid_qual=use_mq, min_count=int(qual.min_count),
-        )
-        names = [input_files[i][0] for i in idxs]
-        present = (
-            (var_np != ord("-")).any(axis=0) if n_rows else np.zeros(S, bool)
-        )
-        for row, i in enumerate(idxs):
-            if not present[row]:
-                raise ValueError(f"{input_files[i][1]} has no valid sequence")
-        out.append((idxs, names, keys_np, var_np, counts_np))
+    # bound transient host staging memory per device dispatch (~4 bytes
+    # per base across seq + three masks); oversubscribed groups split
+    # into sub-batches that api.build unions afterwards
+    cap_bytes = int(os.environ.get("SKA_MAX_HOST_BATCH_BYTES", 4 << 30))
+    for (Lp, is_reads, use_mq), gidxs in groups.items():
+        per = max(1, cap_bytes // (Lp * 4))
+        for c0 in range(0, len(gidxs), per):
+            idxs = gidxs[c0 : c0 + per]
+            S = len(idxs)
+            seqs = np.zeros((S, Lp), np.uint8)
+            vs = np.zeros((S, Lp), bool)
+            qo = np.zeros((S, Lp), bool)
+            rl = np.zeros((S, Lp), bool)
+            for row, i in enumerate(idxs):
+                b = prepared[i][0]
+                L = len(b.seq)
+                seqs[row, :L] = b.seq
+                valid, qual_ok = _masks(b, qual, is_reads)
+                vs[row, :L] = valid
+                qo[row, :L] = qual_ok
+                rl[row, :L] = b.rec_last
+            keys_np, var_np, counts_np, n_rows = distributed_merged_build(
+                seqs, vs, qo, rl, k, rc, mesh,
+                is_reads=is_reads, use_mid_qual=use_mq,
+                min_count=int(qual.min_count),
+            )
+            names = [input_files[i][0] for i in idxs]
+            present = (
+                (var_np != ord("-")).any(axis=0) if n_rows else np.zeros(S, bool)
+            )
+            for row, i in enumerate(idxs):
+                if not present[row]:
+                    raise ValueError(f"{input_files[i][1]} has no valid sequence")
+            out.append((idxs, names, keys_np, var_np, counts_np))
     return out
 
 

@@ -173,3 +173,39 @@ def test_native_extend_matches_numpy_64_samples():
         np.testing.assert_array_equal(
             got.counts, (variants != ord("-")).sum(axis=1)
         )
+
+
+def test_extend_arrays_reference_row_order(ref_in):
+    """Regression: reference-written .skf files store keys in hashmap
+    order (io/skf.py preserves it), and the native B-way merge requires
+    sorted inputs — extend_arrays must sort unsorted arrays first.
+    merge.skf's 78 rows are stored unsorted; merging two permutations of
+    it must yield exactly the 78-row union, not duplicated rows."""
+    import numpy as np
+
+    from ska_tpu.merge import extend_arrays
+
+    a = skf.load(f"{ref_in}/merge.skf")
+    flat_a = a.keys[:, 0]
+    assert not np.all(flat_a[1:] >= flat_a[:-1])  # fixture really is unsorted
+
+    b = a.copy_like()
+    perm = np.random.default_rng(0).permutation(b.ksize)
+    b.keys = b.keys[perm]
+    b.variants = b.variants[perm]
+    b.counts = b.counts[perm]
+    b.names = [n + "_2" for n in b.names]
+
+    m = extend_arrays([a, b])
+    assert m.ksize == a.ksize
+    flat_m = m.keys[:, 0]
+    assert np.all(flat_m[1:] > flat_m[:-1])  # strictly sorted, no dup rows
+
+    order_a = np.argsort(flat_a, kind="stable")
+    va = a.variants[order_a]
+    assert np.array_equal(m.keys[:, 0], flat_a[order_a])
+    assert np.array_equal(m.variants[:, : a.nsamples], va)
+    assert np.array_equal(m.variants[:, a.nsamples :], va)
+    assert np.array_equal(
+        np.asarray(m.counts), 2 * np.asarray(a.counts)[order_a]
+    )
