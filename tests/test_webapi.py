@@ -168,3 +168,38 @@ def test_aligndata_fastq_pairing(tmp_path, ref_in):
     # the two fastqs collapse into ONE paired sample
     assert out["names"] == ["test_1.fa", "test_2.fa", "reads_1.fastq.gz"]
     assert out["alignment"].count(">") == 3
+
+
+def test_skadata_map_paired_fastq(ref_in):
+    ref = os.path.join(ref_in, "test_ref.fa")
+    sd = SkaData(ref, k=9)
+    out = json.loads(
+        sd.map(
+            os.path.join(ref_in, "test_1_fwd.fastq.gz"),
+            rev_reads=os.path.join(ref_in, "test_1_rev.fastq.gz"),
+        )
+    )
+    # FASTQ mapping uses min_count=1 / no quality filter (ska_map.rs:47-51):
+    # the reads recover the FASTA sample's variants up to read-coverage
+    # gaps (these fixtures lose one k-mer to a gap)
+    fa = json.loads(SkaData(ref, k=9).map(os.path.join(ref_in, "test_1.fa")))
+    assert len("".join(out["Mapped sequences"])) == len(
+        "".join(fa["Mapped sequences"])
+    )
+    assert fa["Number of variants"] - 2 <= out["Number of variants"] <= fa[
+        "Number of variants"
+    ]
+    assert out["Coverage"] > 0.5
+
+
+def test_aligndata_two_limb_k41(ref_in):
+    files = [
+        os.path.join(ref_in, "test_1.fa"),
+        os.path.join(ref_in, "test_2.fa"),
+        os.path.join(ref_in, "test_2_rc.fa"),
+    ]
+    out = json.loads(AlignData(k=41).align(files))
+    # W=2 path: the pair distance walks _combine128; test_2/test_2_rc are
+    # rc-identical so their distance is 0 and they join first
+    assert "(test_2:" in out["newick"] or "test_2:0" in out["newick"]
+    assert out["alignment"].count(">") == 3
