@@ -1,0 +1,130 @@
+"""Randomized differential fuzz for `ska lo`: the C++ graph/SNP cores
+(csrc/skalo_core.cpp, csrc/skalo_snps.cpp) and the pure-python fallback
+must produce byte-identical output files on random inputs.
+
+Goes beyond tests/test_skalo_core.py's fixed scenario: random INDELS
+(exercising read_graph.rs:236-262 / process_indels.rs semantics),
+repeated motifs (cDBG cycles — visited-set logic), tiny/degenerate
+genomes, varying sample counts and both key widths.
+
+Usage: python scripts/fuzz_skalo.py [seed] [n_scenarios]
+"""
+import os
+import pathlib
+import sys
+import tempfile
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+from ska_tpu.api import build
+from ska_tpu.sample import QualOpts
+
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+SUFFIXES = ("_snps.fas", "_snps.vcf", "_indels.vcf", "_pseudo_genomes.fas")
+
+
+def make_genome(rng, L, motif=None):
+    g = rng.choice(BASES, size=L)
+    if motif is not None:
+        # plant a repeated motif to create cDBG cycles / repeat corridors
+        m = rng.choice(BASES, size=motif)
+        for _ in range(rng.integers(2, 5)):
+            p = int(rng.integers(0, max(1, L - motif)))
+            g[p : p + motif] = m
+    return g
+
+
+def mutate(rng, ref, n_snps, n_indels):
+    g = ref.copy()
+    if n_snps:
+        pos = rng.choice(len(g), size=min(n_snps, len(g)), replace=False)
+        g[pos] = BASES[
+            (np.searchsorted(BASES, g[pos]) + rng.integers(1, 4, len(pos))) % 4
+        ]
+    parts = [g]
+    for _ in range(n_indels):
+        g = parts[-1]
+        p = int(rng.integers(1, max(2, len(g) - 1)))
+        ilen = int(rng.integers(1, 11))
+        if rng.random() < 0.5 and len(g) > p + ilen:
+            parts[-1] = np.concatenate([g[:p], g[p + ilen :]])  # deletion
+        else:
+            ins = rng.choice(BASES, size=ilen)
+            parts[-1] = np.concatenate([g[:p], ins, g[p:]])  # insertion
+    return parts[-1]
+
+
+def one_scenario(rng, it):
+    k = int(rng.choice([31, 41]))
+    n_samples = int(rng.integers(2, 6))
+    L = int(rng.choice([600, 1500, 4000]))
+    n_snps = int(rng.integers(0, 12))
+    n_indels = int(rng.integers(0, 3))
+    motif = int(rng.choice([0, 80])) or None
+    with_ref = bool(rng.random() < 0.5)
+
+    with tempfile.TemporaryDirectory() as td:
+        d = pathlib.Path(td)
+        ref = make_genome(rng, L, motif)
+        with open(d / "ref.fa", "wb") as f:
+            f.write(b">ref\n" + ref.tobytes() + b"\n")
+        files = []
+        for i in range(n_samples):
+            g = mutate(rng, ref, n_snps, n_indels)
+            with open(d / f"s{i}.fa", "wb") as f:
+                f.write(b">s%d\n" % i + g.tobytes() + b"\n")
+            files.append((f"s{i}", str(d / f"s{i}.fa"), None))
+        arr = build(files, k, True, QualOpts())
+
+        from ska_tpu.skalo import SkaloConfig, run_skalo
+
+        outs = {}
+        for mode in ("native", "python"):
+            os.environ["SKA_SKALO_CORE"] = mode
+            try:
+                cfg = SkaloConfig(
+                    output_name=str(d / f"o_{mode}"),
+                    reference_genome=str(d / "ref.fa") if with_ref else None,
+                )
+                try:
+                    run_skalo(arr.copy_like(), cfg)
+                    got = {
+                        s: (d / f"o_{mode}{s}").read_bytes()
+                        if (d / f"o_{mode}{s}").exists()
+                        else None
+                        for s in SUFFIXES
+                    }
+                except SystemExit as e:  # "no entry node" — must match too
+                    got = {"exit": str(e)}
+            finally:
+                del os.environ["SKA_SKALO_CORE"]
+            outs[mode] = got
+        tag = f"it={it} k={k} S={n_samples} L={L} snps={n_snps} " \
+              f"indels={n_indels} motif={motif} ref={with_ref}"
+        assert outs["native"].keys() == outs["python"].keys(), tag
+        for key in outs["python"]:
+            assert outs["native"][key] == outs["python"][key], (tag, key)
+
+
+def main():
+    seed = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    rng = np.random.default_rng(seed)
+    for it in range(1, n + 1):
+        one_scenario(rng, it)
+        if it % 5 == 0:
+            print(f"iter {it} ok", flush=True)
+    print(f"DONE {n} scenarios, native == python byte-for-byte")
+
+
+if __name__ == "__main__":
+    main()
