@@ -9,7 +9,10 @@ import os
 import subprocess
 
 _HERE = os.path.dirname(__file__)
-_SO = os.path.join(_HERE, "_skanative.so")
+# SKA_NATIVE_SO points at an alternative build of the native library
+# (e.g. an ASan/UBSan-instrumented one for sanitizer runs); the default
+# is the in-tree artifact, rebuilt automatically when csrc/ is newer.
+_SO = os.environ.get("SKA_NATIVE_SO") or os.path.join(_HERE, "_skanative.so")
 _CSRC = os.path.join(os.path.dirname(os.path.dirname(_HERE)), "csrc")
 _SRCS = [
     os.path.join(_CSRC, "skanative.cpp"),
@@ -28,13 +31,15 @@ def _build():
 
 
 _have_src = all(os.path.exists(s) for s in _SRCS)
-if not os.path.exists(_SO) or (
-    _have_src
-    and max(os.path.getmtime(s) for s in _SRCS) > os.path.getmtime(_SO)
-):
-    if not _have_src:
-        raise ImportError("skanative source not found")
-    _build()
+if not os.environ.get("SKA_NATIVE_SO"):
+    # never auto-overwrite a user-supplied library
+    if not os.path.exists(_SO) or (
+        _have_src
+        and max(os.path.getmtime(s) for s in _SRCS) > os.path.getmtime(_SO)
+    ):
+        if not _have_src:
+            raise ImportError("skanative source not found")
+        _build()
 
 _lib = ctypes.CDLL(_SO)
 _lib.ska_crc32c.restype = ctypes.c_uint32
