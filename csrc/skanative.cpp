@@ -291,6 +291,10 @@ long long ska_cbor_encode_u128(
 // Decode up to n consecutive CBOR unsigned ints (incl. tag-2 bignums up to
 // 16 bytes) into hi/lo limb arrays. Returns the count decoded (stops early
 // at any non-uint item or truncation); *consumed gets bytes read.
+// hi may be NULL: then bignums also stop the scan (the caller re-enters
+// with limb buffers from the stop point) — this lets pure-u64 arrays
+// decode with HALF the output traffic, which matters because fresh-page
+// faults dominate bulk decode cost on some hosts (see BASELINE.md).
 long long ska_cbor_decode_uints(
     const uint8_t* in, long long len, long long n,
     uint64_t* hi, uint64_t* lo, long long* consumed
@@ -315,9 +319,11 @@ long long ska_cbor_decode_uints(
                 x = 0; for (int b = 1; b <= 8; b++) x = (x << 8) | in[p + b];
                 p += 9;
             } else break;
-            hi[i] = 0; lo[i] = x;
+            if (hi) hi[i] = 0;
+            lo[i] = x;
         } else if (major == 6 && info == 2) {
             // tag 2 bignum; byte string follows
+            if (hi == nullptr) break;
             if ((long long)(p + 1) >= len) break;
             uint8_t sb = in[p + 1];
             if ((sb >> 5) != 2) break;

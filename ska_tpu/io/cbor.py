@@ -44,21 +44,31 @@ class U128s:
 
 
 class UIntArray:
-    """Bulk-decoded CBOR array of unsigned ints, as (hi, lo) uint64 limbs."""
+    """Bulk-decoded CBOR array of unsigned ints, as (hi, lo) uint64 limbs.
 
-    __slots__ = ("hi", "lo")
+    hi is materialized lazily: the bulk decoder returns None for it when
+    every value fit u64 (halving the pages touched), and the zeros appear
+    only if a consumer actually asks for the high limbs."""
+
+    __slots__ = ("_hi", "lo")
 
     def __init__(self, hi, lo):
-        self.hi = hi
+        self._hi = hi
         self.lo = lo
+
+    @property
+    def hi(self):
+        if self._hi is None:
+            self._hi = np.zeros_like(self.lo)
+        return self._hi
 
     def __len__(self):
         return len(self.lo)
 
     def tolist(self):
-        if not self.hi.any():
+        if self._hi is None or not self._hi.any():
             return self.lo.tolist()
-        return [(int(h) << 64) | int(l) for h, l in zip(self.hi, self.lo)]
+        return [(int(h) << 64) | int(l) for h, l in zip(self._hi, self.lo)]
 
 
 # ---- decoding ----------------------------------------------------------------

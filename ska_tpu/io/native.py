@@ -151,22 +151,44 @@ def cbor_decode_uints(buf, pos: int, n: int):
 
     Returns (count, consumed_bytes, hi, lo) — count < n means a non-uint
     item was hit and the caller must fall back element-wise from there.
+    hi is None when every decoded value fits u64 (the common case: k<=31
+    keys, counts, variant bytes) — skipping the hi limb halves the output
+    pages touched, which dominates bulk decode cost on fault-slow hosts.
     """
-    hi = _np.empty(n, dtype=_np.uint64)
     lo = _np.empty(n, dtype=_np.uint64)
     consumed = ctypes.c_longlong(0)
     # zero-copy: pass base pointer + offset instead of copying the tail
     # of the file buffer on every bulk array decode
     base = _np.frombuffer(buf, dtype=_np.uint8)
-    cnt = _lib.ska_cbor_decode_uints(
-        ctypes.c_char_p(base.ctypes.data + pos),
-        len(buf) - pos,
-        n,
-        hi.ctypes.data_as(_u64p),
-        lo.ctypes.data_as(_u64p),
-        ctypes.byref(consumed),
+    cnt = int(
+        _lib.ska_cbor_decode_uints(
+            ctypes.c_char_p(base.ctypes.data + pos),
+            len(buf) - pos,
+            n,
+            None,
+            lo.ctypes.data_as(_u64p),
+            ctypes.byref(consumed),
+        )
     )
-    return int(cnt), int(consumed.value), hi[:cnt], lo[:cnt]
+    used = int(consumed.value)
+    # stopped at a tag-2 bignum? re-enter from there with both limbs
+    if cnt < n and pos + used < len(buf) and buf[pos + used] == 0xC2:
+        hi = _np.zeros(n, dtype=_np.uint64)
+        consumed2 = ctypes.c_longlong(0)
+        cnt2 = int(
+            _lib.ska_cbor_decode_uints(
+                ctypes.c_char_p(base.ctypes.data + pos + used),
+                len(buf) - pos - used,
+                n - cnt,
+                hi[cnt:].ctypes.data_as(_u64p),
+                lo[cnt:].ctypes.data_as(_u64p),
+                ctypes.byref(consumed2),
+            )
+        )
+        cnt += cnt2
+        used += int(consumed2.value)
+        return cnt, used, hi[:cnt], lo[:cnt]
+    return cnt, used, None, lo[:cnt]
 
 
 def crc32c(data: bytes) -> int:
