@@ -77,12 +77,29 @@ _COMP = np.uint64(0xAAAAAAAAAAAAAAAA)
 
 
 def _rev64_np(x):
-    """Reverse the 32 2-bit groups of each uint64 (bit_encoding.rs:182-195)."""
-    x = ((x >> np.uint64(2)) & _M2) | ((x & _M2) << np.uint64(2))
-    x = ((x >> np.uint64(4)) & _M4) | ((x & _M4) << np.uint64(4))
-    x = ((x >> np.uint64(8)) & _M8) | ((x & _M8) << np.uint64(8))
-    x = ((x >> np.uint64(16)) & _M16) | ((x & _M16) << np.uint64(16))
-    return (x >> np.uint64(32)) | (x << np.uint64(32))
+    """Reverse the 32 2-bit groups of each uint64 (bit_encoding.rs:182-195).
+
+    Two scratch buffers instead of ~25 temporaries: on fault-slow hosts
+    (BASELINE.md) the naive chain's fresh allocations dominate, and this
+    runs over multi-million-element planes in the skalo expansion."""
+    x = np.asarray(x)
+    r = x.astype(np.uint64, copy=True)
+    t = np.empty_like(r)
+    for s, m in (
+        (np.uint64(2), _M2),
+        (np.uint64(4), _M4),
+        (np.uint64(8), _M8),
+        (np.uint64(16), _M16),
+    ):
+        np.right_shift(r, s, out=t)
+        np.bitwise_and(t, m, out=t)
+        np.bitwise_and(r, m, out=r)
+        np.left_shift(r, s, out=r)
+        np.bitwise_or(t, r, out=r)
+    np.right_shift(r, np.uint64(32), out=t)
+    np.left_shift(r, np.uint64(32), out=r)
+    np.bitwise_or(t, r, out=r)
+    return r
 
 
 def rev_comp_np64(x, n_bases: int):
