@@ -246,10 +246,31 @@ def distributed_merged_build(
 
     holder = _MeshHolder(mesh)
     sharding = NamedSharding(mesh, P("samples"))
-    seqs = jax.device_put(jnp.asarray(seqs_np), sharding)
-    valid = jax.device_put(jnp.asarray(valid_np), sharding)
-    qual_ok = jax.device_put(jnp.asarray(qual_np), sharding)
-    rec_last = jax.device_put(jnp.asarray(rec_last_np), sharding)
+
+    def _put(x_np):
+        # make_array_from_callback materializes only the addressable
+        # shards, so this works unchanged on a multi-process (pod-slice)
+        # mesh where plain device_put of a host array cannot
+        x_np = np.asarray(x_np)
+        return jax.make_array_from_callback(
+            x_np.shape, sharding, lambda idx: x_np[idx]
+        )
+
+    seqs = _put(seqs_np)
+    valid = _put(valid_np)
+    qual_ok = _put(qual_np)
+    rec_last = _put(rec_last_np)
+
+    def _fetch(x):
+        # on a multi-process mesh the output shards are not all
+        # addressable locally; gather them to every process (host 0
+        # writes outputs, but identical arrays everywhere keep the
+        # call site process-agnostic)
+        if jax.process_count() == 1:
+            return np.asarray(x)
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
     N_loc = (S_pad // D) * L
     # even share is N_loc/D per (src, dst) pair; PSRS splitters bound the
@@ -261,7 +282,7 @@ def distributed_merged_build(
             k, rc, W, bool(is_reads), bool(use_mid_qual), int(min_count),
             int(C_pair), holder,
         )
-        if not bool(np.asarray(overflow).any()):
+        if not bool(_fetch(overflow).any()):
             break
         if C_pair >= N_loc:  # cnt <= nv <= N_loc: cannot overflow here
             break
@@ -274,10 +295,10 @@ def distributed_merged_build(
 
     # host assembly: device blocks are consecutive key ranges
     M = D * C_pair
-    ukeys = np.asarray(ukeys)
-    variants = np.asarray(variants)
-    counts = np.asarray(counts)
-    nr = np.asarray(n_rows)
+    ukeys = _fetch(ukeys)
+    variants = _fetch(variants)
+    counts = _fetch(counts)
+    nr = _fetch(n_rows)
     parts_k, parts_v, parts_c = [], [], []
     for d in range(D):
         n = int(nr[d])
