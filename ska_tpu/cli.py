@@ -222,7 +222,18 @@ def main(argv=None):
             qual_filter=QUAL_FILTER_NAMES[args.qual_filter],
         )
         arr = api.build(input_files, args.k, rc, qual, args.proportion_reads)
-        skf.save(arr, args.output)
+        import jax
+
+        if jax.process_count() == 1:
+            skf.save(arr, args.output)
+        else:
+            # pod-slice run: every process holds the identical gathered
+            # array; only host 0 writes (a shared filesystem would
+            # otherwise see concurrent writes to the same .skf)
+            from .parallel import is_primary
+
+            if is_primary():
+                skf.save(arr, args.output)
     elif cmd == "align":
         arr = api.load_array(args.input)
         fh = _ostream(args.output, binary=True)

@@ -79,3 +79,52 @@ def test_two_process_distributed_build(tmp_path, min_count):
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, err.decode()[-2000:]
     assert (tmp_path / "ok0").exists() and (tmp_path / "ok1").exists()
+
+
+def test_two_process_cli_build(tmp_path, ref_in):
+    """The documented pod-slice quick start (parallel/multihost.py): two
+    processes run the SAME `ska build` CLI command with SKA_COORDINATOR
+    set; the mesh spans both, host 0 alone writes the .skf, and the file
+    equals a serial single-process build."""
+    port = _free_port()
+    out = tmp_path / "mh"
+    args = [
+        sys.executable, os.path.join(os.path.dirname(__file__), "..", "ska.py"),
+        "build", "-o", str(out), "-k", "17",
+        os.path.join(ref_in, "test_1.fa"), os.path.join(ref_in, "test_2.fa"),
+    ]
+    base = dict(os.environ)
+    base.pop("JAX_PLATFORMS", None)
+    base.update(
+        SKA_PLATFORM="cpu",
+        SKA_DISTRIBUTED="1",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        SKA_COORDINATOR=f"localhost:{port}",
+        SKA_NUM_PROCESSES="2",
+    )
+    procs = [
+        subprocess.Popen(
+            args, env={**base, "SKA_PROCESS_ID": str(pid)},
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (o, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[-2000:]
+    assert (tmp_path / "mh.skf").exists()
+
+    from ska_tpu import api
+    from ska_tpu.io import skf
+    from ska_tpu.sample import QualOpts
+    from ska_tpu.constants import QUAL_STRICT
+
+    got = skf.load(str(tmp_path / "mh.skf"))
+    ref = api.build(
+        [("test_1", os.path.join(ref_in, "test_1.fa"), None),
+         ("test_2", os.path.join(ref_in, "test_2.fa"), None)],
+        17, True, QualOpts(min_count=0, min_qual=0, qual_filter=QUAL_STRICT),
+    )
+    assert np.array_equal(got.keys, ref.keys)
+    assert np.array_equal(got.variants, ref.variants)
+    assert got.names == ref.names
