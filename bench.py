@@ -85,37 +85,33 @@ def main():
     # best-of-3 timed batches: the relay's latency swings wildly between
     # runs (BASELINE.md methodology notes) and can stall a single batch
     # for minutes at constant device throughput — the best batch is the
-    # code's cost, the others are link weather. A SIGALRM watchdog stops
-    # waiting on a stalled batch once at least one batch has completed.
-    import signal
+    # code's cost, the others are link weather. The device sync runs in
+    # a worker thread so a stalled batch can be abandoned once one batch
+    # has completed: a SIGALRM handler would never fire here, because
+    # CPython only runs signal handlers between bytecodes and the stall
+    # blocks inside jaxlib's C++ wait.
+    import threading
 
-    class _BatchTimeout(Exception):
-        pass
-
-    def _alarm(signum, frame):
-        raise _BatchTimeout()
-
-    signal.signal(signal.SIGALRM, _alarm)
     dt = float("inf")
     for batch in range(3):
-        try:
-            if dt < float("inf"):
-                signal.alarm(120)  # a result exists; don't hang on stalls
-            t0 = time.perf_counter()
-            # queue all dispatches, then force completion once:
-            # per-iteration readbacks would add one relay round-trip
-            # (~30-100ms) per step
-            ns = [step() for _ in range(iters)]
-            # dispatches execute in order; syncing on the last covers all
-            n = int(np.asarray(ns[-1])[0])
-            dt = min(dt, time.perf_counter() - t0)
-            assert n > 0 and all(x.shape == ns[-1].shape for x in ns)
-        except _BatchTimeout:
+        t0 = time.perf_counter()
+        # queue all dispatches, then force completion once:
+        # per-iteration readbacks would add one relay round-trip
+        # (~30-100ms) per step
+        ns = [step() for _ in range(iters)]
+        box = []
+        th = threading.Thread(
+            target=lambda: box.append(int(np.asarray(ns[-1])[0])), daemon=True
+        )
+        th.start()
+        # dispatches execute in order; syncing on the last covers all
+        th.join(120 if dt < float("inf") else None)
+        if th.is_alive():
             print(f"batch {batch} stalled >120s; keeping best so far",
                   file=sys.stderr)
             break
-        finally:
-            signal.alarm(0)
+        dt = min(dt, time.perf_counter() - t0)
+        assert box and box[0] > 0 and all(x.shape == ns[-1].shape for x in ns)
 
     windows = S * (L - k + 1)
     kmers_per_sec = windows * iters / dt

@@ -166,9 +166,25 @@ def build_parser():
     return p
 
 
+def _is_primary() -> bool:
+    """True unless this is a secondary process of a pod-slice run."""
+    import jax
+
+    if jax.process_count() == 1:
+        return True
+    from .parallel import is_primary
+
+    return is_primary()
+
+
 def _ostream(output, binary=False):
     if output is None:
         return sys.stdout.buffer if binary else sys.stdout
+    if not _is_primary():
+        # pod-slice run: every process computes the identical result but
+        # only host 0 writes files — concurrent writes to one path on a
+        # shared filesystem would interleave
+        return open(os.devnull, "wb" if binary else "w")
     return open(output, "wb" if binary else "w")
 
 
@@ -212,6 +228,14 @@ def main(argv=None):
             "--threads %d requested: no-op on this backend (device batching "
             "replaces rayon threads)", args.threads,
         )
+    if cmd != "build" and not _is_primary():
+        # only `build` distributes over the pod mesh; every other command
+        # is host-local, so secondary processes would just duplicate the
+        # primary's work and race it for the output files
+        logging.getLogger("ska_tpu").info(
+            "secondary process: '%s' runs on host 0 only", cmd
+        )
+        return
     if cmd == "build":
         input_files = fastx.get_input_list(args.file_list, args.seq_files or None)
         rc = not args.single_strand
@@ -222,18 +246,8 @@ def main(argv=None):
             qual_filter=QUAL_FILTER_NAMES[args.qual_filter],
         )
         arr = api.build(input_files, args.k, rc, qual, args.proportion_reads)
-        import jax
-
-        if jax.process_count() == 1:
+        if _is_primary():
             skf.save(arr, args.output)
-        else:
-            # pod-slice run: every process holds the identical gathered
-            # array; only host 0 writes (a shared filesystem would
-            # otherwise see concurrent writes to the same .skf)
-            from .parallel import is_primary
-
-            if is_primary():
-                skf.save(arr, args.output)
     elif cmd == "align":
         arr = api.load_array(args.input)
         fh = _ostream(args.output, binary=True)

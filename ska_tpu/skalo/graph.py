@@ -7,6 +7,7 @@ bitmasks keyed by full k-mer.
 """
 
 import logging
+import sys
 from typing import Dict, List, Set, Tuple
 
 from .kmer_utils import DEGENERATE, rev_comp_int
@@ -56,7 +57,9 @@ def _expand_arrays(ska_array):
     pb = np.packbits(contrib, axis=1, bitorder="little")  # (n, ceil(S/8), 4)
     mbuf = np.zeros((n, 4, M * 8), np.uint8)
     mbuf[:, :, : pb.shape[1]] = pb.transpose(0, 2, 1)
-    masks = mbuf.view(np.uint64)  # (n, 4, M), little-endian host
+    masks = mbuf.view(np.uint64)  # (n, 4, M)
+    if sys.byteorder != "little":  # pragma: no cover - no BE host here
+        masks = masks.byteswap()
 
     # insertion order of middle_2_samples: first contributing sample index,
     # tie-broken by position in that sample's DEGENERATE list. argmax on

@@ -75,7 +75,12 @@ def test_two_process_distributed_build(tmp_path, min_count):
         )
         for pid in (0, 1)
     ]
-    outs = [p.communicate(timeout=420) for p in procs]
+    try:
+        outs = [p.communicate(timeout=420) for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, err.decode()[-2000:]
     assert (tmp_path / "ok0").exists() and (tmp_path / "ok1").exists()
@@ -109,7 +114,12 @@ def test_two_process_cli_build(tmp_path, ref_in):
         )
         for pid in (0, 1)
     ]
-    outs = [p.communicate(timeout=420) for p in procs]
+    try:
+        outs = [p.communicate(timeout=420) for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     for p, (o, err) in zip(procs, outs):
         assert p.returncode == 0, err.decode()[-2000:]
     assert (tmp_path / "mh.skf").exists()
