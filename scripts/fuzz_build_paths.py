@@ -59,7 +59,9 @@ while time.time() < t_end and it < 40:
             min_qual=20,
             qual_filter=int(rng.choice([0, 2])),
         )
-        rc = True
+        # single-strand (rc=False) has its own canonicalization path;
+        # exercise it through every build mode too
+        rc = bool(rng.random() < 0.75)
         try:
             os.environ["SKA_DISTRIBUTED"] = "0"
             os.environ.pop("SKA_MAX_CHUNK_BASES", None)
