@@ -108,3 +108,33 @@ def test_frame_decompress_rejects_bad_stored_crc():
     framed[14] ^= 0x55  # inside the 4-byte CRC of the first chunk
     with pytest.raises(ValueError, match="checksum mismatch"):
         snappy.frame_decompress(bytes(framed))
+
+
+def test_cbor_bulk_decode_mixed_magnitudes():
+    """The bulk decoder's lazy-hi protocol: a u64-only prefix decodes
+    with hi=None (half the output traffic), and a tag-2 bignum mid-array
+    triggers the two-phase re-entry with both limbs — values and consumed
+    offsets must match the element-wise python decoder either way."""
+    from ska_tpu.io import cbor, native
+
+    # all cases are >= the 64-element bulk threshold (cbor._FAST_DECODE_MIN)
+    pad = [5, 0, 23, 24, 255, 256, 2**16, 2**32, 2**63, 2**64 - 1] * 10
+    cases = [
+        pad,                                 # pure u64
+        pad + [2**64, 3] + pad,              # bignum mid-array
+        [2**100, 7] + pad,                   # bignum first
+        ([2**64 + 9] * 5 + [12] * 5) * 10,   # alternating widths
+        list(range(300)),                    # long immediate run
+    ]
+    for vals in cases:
+        enc = cbor.dumps(vals)
+        got = cbor.loads(enc)
+        assert isinstance(got, cbor.UIntArray), len(vals)
+        assert got.tolist() == vals, vals[:8]
+    # hi stays unmaterialized for pure-u64 bulk arrays
+    arr = cbor.loads(cbor.dumps(pad))
+    assert arr._hi is None
+    assert int(arr.hi.sum()) == 0  # property materializes zeros on demand
+    # bignum-bearing arrays materialize hi through the two-phase re-entry
+    arr2 = cbor.loads(cbor.dumps(pad + [2**64 + 1] + pad))
+    assert arr2._hi is not None and arr2._hi.max() == 1
