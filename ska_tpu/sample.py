@@ -181,13 +181,24 @@ def build_samples(
     return results
 
 
+def _auto_max_batch(Lp: int) -> int:
+    """Samples per merged dispatch: scale inversely with the padded
+    length under a ~128M-base budget (the bench-measured knee is 32
+    genomes x 4M bases on a v5e chip; the batch sweep in BASELINE.md
+    shows 8->32 buys ~25% throughput). SKA_MAX_BATCH overrides."""
+    env = os.environ.get("SKA_MAX_BATCH")
+    if env:
+        return max(1, int(env))
+    return max(1, min(32, (1 << 27) // max(Lp, 1)))
+
+
 def build_samples_merged(
     input_files,
     k: int,
     rc: bool,
     qual: QualOpts,
     proportion_reads: Optional[float] = None,
-    max_batch: int = 8,
+    max_batch: Optional[int] = None,
 ):
     """Build + merge many samples with device-side merging.
 
@@ -245,8 +256,9 @@ def build_samples_merged(
             out.append(([i], [input_files[i][0]], keys_np, var, counts_np))
             bar.update(1)
     for (Lp, is_reads, use_mq), idxs in groups.items():
-        for c0 in range(0, len(idxs), max_batch):
-            chunk = idxs[c0 : c0 + max_batch]
+        eff_batch = max_batch or _auto_max_batch(Lp)
+        for c0 in range(0, len(idxs), eff_batch):
+            chunk = idxs[c0 : c0 + eff_batch]
             # pad the batch axis to a power of two: jit shapes must not
             # depend on the dataset (remote XLA compiles cost ~20s each);
             # pad rows are all-invalid and produce no k-mers
