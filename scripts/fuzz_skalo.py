@@ -71,6 +71,7 @@ def one_scenario(rng, it):
     n_indels = int(rng.integers(0, 3))
     motif = int(rng.choice([0, 80])) or None
     with_ref = bool(rng.random() < 0.5)
+    max_depth = int(rng.choice([2, 4, 6]))
 
     with tempfile.TemporaryDirectory() as td:
         d = pathlib.Path(td)
@@ -94,6 +95,7 @@ def one_scenario(rng, it):
                 cfg = SkaloConfig(
                     output_name=str(d / f"o_{mode}"),
                     reference_genome=str(d / "ref.fa") if with_ref else None,
+                    max_depth=max_depth,
                 )
                 try:
                     run_skalo(arr.copy_like(), cfg)
@@ -108,7 +110,7 @@ def one_scenario(rng, it):
             finally:
                 del os.environ["SKA_SKALO_CORE"]
             outs[mode] = got
-        tag = f"it={it} k={k} S={n_samples} L={L} snps={n_snps} " \
+        tag = f"it={it} k={k} S={n_samples} L={L} snps={n_snps} d={max_depth} " \
               f"indels={n_indels} motif={motif} ref={with_ref}"
         assert outs["native"].keys() == outs["python"].keys(), tag
         for key in outs["python"]:
