@@ -60,9 +60,12 @@ def main():
 
     k = 31
     W = K.width_for_k(k)
-    L = 1 << 22  # 4M bases per genome (bacterial scale)
-    S = 32  # genomes per dispatch (batch sweep 2026-08-17: 8->195M, 16->213M,
-    #         32->238M, 64->242M kmers/s; 32 is the knee)
+    # SKA_BENCH_* overrides exist for smoke-testing the harness itself
+    # (e.g. on CPU); the defaults are the measured TPU configuration.
+    L = int(os.environ.get("SKA_BENCH_L", 1 << 22))  # 4M bases per genome
+    S = int(os.environ.get("SKA_BENCH_S", 32))  # genomes per dispatch
+    # (batch sweep 2026-08-17: 8->195M, 16->213M, 32->238M, 64->242M
+    #  kmers/s; 32 is the knee)
 
     ref_rate, ref_kind = measure_reference_proxy(k)
 
@@ -80,7 +83,38 @@ def main():
 
     # scalar readback forces completion (block_until_ready is not
     # reliable through the axon relay)
-    int(np.asarray(step())[0])  # warm up / compile
+    import threading
+
+    # Warmup watchdog: the axon relay has outage windows where a single
+    # dispatch (even the compile) stalls for many minutes. The warmup
+    # runs in a daemon thread with a generous timeout and a few retries,
+    # so an outage at bench time degrades to a late number or a clean
+    # nonzero exit instead of an indefinite hang with no JSON at all.
+    def _warmup_once(timeout_s):
+        box = []
+        th = threading.Thread(
+            target=lambda: box.append(int(np.asarray(step())[0])), daemon=True
+        )
+        th.start()
+        th.join(timeout_s)
+        return bool(box and box[0] > 0), th
+
+    warm_ok = False
+    for attempt in range(3):
+        warm_ok, th = _warmup_once(600)
+        if warm_ok:
+            break
+        print(
+            f"warmup attempt {attempt + 1} stalled >600s (relay outage?); "
+            "waiting for it to drain before retrying",
+            file=sys.stderr,
+        )
+        # the stalled dispatch still owns the device stream; give it a
+        # chance to drain before queueing another
+        th.join(300)
+    if not warm_ok:
+        print("device unreachable: warmup never completed", file=sys.stderr)
+        sys.exit(3)
     iters = 5
     # best-of-3 timed batches: the relay's latency swings wildly between
     # runs (BASELINE.md methodology notes) and can stall a single batch
@@ -90,8 +124,6 @@ def main():
     # has completed: a SIGALRM handler would never fire here, because
     # CPython only runs signal handlers between bytecodes and the stall
     # blocks inside jaxlib's C++ wait.
-    import threading
-
     dt = float("inf")
     for batch in range(3):
         t0 = time.perf_counter()
