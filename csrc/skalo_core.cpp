@@ -1,6 +1,7 @@
-// skalo graph core: colored-De-Bruijn extremity detection, chain
-// compaction, and bounded-depth bubble traversal, operating on flat edge
-// arrays handed over by ska_tpu/skalo/graph.py.
+// skalo graph core: degenerate middle-base expansion, colored-De-Bruijn
+// extremity detection, chain compaction, and bounded-depth bubble
+// traversal, operating directly on the merged array's (keys, ascii
+// variants) handed over by ska_tpu/skalo/core.py.
 //
 // Semantics mirror the reference (src/skalo/{extremities,compaction,
 // read_graph}.rs) exactly as reproduced by the python implementation in
@@ -15,6 +16,7 @@
 // Node keys are (k-1)-mers of up to 62 bases packed 2-bit as (hi, lo)
 // uint64 pairs.
 
+#include <algorithm>
 #include <chrono>
 #include <cstdint>
 #include <cstdio>
@@ -184,6 +186,13 @@ struct Core {
     std::vector<int32_t> chain_start_ids;  // insertion order, for rewiring
     std::vector<Chain> chains;
     Result res;
+    // kmer_samples export (fused-expansion entry point only): first-wins
+    // {full k-mer -> sample bitmask} rows, in insertion order until
+    // ks_fill sorts them by (hi, lo)
+    std::vector<Key> ks_keys;
+    std::vector<uint64_t> ks_masks;  // ks_m limbs per row
+    int64_t ks_m = 0;
+    int64_t n_edges = 0;
 };
 
 static int32_t intern(Core& c, const Key& k) {
@@ -197,25 +206,192 @@ static int32_t intern(Core& c, const Key& k) {
     return id;
 }
 
-static void build_nodes(Core& c, const uint64_t* shi, const uint64_t* slo,
-                        const uint64_t* dhi, const uint64_t* dlo,
-                        const int32_t* emask, int64_t E) {
-    // every source AND destination key gets a dense id (a dst that is
-    // never a source simply has an empty adjacency list — identical
-    // semantics to the python dict-of-lists, where it is just absent)
-    c.node_id.reserve((size_t)E * 2);
-    for (int64_t i = 0; i < E; i++) {
-        int32_t id = intern(c, Key{shi[i], slo[i]});
-        c.adj[id].push_back(Edge{Key{dhi[i], dlo[i]}, -1, emask[i], -1, 0});
+// ---- fused expansion front-end (replaces the numpy _expand_arrays +
+// edge_content_ids path of ska_tpu/skalo/graph.py for the native core) ----
+//
+// Expands each (split k-mer row, degenerate middle base) of the merged
+// array into the cDBG's fwd and rc edges (reference src/skalo/input.rs:
+// 18-125) directly inside the core: per row, middle bases are visited in
+// "first contributing sample, then position in that sample's DEGENERATE
+// expansion" order — exactly the scalar python formulation — and each
+// expansion emits edge (k1 -> k2) then (rc2 -> rc1), matching the
+// interleaved stream the array path produced. Sample bitmasks resolve
+// first-wins per full k-mer; edge mask ids are dense content ids of the
+// resolved bitmask (only their equality relation is ever used).
+
+typedef unsigned __int128 u128;
+
+// interns an M-limb mask row's CONTENT to a dense id (open addressing)
+struct MaskMap {
+    std::vector<uint64_t> rows;  // M limbs per id
+    std::vector<int32_t> slot;   // hash table over ids, -1 empty
+    size_t mask = 0;
+    int64_t M = 1;
+
+    void init(int64_t m) {
+        M = m;
+        slot.assign(1024, -1);
+        mask = slot.size() - 1;
     }
-    // index-based: intern() may reallocate c.adj, so never hold a
-    // reference across it
+    static uint64_t hash_row(const uint64_t* r, int64_t M) {
+        uint64_t x = 0x9E3779B97F4A7C15ULL;
+        for (int64_t j = 0; j < M; j++) {
+            x ^= r[j] + 0x9E3779B97F4A7C15ULL + (x << 6) + (x >> 2);
+            x *= 0xBF58476D1CE4E5B9ULL;
+        }
+        return x;
+    }
+    int32_t intern(const uint64_t* r) {
+        size_t n_ids = rows.size() / (size_t)M;
+        if (n_ids * 4 >= slot.size() * 3) {  // grow at 0.75 load
+            std::vector<int32_t> ns(slot.size() * 2, -1);
+            size_t nm = ns.size() - 1;
+            for (size_t id = 0; id < n_ids; id++) {
+                size_t i = hash_row(&rows[id * M], M) & nm;
+                while (ns[i] >= 0) i = (i + 1) & nm;
+                ns[i] = (int32_t)id;
+            }
+            slot = std::move(ns);
+            mask = nm;
+        }
+        size_t i = hash_row(r, M) & mask;
+        while (slot[i] >= 0) {
+            if (memcmp(&rows[(size_t)slot[i] * M], r, (size_t)M * 8) == 0)
+                return slot[i];
+            i = (i + 1) & mask;
+        }
+        int32_t id = (int32_t)n_ids;
+        slot[i] = id;
+        rows.insert(rows.end(), r, r + M);
+        return id;
+    }
+};
+
+static void expand_and_build(Core& c, const uint64_t* keys_hi,
+                             const uint64_t* keys_lo, const uint8_t* variants,
+                             int64_t n, int64_t S, int64_t len_kmer,
+                             bool tim = false) {
+    auto now = [] { return std::chrono::steady_clock::now(); };
+    auto secs = [](auto a, auto b) {
+        return std::chrono::duration<double>(b - a).count();
+    };
+    auto e0 = now();
+    // degenerate middle-base table (input.rs:32-51 via kmer_utils.DEGENERATE):
+    // per ascii char, 2-bit codes (A=0 C=1 T=2 G=3) in list order
+    uint8_t deg_n[256] = {0};
+    uint8_t deg_c[256][4];
+    auto put = [&](char ch, const char* bases) {
+        uint8_t cnt = 0;
+        for (const char* p = bases; *p; p++)
+            deg_c[(uint8_t)ch][cnt++] = (uint8_t)((*p >> 1) & 3);
+        deg_n[(uint8_t)ch] = cnt;
+    };
+    put('A', "A"); put('T', "T"); put('G', "G"); put('C', "C");
+    put('M', "AC"); put('S', "CG"); put('W', "AT"); put('R', "AG");
+    put('Y', "CT"); put('K', "GT"); put('B', "CGT"); put('D', "AGT");
+    put('H', "ACT"); put('V', "ACG"); put('N', "ACGT");
+
+    // pre-count expansions for exact map reserves (one cheap pass)
+    int64_t m_total = 0;
+    for (int64_t i = 0; i < n; i++) {
+        const uint8_t* row = variants + i * S;
+        uint8_t present = 0;
+        for (int64_t s = 0; s < S; s++) {
+            uint8_t ch = row[s];
+            for (uint8_t t = 0; t < deg_n[ch]; t++)
+                present |= (uint8_t)(1u << deg_c[ch][t]);
+        }
+        m_total += __builtin_popcount(present);
+    }
+    int64_t E = 2 * m_total;
+    c.n_edges = E;
+    auto e1 = now();
+    c.node_id.reserve((size_t)E * 2);
+
+    FlatKeyMap fullmap;  // full k-mer -> ks row id (first wins)
+    fullmap.reserve((size_t)E);
+    MaskMap cmap;
+    const int64_t M = (S + 63) / 64;
+    cmap.init(M);
+    c.ks_m = M;
+    std::vector<int32_t> row_cid;  // ks row -> mask content id
+    row_cid.reserve((size_t)E / 2);
+
+    const int h = (int)((len_kmer - 1) / 2);
+    const u128 lowmask = (((u128)1) << (2 * h)) - 1;
+    const u128 kmask = (((u128)1) << (2 * (len_kmer - 1))) - 1;
+
+    std::vector<uint64_t> mrow((size_t)(4 * M));
+    uint8_t order[4];
+
+    auto resolve = [&](const Key& fk, int32_t cid,
+                       const uint64_t* limbs) -> int32_t {
+        bool fresh;
+        int32_t* v = fullmap.get_or_insert(fk, &fresh);
+        if (fresh) {
+            *v = (int32_t)c.ks_keys.size();
+            c.ks_keys.push_back(fk);
+            c.ks_masks.insert(c.ks_masks.end(), limbs, limbs + M);
+            row_cid.push_back(cid);
+        }
+        return row_cid[(size_t)*v];
+    };
+
+    for (int64_t i = 0; i < n; i++) {
+        const uint8_t* row = variants + i * S;
+        uint8_t present = 0;
+        int n_ord = 0;
+        for (int64_t s = 0; s < S; s++) {
+            uint8_t ch = row[s];
+            for (uint8_t t = 0; t < deg_n[ch]; t++) {
+                uint8_t b = deg_c[ch][t];
+                if (!(present & (1u << b))) {
+                    present |= (uint8_t)(1u << b);
+                    order[n_ord++] = b;
+                    uint64_t* mr = &mrow[(size_t)b * M];
+                    for (int64_t j = 0; j < M; j++) mr[j] = 0;
+                }
+                mrow[(size_t)b * M + (s >> 6)] |= 1ULL << (s & 63);
+            }
+        }
+        if (!n_ord) continue;
+
+        const u128 key = ((u128)(keys_hi ? keys_hi[i] : 0) << 64) | keys_lo[i];
+        const u128 base = ((key >> (2 * h)) << (2 * (h + 1))) | (key & lowmask);
+        for (int q = 0; q < n_ord; q++) {
+            const uint8_t code = order[q];
+            const uint64_t* limbs = &mrow[(size_t)code * M];
+            const u128 full = base | ((u128)code << (2 * h));
+            const Key fk{(uint64_t)(full >> 64), (uint64_t)full};
+            const Key rk = rev_comp(fk, (int)len_kmer);
+            const u128 rcf = ((u128)rk.hi << 64) | rk.lo;
+            const int32_t cid = cmap.intern(limbs);
+            const int32_t m1 = resolve(fk, cid, limbs);
+            const int32_t m2 = resolve(rk, cid, limbs);
+
+            const u128 k1 = full >> 2, k2 = full & kmask;
+            const u128 rc1 = rcf & kmask, rc2 = rcf >> 2;
+            int32_t sid = intern(c, Key{(uint64_t)(k1 >> 64), (uint64_t)k1});
+            c.adj[sid].push_back(
+                Edge{Key{(uint64_t)(k2 >> 64), (uint64_t)k2}, -1, m1, -1, 0});
+            sid = intern(c, Key{(uint64_t)(rc2 >> 64), (uint64_t)rc2});
+            c.adj[sid].push_back(
+                Edge{Key{(uint64_t)(rc1 >> 64), (uint64_t)rc1}, -1, m2, -1, 0});
+        }
+    }
+
+    // second pass: register destination-only nodes (same discovery order
+    // as the array path — all sources first, then dsts in edge order)
+    auto e2 = now();
     for (size_t id = 0, n0 = c.adj.size(); id < n0; id++)
         for (size_t j = 0; j < c.adj[id].size(); j++) {
             Key d = c.adj[id][j].dst;
-            int32_t di = intern(c, d);
-            c.adj[id][j].dst_id = di;
+            c.adj[id][j].dst_id = intern(c, d);
         }
+    if (tim)
+        fprintf(stderr,
+                "[skalo_core]   expand: count %.1fs emit %.1fs dst %.1fs\n",
+                secs(e0, e1), secs(e1, e2), secs(e2, now()));
 }
 
 // extremities.rs:10-51: >= 2 out-edges whose sample sets differ
@@ -564,14 +740,18 @@ static void traverse(Core& c) {
 
 extern "C" {
 
-void* skalo_core_run(
-    const uint64_t* esrc_hi, const uint64_t* esrc_lo,
-    const uint64_t* edst_hi, const uint64_t* edst_lo,
-    const int32_t* emask, int64_t E,
-    int64_t k_graph, int64_t max_depth
+// Fused entry: expansion + graph build + extremities + compaction +
+// traversal from the merged array itself (keys (n,) limb arrays, ascii
+// variants (n, S)). keys_hi may be NULL for single-limb k. Returns the
+// same handle as skalo_core_run, additionally carrying the kmer_samples
+// export (skalo_core_ks_*).
+void* skalo_expand_run(
+    const uint64_t* keys_hi, const uint64_t* keys_lo,
+    const uint8_t* variants, int64_t n, int64_t S,
+    int64_t len_kmer, int64_t max_depth
 ) {
     Core* c = new Core();
-    c->k_graph = (int)k_graph;
+    c->k_graph = (int)(len_kmer - 1);
     c->max_depth = (int)max_depth;
     const bool tim = getenv("SKALO_CORE_TIME") != nullptr;
     auto now = [] { return std::chrono::steady_clock::now(); };
@@ -579,7 +759,7 @@ void* skalo_core_run(
         return std::chrono::duration<double>(b - a).count();
     };
     auto t0 = now();
-    build_nodes(*c, esrc_hi, esrc_lo, edst_hi, edst_lo, emask, E);
+    expand_and_build(*c, keys_hi, keys_lo, variants, n, S, len_kmer, tim);
     auto t1 = now();
     if (!find_extremities(*c)) {
         delete c;
@@ -592,11 +772,38 @@ void* skalo_core_run(
     auto t4 = now();
     if (tim)
         fprintf(stderr,
-                "[skalo_core] nodes %.1fs extrem %.1fs compact %.1fs "
+                "[skalo_core] expand+nodes %.1fs extrem %.1fs compact %.1fs "
                 "traverse %.1fs (%zu segs)\n",
                 secs(t0, t1), secs(t1, t2), secs(t2, t3), secs(t3, t4),
                 c->res.segs.size());
     return c;
+}
+
+int64_t skalo_core_n_edges(void* h) { return ((Core*)h)->n_edges; }
+int64_t skalo_core_ks_len(void* h) { return (int64_t)((Core*)h)->ks_keys.size(); }
+int64_t skalo_core_ks_m(void* h) { return ((Core*)h)->ks_m; }
+
+// kmer_samples export sorted by (hi, lo): hi/lo length G, masks G x M
+void skalo_core_ks_fill(void* h, uint64_t* hi, uint64_t* lo, uint64_t* masks) {
+    Core& c = *(Core*)h;
+    const int64_t G = (int64_t)c.ks_keys.size();
+    const int64_t M = c.ks_m;
+    // sort (key, row) pairs rather than indices: the comparator then
+    // reads contiguous memory instead of chasing two random rows per
+    // compare (2-3x on the fault-bound host)
+    struct KR { Key k; int32_t r; };
+    std::vector<KR> v((size_t)G);
+    for (int64_t i = 0; i < G; i++)
+        v[(size_t)i] = KR{c.ks_keys[(size_t)i], (int32_t)i};
+    std::sort(v.begin(), v.end(), [](const KR& a, const KR& b) {
+        return a.k.hi != b.k.hi ? a.k.hi < b.k.hi : a.k.lo < b.k.lo;
+    });
+    for (int64_t i = 0; i < G; i++) {
+        hi[i] = v[(size_t)i].k.hi;
+        lo[i] = v[(size_t)i].k.lo;
+        memcpy(masks + i * M, &c.ks_masks[(size_t)v[(size_t)i].r * M],
+               (size_t)M * 8);
+    }
 }
 
 int64_t skalo_core_n_paths(void* h) { return (int64_t)((Core*)h)->res.path_len.size(); }

@@ -28,14 +28,17 @@ def _lib():
     from ..io.native import _lib as lib
 
     if not hasattr(lib, "_skalo_bound"):
-        lib.skalo_core_run.restype = ctypes.c_void_p
-        lib.skalo_core_run.argtypes = [
-            _u64p, _u64p, _u64p, _u64p, _i32p,
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        lib.skalo_expand_run.restype = ctypes.c_void_p
+        lib.skalo_expand_run.argtypes = [
+            _u64p, _u64p, _u8p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ]
+        lib.skalo_core_ks_fill.restype = None
+        lib.skalo_core_ks_fill.argtypes = [ctypes.c_void_p, _u64p, _u64p, _u64p]
         for name in (
             "skalo_core_n_paths", "skalo_core_segs_len", "skalo_core_snps_len",
             "skalo_core_n_chains", "skalo_core_chain_codes_len",
+            "skalo_core_n_edges", "skalo_core_ks_len", "skalo_core_ks_m",
         ):
             fn = getattr(lib, name)
             fn.restype = ctypes.c_int64
@@ -52,17 +55,6 @@ def _lib():
         lib.skalo_core_free.argtypes = [ctypes.c_void_p]
         lib._skalo_bound = True
     return lib
-
-
-def _interleave(a_pair, b_pair, m):
-    """(hi|None, lo) x2 -> interleaved (hi, lo) arrays of length 2m."""
-    def one(x_a, x_b):
-        out = np.empty(2 * m, np.uint64)
-        out[0::2] = x_a if x_a is not None else 0
-        out[1::2] = x_b if x_b is not None else 0
-        return out
-
-    return one(a_pair[0], b_pair[0]), one(a_pair[1], b_pair[1])
 
 
 class KmerSamplesArrays:
@@ -97,47 +89,6 @@ class KmerSamplesArrays:
         for j in range(self.masks.shape[1] - 1, -1, -1):
             m = (m << 64) | int(self.masks[i, j])
         return m
-
-
-def edge_content_ids(fhi, flo, mo):
-    """Per-edge sample-set content id of its full k-mer, after first-wins
-    resolution (kmer_samples semantics): edges whose resolved bitmask
-    contents are equal get equal ids. Also returns the resolved map as a
-    KmerSamplesArrays."""
-    E = len(flo)
-    order = np.lexsort((np.arange(E), flo, fhi))
-    shi, slo = fhi[order], flo[order]
-    first = np.ones(E, bool)
-    first[1:] = (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])
-    group = np.cumsum(first) - 1
-    first_orig = order[first]          # first-inserted row per unique key
-    masks2 = np.repeat(mo, 2, axis=0)  # per-edge mask rows (fwd, rc pairs)
-    resolved = masks2[first_orig]      # (G, M)
-    # content ids: any bijection of equal-rows -> equal-ids works (only
-    # mask_id equality is ever tested); np.unique(axis=0) is ~20x slower
-    if resolved.shape[1] == 1 and (
-        len(resolved) == 0 or int(resolved[:, 0].max()) < (1 << 31)
-    ):
-        # <= 31 samples: the bitmask itself is a valid int32 content id
-        # (np.unique here cost ~4.6s on an 8.4M-edge dense genome)
-        content = resolved[:, 0]
-    elif resolved.shape[1] == 1:
-        _, content = np.unique(resolved[:, 0], return_inverse=True)
-    else:
-        rorder = np.lexsort(resolved.T[::-1])
-        rs = resolved[rorder]
-        rfirst = np.ones(len(rs), bool)
-        rfirst[1:] = (rs[1:] != rs[:-1]).any(axis=1)
-        content = np.empty(len(resolved), np.int64)
-        content[rorder] = np.cumsum(rfirst) - 1
-    per_edge = np.empty(E, np.int32)
-    per_edge[order] = content[group].astype(np.int32)
-    ks = KmerSamplesArrays(
-        np.ascontiguousarray(shi[first]),
-        np.ascontiguousarray(slo[first]),
-        np.ascontiguousarray(resolved),
-    )
-    return per_edge, ks
 
 
 class PathStore:
@@ -287,37 +238,54 @@ class _SegParts:
 
 
 def run_core(ska_array, config):
-    """Graph + traversal via the C++ core. Returns
+    """Graph + traversal via the C++ core (fused expansion: the merged
+    array's keys and ascii variants go straight into skalo_expand_run —
+    input.rs:18-125 expansion happens inside the core instead of
+    materializing six edge-plane arrays host-side). Returns
     (len_kmer, sample_names, built_groups, kmer_samples, path_store)."""
     import time as _time
 
-    from .graph import _expand_arrays
-
-    _t0 = _time.perf_counter()
-    len_kmer, sample_names, W, arrs, mo = _expand_arrays(ska_array)
-    log.info("expand: %.1fs", _time.perf_counter() - _t0)
+    len_kmer = ska_array.k
+    sample_names = list(ska_array.names)
     k_graph = len_kmer - 1
-    m = len(arrs["full"][1])
 
-    shi, slo = _interleave(arrs["k1"], arrs["rc2"], m)
-    dhi, dlo = _interleave(arrs["k2"], arrs["rc1"], m)
-    fhi, flo = _interleave(arrs["full"], arrs["rcf"], m)
-    emask, kmer_samples = edge_content_ids(fhi, flo, mo)
-    log.info("%d edges", 2 * m)
+    keys = np.asarray(ska_array.keys, dtype=np.uint64)
+    W = keys.shape[1]
+    variants = np.ascontiguousarray(np.asarray(ska_array.variants), dtype=np.uint8)
+    n, S = variants.shape
+    klo = np.ascontiguousarray(keys[:, W - 1])
+    khi = np.ascontiguousarray(keys[:, 0]) if W == 2 else None
 
     lib = _lib()
     _t0 = _time.perf_counter()
-    h = lib.skalo_core_run(
-        shi.ctypes.data_as(_u64p), slo.ctypes.data_as(_u64p),
-        dhi.ctypes.data_as(_u64p), dlo.ctypes.data_as(_u64p),
-        np.ascontiguousarray(emask).ctypes.data_as(_i32p),
-        2 * m, k_graph, int(config.max_depth),
+    h = lib.skalo_expand_run(
+        khi.ctypes.data_as(_u64p) if khi is not None else None,
+        klo.ctypes.data_as(_u64p),
+        variants.ctypes.data_as(_u8p),
+        n, S, len_kmer, int(config.max_depth),
     )
     if not h:
         raise SystemExit(
             "Error: there is no entry node in this graph, hence no variant.\n"
         )
     try:
+        log.info(
+            "%d edges (graph walk: %.1fs)",
+            lib.skalo_core_n_edges(h), _time.perf_counter() - _t0,
+        )
+        _t0 = _time.perf_counter()
+        G = lib.skalo_core_ks_len(h)
+        M = lib.skalo_core_ks_m(h)
+        ks_hi = np.empty(G, np.uint64)
+        ks_lo = np.empty(G, np.uint64)
+        ks_masks = np.empty((G, M), np.uint64)
+        lib.skalo_core_ks_fill(
+            h, ks_hi.ctypes.data_as(_u64p), ks_lo.ctypes.data_as(_u64p),
+            ks_masks.ctypes.data_as(_u64p),
+        )
+        kmer_samples = KmerSamplesArrays(ks_hi, ks_lo, ks_masks)
+        log.info("kmer_samples export: %.1fs", _time.perf_counter() - _t0)
+        _t0 = _time.perf_counter()
         n = lib.skalo_core_n_paths(h)
         nsegs = lib.skalo_core_segs_len(h)
         nsnps = lib.skalo_core_snps_len(h)

@@ -178,21 +178,6 @@ def _mask_list(mo):
     return acc.tolist()
 
 
-def build_kmer_samples(arrs, mo):
-    """First-wins full-k-mer -> sample-bitmask dict (input.rs:107-117)."""
-    from .kmer_utils import to_obj_ints
-
-    kmer_samples: Dict[int, int] = {}
-    ks = kmer_samples.setdefault
-    mask_list = _mask_list(mo)
-    for f, rf, m in zip(
-        to_obj_ints(*arrs["full"]), to_obj_ints(*arrs["rcf"]), mask_list
-    ):
-        ks(f, m)
-        ks(rf, m)
-    return kmer_samples
-
-
 def build_graph(ska_array):
     """input.rs:18-125: expand degenerate middle bases, add fwd + rc edges,
     record per-full-k-mer sample bitmasks (first insert wins). Expansion is
