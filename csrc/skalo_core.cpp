@@ -482,10 +482,9 @@ static void compact(Core& c) {
         Chain& ch = c.chains[c.chain_of[sid]];
         const Key& first = ch.nodes[0];
         auto& lst = c.adj[sid];
-        std::vector<Edge> kept;
-        for (auto& e : lst)
-            if (!(e.dst == first)) kept.push_back(e);
-        lst = std::move(kept);
+        lst.erase(std::remove_if(lst.begin(), lst.end(),
+                                 [&](const Edge& e) { return e.dst == first; }),
+                  lst.end());
         // interiors: remove ONLY the edge to the chain successor
         // (compaction.rs:98-105 retain(neighbor != window[1])). A clear()
         // here would wipe bridge edges appended for overlapping chains
@@ -495,10 +494,10 @@ static void compact(Core& c) {
             if (iid < 0) continue;
             const Key& nxt = ch.nodes[i + 1];
             auto& al = c.adj[iid];
-            std::vector<Edge> kept2;
-            for (auto& e : al)
-                if (!(e.dst == nxt)) kept2.push_back(e);
-            al = std::move(kept2);
+            al.erase(
+                std::remove_if(al.begin(), al.end(),
+                               [&](const Edge& e) { return e.dst == nxt; }),
+                al.end());
         }
         // bridge to the chain end, then pop it from the stored chain
         Key endk = ch.nodes.back();
@@ -788,9 +787,24 @@ void skalo_core_ks_fill(void* h, uint64_t* hi, uint64_t* lo, uint64_t* masks) {
     Core& c = *(Core*)h;
     const int64_t G = (int64_t)c.ks_keys.size();
     const int64_t M = c.ks_m;
-    // sort (key, row) pairs rather than indices: the comparator then
-    // reads contiguous memory instead of chasing two random rows per
-    // compare (2-3x on the fault-bound host)
+    // sort contiguous records rather than indices: the comparator and the
+    // output pass then read sequential memory instead of chasing random
+    // rows (the gather per output row dominated on the fault-bound host)
+    if (M == 1) {
+        struct KRM { Key k; uint64_t m; };
+        std::vector<KRM> v((size_t)G);
+        for (int64_t i = 0; i < G; i++)
+            v[(size_t)i] = KRM{c.ks_keys[(size_t)i], c.ks_masks[(size_t)i]};
+        std::sort(v.begin(), v.end(), [](const KRM& a, const KRM& b) {
+            return a.k.hi != b.k.hi ? a.k.hi < b.k.hi : a.k.lo < b.k.lo;
+        });
+        for (int64_t i = 0; i < G; i++) {
+            hi[i] = v[(size_t)i].k.hi;
+            lo[i] = v[(size_t)i].k.lo;
+            masks[i] = v[(size_t)i].m;
+        }
+        return;
+    }
     struct KR { Key k; int32_t r; };
     std::vector<KR> v((size_t)G);
     for (int64_t i = 0; i < G; i++)
