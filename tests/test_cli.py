@@ -156,3 +156,24 @@ def test_ska_platform_env_pins_backend():
     )
     assert r.returncode == 0, r.stderr[-500:]
     assert r.stdout.strip().splitlines()[-1] == "cpu"
+
+
+def test_build_proportion_reads_oracle(tmp_path, ref_in, ref_out, capsys, monkeypatch):
+    """--proportion-reads subsamples records (FASTA too): step=round(1/p),
+    keep every step-th record per file (reference tests/align.rs:33-60,
+    src/ska_dict.rs:125-141); oracle proportion_reads.stdout."""
+    monkeypatch.chdir(tmp_path)
+    _run(
+        [
+            "build", "-k", "17", "--single-strand",
+            "-o", "build_proportion_reads",
+            f"{ref_in}/proportion_reads.fa",
+            "--proportion-reads", "0.5",
+        ],
+        capsys,
+    )
+    res = _run(["nk", "build_proportion_reads.skf", "--full-info"], capsys)
+    from tests.test_skf_ops import _match_wildcard
+
+    with open(f"{ref_out}/proportion_reads.stdout") as f:
+        _match_wildcard(res.out, f.read())

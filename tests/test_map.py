@@ -183,3 +183,33 @@ def test_refska_chunked_matches_single_dispatch(tmp_path, monkeypatch):
     np.testing.assert_array_equal(got.chrom, want.chrom)
     np.testing.assert_array_equal(got.krc, want.krc)
     np.testing.assert_array_equal(got.repeat_coors, want.repeat_coors)
+
+
+def test_map_rev_comp_build_equivalence(ref_in, tmp_path):
+    """A canonical (rc=True) build from reverse-complemented input maps
+    identically to one from forward input (intent of tests/map.rs:170-204;
+    the reference's own rc assertion is vacuous — it maps a nonexistent
+    fwd_build.skf, and its test_2_rc.fa fixture drops one base of the true
+    RC — so we compute the exact RC and assert the real equivalence)."""
+    seq = open(f"{ref_in}/test_2.fa").read().splitlines()[1]
+    comp = str.maketrans("ACGT", "TGCA")
+    rc_fa = tmp_path / "test_2_true_rc.fa"
+    rc_fa.write_text(">sample1\n" + seq.translate(comp)[::-1] + "\n")
+    q = QualOpts()
+    fwd = merge_samples(
+        [
+            build_sample("test_1", 9, (f"{ref_in}/test_1.fa", None), True, q),
+            build_sample("test_2", 9, (f"{ref_in}/test_2.fa", None), True, q),
+        ]
+    )
+    rc = merge_samples(
+        [
+            build_sample("test_1", 9, (f"{ref_in}/test_1.fa", None), True, q),
+            build_sample("test_2", 9, (str(rc_fa), None), True, q),
+        ]
+    )
+    got_fwd = _map_out(fwd, f"{ref_in}/test_ref.fa", "aln")
+    got_rc = _map_out(rc, f"{ref_in}/test_ref.fa", "aln")
+    # compare sequence lines only (names differ), like cmp_map_aln
+    seq = lambda s: s.splitlines()[1::2]
+    assert seq(got_rc) == seq(got_fwd)
