@@ -91,18 +91,33 @@ def main():
     # so an outage at bench time degrades to a late number or a clean
     # nonzero exit instead of an indefinite hang with no JSON at all.
     def _warmup_once(timeout_s):
-        box = []
-        th = threading.Thread(
-            target=lambda: box.append(int(np.asarray(step())[0])), daemon=True
-        )
+        box, err = [], []
+
+        def run():
+            try:
+                box.append(int(np.asarray(step())[0]))
+            except BaseException as e:  # report crash vs stall correctly
+                err.append(e)
+
+        th = threading.Thread(target=run, daemon=True)
         th.start()
         th.join(timeout_s)
-        return bool(box and box[0] > 0), th
+        return box, err, th
 
     warm_ok = False
     for attempt in range(3):
-        warm_ok, th = _warmup_once(600)
-        if warm_ok:
+        box, err, th = _warmup_once(600)
+        if err:
+            # deterministic code failure, not link weather — don't retry
+            print(f"warmup failed: {err[0]!r}", file=sys.stderr)
+            sys.exit(4)
+        if box:
+            # completed; n==0 only happens with degenerate SKA_BENCH_*
+            # smoke overrides (e.g. L < k) — a config error, not a stall
+            if box[0] <= 0:
+                print("warmup produced 0 k-mers (check SKA_BENCH_* sizes)", file=sys.stderr)
+                sys.exit(4)
+            warm_ok = True
             break
         print(
             f"warmup attempt {attempt + 1} stalled >600s (relay outage?); "

@@ -386,7 +386,11 @@ static void expand_and_build(Core& c, const uint64_t* keys_hi,
     for (size_t id = 0, n0 = c.adj.size(); id < n0; id++)
         for (size_t j = 0; j < c.adj[id].size(); j++) {
             Key d = c.adj[id][j].dst;
-            c.adj[id][j].dst_id = intern(c, d);
+            // intern() may reallocate c.adj (emplace_back); form the
+            // lvalue only after it returns — do not fold into one
+            // statement (unsequenced under pre-C++17 CXXFLAGS overrides)
+            int32_t di = intern(c, d);
+            c.adj[id][j].dst_id = di;
         }
     if (tim)
         fprintf(stderr,
@@ -596,7 +600,7 @@ static void traverse(Core& c) {
                 const uint8_t fs[2] = {p.flags, p.flags2};
                 for (int q2 = 0; q2 < 2; q2++) {
                     R.segs.push_back(-(int32_t)(ks[q2]->lo & 3) - 1);
-                    if ((fs[q2] & 1) && off <= cutoff)
+                    if ((fs[q2] & 1) && (cutoff < 0 || off <= cutoff))
                         R.snps.push_back(off + c.k_graph);
                     else if (fs[q2] & 2) R.snps.push_back(off - 1);
                     off++;
@@ -606,7 +610,7 @@ static void traverse(Core& c) {
                 R.segs.push_back(p.chain);
                 for (size_t m = 0; m < ch.mark_rel.size(); m++) {
                     int64_t i = off + ch.mark_rel[m];
-                    if ((ch.mark_se[m] & 1) && i <= cutoff)
+                    if ((ch.mark_se[m] & 1) && (cutoff < 0 || i <= cutoff))
                         R.snps.push_back(i + c.k_graph);
                     else if (ch.mark_se[m] & 2)
                         R.snps.push_back(i - 1);
@@ -614,7 +618,7 @@ static void traverse(Core& c) {
                 off += (int64_t)ch.codes.size();
             } else {
                 R.segs.push_back(-(int32_t)(p.single.lo & 3) - 1);
-                if ((p.flags & 1) && off <= cutoff)
+                if ((p.flags & 1) && (cutoff < 0 || off <= cutoff))
                     R.snps.push_back(off + c.k_graph);
                 else if (p.flags & 2) R.snps.push_back(off - 1);
                 off++;

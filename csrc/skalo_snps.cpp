@@ -281,6 +281,11 @@ static int64_t process_group(
     // positions where >1 distinct code
     std::vector<int64_t> real;
     for (int64_t p : cand) {
+        // p == -1 encodes the reference's `i - 1` usize wrap at i == 0
+        // (read_graph.rs:205, release mode): usize::MAX never < len, so
+        // it can never be real — and indexing codes[voff[v] - 1] here
+        // would read out of bounds.
+        if (p < 0) continue;
         int seen = 0;
         int cnt = 0;
         for (int64_t v = 0; v < V; v++) {

@@ -64,8 +64,11 @@ def mutate(rng, ref, n_snps, n_indels):
 
 
 def one_scenario(rng, it):
-    k = int(rng.choice([31, 41]))
-    n_samples = int(rng.integers(2, 6))
+    # k=7 found a real divergence (the reference's i-1 usize wrap, fixed
+    # 2026-08-17); keep small k in rotation. k=63 exercises two-limb keys.
+    k = int(rng.choice([7, 17, 31, 41, 63]))
+    # occasionally S >= 65: two mask limbs (M=2) through MaskMap/ks_fill
+    n_samples = 66 if rng.random() < 0.06 else int(rng.integers(2, 6))
     L = int(rng.choice([600, 1500, 4000]))
     n_snps = int(rng.integers(0, 12))
     n_indels = int(rng.integers(0, 3))

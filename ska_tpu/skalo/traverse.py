@@ -109,7 +109,10 @@ def build_variant_groups(
             parts.append(codes)
             for rel, in_s, in_e in marks:
                 i = off + rel
-                if in_s and i <= cutoff:
+                # reference: i <= vec_visited.len() - k_graph in usize
+                # (read_graph.rs:200-202); when n < k_graph the release-mode
+                # subtraction wraps and the bound is vacuously true
+                if in_s and (cutoff < 0 or i <= cutoff):
                     vec_snps.append(i + k_graph)
                 elif in_e:
                     vec_snps.append(i - 1)

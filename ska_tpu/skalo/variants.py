@@ -39,6 +39,11 @@ def get_potential_snp(vec_variant):
         snps_set.update(variant.vec_snps)
     actual = set()
     for pos in snps_set:
+        # pos == -1 encodes the reference's `i - 1` usize wrap at i == 0
+        # (read_graph.rs:205, release mode): usize::MAX is never < len,
+        # so it can never become a real SNP position.
+        if pos < 0:
+            continue
         present = set()
         for variant in vec_variant:
             if pos < len(variant.sequence):

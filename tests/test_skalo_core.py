@@ -90,3 +90,63 @@ def test_compact_graph_overlapping_chains(E1, E2):
     assert all_kmers[n2] == [X]
     assert all_kmers[n3] == []
     assert all_kmers[n4] == [X]
+
+
+def test_native_matches_python_small_k_dense_snps(tmp_path):
+    """k=7 regression: dense SNPs at tiny k produce paths whose entry node
+    is also an exit extremity, so the reference's `vec_snps.push(i - 1)`
+    wraps at i == 0 (read_graph.rs:205, usize in release mode) — the
+    sentinel must never become a real SNP position (it previously made the
+    C++ SNP stage read codes[-1] and fail the kmer_samples lookup), and
+    the `i <= len - k_graph` bound must be vacuously true when the path is
+    shorter than k_graph (read_graph.rs:200-202 wrap)."""
+    from ska_tpu.skalo import SkaloConfig, run_skalo
+
+    _, files = _make_inputs(tmp_path, n_samples=3, L=200, n_snps=30, seed=14)
+    arr = build(files, 7, True, QualOpts())
+
+    outs = {}
+    for mode in ("native", "python"):
+        os.environ["SKA_SKALO_CORE"] = mode
+        try:
+            cfg = SkaloConfig(output_name=str(tmp_path / f"sk_{mode}"))
+            run_skalo(arr, cfg)
+        finally:
+            del os.environ["SKA_SKALO_CORE"]
+        got = {}
+        for suffix in ("_snps.fas", "_snps.vcf", "_indels.vcf", "_pseudo_genomes.fas"):
+            p = tmp_path / f"sk_{mode}{suffix}"
+            got[suffix] = p.read_bytes() if p.exists() else None
+        outs[mode] = got
+
+    assert outs["native"] == outs["python"]
+    assert outs["native"]["_snps.fas"] is not None
+
+
+def test_native_matches_python_two_mask_limbs(tmp_path):
+    """S=66 samples: sample bitmasks span two uint64 limbs (M=2), covering
+    MaskMap multi-limb hashing and the M>1 branch of the ks export."""
+    from ska_tpu.skalo import SkaloConfig, run_skalo
+
+    ref_f, files = _make_inputs(tmp_path, n_samples=66, L=800, n_snps=6, seed=3)
+    arr = build(files, 31, True, QualOpts())
+
+    outs = {}
+    for mode in ("native", "python"):
+        os.environ["SKA_SKALO_CORE"] = mode
+        try:
+            cfg = SkaloConfig(
+                output_name=str(tmp_path / f"ml_{mode}"),
+                reference_genome=str(ref_f),
+            )
+            run_skalo(arr, cfg)
+        finally:
+            del os.environ["SKA_SKALO_CORE"]
+        got = {}
+        for suffix in ("_snps.fas", "_snps.vcf", "_indels.vcf", "_pseudo_genomes.fas"):
+            p = tmp_path / f"ml_{mode}{suffix}"
+            got[suffix] = p.read_bytes() if p.exists() else None
+        outs[mode] = got
+
+    assert outs["native"] == outs["python"]
+    assert outs["native"]["_snps.fas"] is not None
