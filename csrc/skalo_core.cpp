@@ -46,56 +46,92 @@ struct KeyHash {
 // dense genome (node-per-bucket chasing); this is a single probe chain
 // over contiguous memory.
 struct FlatKeyMap {
-    std::vector<Key> keys;
-    std::vector<int32_t> vals;
-    std::vector<uint8_t> used;
+    // Two interleaved-slot layouts so a probe touches ONE cache line
+    // (profiled: the 17.9M interning probes of a dense genome were the
+    // single largest cost at 28% CPU with keys/vals/used in separate
+    // arrays — three lines per probe). `narrow` stores lo-only keys
+    // (valid whenever keys fit 62 bits, i.e. len_kmer <= 31, so ~0 is a
+    // free empty sentinel); insertion ids are assigned by the caller in
+    // arrival order, so the layout never affects output semantics.
+    struct Slot64 { uint64_t k; int32_t v; };        // 16B padded
+    struct Slot128 { Key k; int32_t v; uint8_t used; };  // 24B padded
+    static constexpr uint64_t EMPTY64 = ~0ULL;
+    bool narrow = false;
+    std::vector<Slot64> s64;
+    std::vector<Slot128> s128;
     size_t mask = 0, count = 0, limit = 0;
 
-    void reserve(size_t expect) {
+    void reserve(size_t expect, bool narrow_keys) {
+        narrow = narrow_keys;
         size_t cap = 1024;
         while (cap * 3 < expect * 4) cap <<= 1;  // <= 0.75 load at `expect`
         rehash(cap);
     }
     void rehash(size_t cap) {
-        std::vector<Key> ok = std::move(keys);
-        std::vector<int32_t> ov = std::move(vals);
-        std::vector<uint8_t> ou = std::move(used);
-        keys.assign(cap, Key{0, 0});
-        vals.assign(cap, 0);
-        used.assign(cap, 0);
         mask = cap - 1;
         limit = cap - cap / 4;
         count = 0;
-        for (size_t i = 0; i < ou.size(); i++)
-            if (ou[i]) *slot_fresh(ok[i]) = ov[i];
+        if (narrow) {
+            std::vector<Slot64> old = std::move(s64);
+            s64.assign(cap, Slot64{EMPTY64, 0});
+            for (auto& s : old)
+                if (s.k != EMPTY64) *slot_fresh(Key{0, s.k}) = s.v;
+        } else {
+            std::vector<Slot128> old = std::move(s128);
+            s128.assign(cap, Slot128{Key{0, 0}, 0, 0});
+            for (auto& s : old)
+                if (s.used) *slot_fresh(s.k) = s.v;
+        }
     }
     int32_t* slot_fresh(const Key& k) {  // insert, key known absent
         size_t i = KeyHash{}(k) & mask;
-        while (used[i]) i = (i + 1) & mask;
-        used[i] = 1;
-        keys[i] = k;
         count++;
-        return &vals[i];
+        if (narrow) {
+            while (s64[i].k != EMPTY64) i = (i + 1) & mask;
+            s64[i].k = k.lo;
+            return &s64[i].v;
+        }
+        while (s128[i].used) i = (i + 1) & mask;
+        s128[i].used = 1;
+        s128[i].k = k;
+        return &s128[i].v;
     }
     // returns value slot; *fresh says whether it was just inserted
     int32_t* get_or_insert(const Key& k, bool* fresh) {
         if (count >= limit) rehash((mask + 1) * 2);
         size_t i = KeyHash{}(k) & mask;
-        while (used[i]) {
-            if (keys[i] == k) { *fresh = false; return &vals[i]; }
+        if (narrow) {
+            while (s64[i].k != EMPTY64) {
+                if (s64[i].k == k.lo) { *fresh = false; return &s64[i].v; }
+                i = (i + 1) & mask;
+            }
+            s64[i].k = k.lo;
+            count++;
+            *fresh = true;
+            return &s64[i].v;
+        }
+        while (s128[i].used) {
+            if (s128[i].k == k) { *fresh = false; return &s128[i].v; }
             i = (i + 1) & mask;
         }
-        used[i] = 1;
-        keys[i] = k;
+        s128[i].used = 1;
+        s128[i].k = k;
         count++;
         *fresh = true;
-        return &vals[i];
+        return &s128[i].v;
     }
     int32_t find(const Key& k) const {  // -1 if absent
         if (mask == 0) return -1;
         size_t i = KeyHash{}(k) & mask;
-        while (used[i]) {
-            if (keys[i] == k) return vals[i];
+        if (narrow) {
+            while (s64[i].k != EMPTY64) {
+                if (s64[i].k == k.lo) return s64[i].v;
+                i = (i + 1) & mask;
+            }
+            return -1;
+        }
+        while (s128[i].used) {
+            if (s128[i].k == k) return s128[i].v;
             i = (i + 1) & mask;
         }
         return -1;
@@ -133,6 +169,7 @@ struct Edge {
 
 struct Chain {
     std::vector<Key> nodes;       // chain after its start node (last popped)
+    std::vector<int32_t> ids;     // node ids parallel to `nodes`
     std::vector<uint8_t> codes;   // node & 3 per node
     // (rel index, in_start, in_end) marks for nodes in either set
     std::vector<int32_t> mark_rel;
@@ -306,10 +343,12 @@ static void expand_and_build(Core& c, const uint64_t* keys_hi,
     int64_t E = 2 * m_total;
     c.n_edges = E;
     auto e1 = now();
-    c.node_id.reserve((size_t)E * 2);
+    // narrow (lo-only) slots whenever full k-mers fit 62 bits
+    const bool narrow = len_kmer <= 31;
+    c.node_id.reserve((size_t)E * 2, narrow);
 
     FlatKeyMap fullmap;  // full k-mer -> ks row id (first wins)
-    fullmap.reserve((size_t)E);
+    fullmap.reserve((size_t)E, narrow);
     MaskMap cmap;
     const int64_t M = (S + 63) / 64;
     cmap.init(M);
@@ -424,10 +463,19 @@ static bool find_extremities(Core& c) {
 // compaction.rs:10-117 (walks first, then rewiring; order-independent)
 static void compact(Core& c) {
     c.chain_of.assign(c.node_key.size(), -1);
-    // per-walk visited, epoch-stamped (no per-walk allocation)
-    std::vector<int32_t> vis_epoch(c.node_key.size(), 0);
     int32_t epoch = 0;
     std::vector<int32_t> chain_ids;  // scratch: walked node ids
+
+    // packed per-node walk state: corridor successor (dst when out-degree
+    // is exactly 1, else -1), extremity flags, and the epoch-stamped
+    // visited mark, in ONE 12-byte record. The walk previously read
+    // adj[cur] (header + edge), vis_epoch and nflags — ~4 cache misses
+    // per corridor step over millions of steps (profiled 4s dense).
+    struct WN { int32_t succ; uint8_t flags; int32_t epoch; };
+    std::vector<WN> wn(c.node_key.size());
+    for (size_t i = 0; i < c.adj.size(); i++)
+        wn[i] = WN{c.adj[i].size() == 1 ? c.adj[i][0].dst_id : -1,
+                   c.nflags[i], 0};
 
     auto walk_from = [&](int32_t id) {
         // snapshot: python iterates list(all_kmers[kmer])
@@ -441,14 +489,13 @@ static void compact(Core& c) {
             epoch++;
             chain_ids.clear();
             while (true) {
-                auto& nxt = c.adj[cur];
-                if (nxt.size() != 1) break;
-                int32_t d = nxt[0].dst_id;
-                if (vis_epoch[d] == epoch) break;
+                int32_t d = wn[cur].succ;  // -1 when out-degree != 1
+                if (d < 0) break;
+                if (wn[d].epoch == epoch) break;
                 cur = d;
                 chain_ids.push_back(cur);
-                vis_epoch[cur] = epoch;
-                if (c.nflags[cur]) break;
+                wn[cur].epoch = epoch;
+                if (wn[cur].flags) break;
             }
             if (chain_ids.size() > 1 && c.chain_of[starting] < 0) {
                 // python dict assignment overwrites; values are identical
@@ -458,6 +505,7 @@ static void compact(Core& c) {
                 c.chains.push_back(Chain{});
                 Chain& ch = c.chains.back();
                 ch.nodes.reserve(chain_ids.size());
+                ch.ids = chain_ids;
                 ch.codes.reserve(chain_ids.size());
                 for (size_t i = 0; i < chain_ids.size(); i++) {
                     const Key& k = c.node_key[chain_ids[i]];
@@ -492,12 +540,11 @@ static void compact(Core& c) {
         // interiors: remove ONLY the edge to the chain successor
         // (compaction.rs:98-105 retain(neighbor != window[1])). A clear()
         // here would wipe bridge edges appended for overlapping chains
-        // whose start node sits mid-corridor of this one.
+        // whose start node sits mid-corridor of this one. Node ids were
+        // recorded during the walk — no map lookups here.
         for (size_t i = 0; i + 2 < ch.nodes.size() + 0u; i++) {
-            int32_t iid = c.node_id.find(ch.nodes[i]);
-            if (iid < 0) continue;
             const Key& nxt = ch.nodes[i + 1];
-            auto& al = c.adj[iid];
+            auto& al = c.adj[ch.ids[i]];
             al.erase(
                 std::remove_if(al.begin(), al.end(),
                                [&](const Edge& e) { return e.dst == nxt; }),
@@ -505,7 +552,8 @@ static void compact(Core& c) {
         }
         // bridge to the chain end, then pop it from the stored chain
         Key endk = ch.nodes.back();
-        c.adj[sid].push_back(Edge{endk, c.node_id.find(endk), -1, -1, 0});
+        c.adj[sid].push_back(Edge{endk, ch.ids.back(), -1, -1, 0});
+        { std::vector<int32_t> tmp; ch.ids.swap(tmp); }  // ids done
         ch.nodes.pop_back();
         ch.codes.pop_back();
         // the popped end never contributes marks in the stored chain
@@ -795,6 +843,44 @@ void skalo_core_ks_fill(void* h, uint64_t* hi, uint64_t* lo, uint64_t* masks) {
     // output pass then read sequential memory instead of chasing random
     // rows (the gather per output row dominated on the fault-bound host)
     if (M == 1) {
+        bool allhi0 = true;
+        for (int64_t i = 0; i < G; i++)
+            if (c.ks_keys[(size_t)i].hi) { allhi0 = false; break; }
+        if (allhi0 && G > (1 << 16)) {
+            // MSD bucket partition on the top 13 bits straight into the
+            // output arrays, then cache-resident per-bucket sorts: one
+            // global comparison sort of ~9M 24B records cost ~4.5s CPU
+            // on the dense set, most of it cache misses
+            constexpr int SH = 51, B = 1 << 13;
+            std::vector<int64_t> off((size_t)B + 1, 0);
+            for (int64_t i = 0; i < G; i++)
+                off[(size_t)(c.ks_keys[(size_t)i].lo >> SH) + 1]++;
+            for (int b = 0; b < B; b++) off[(size_t)b + 1] += off[(size_t)b];
+            std::vector<int64_t> pos(off.begin(), off.end() - 1);
+            for (int64_t i = 0; i < G; i++) {
+                uint64_t k = c.ks_keys[(size_t)i].lo;
+                int64_t j = pos[(size_t)(k >> SH)]++;
+                lo[j] = k;
+                masks[j] = c.ks_masks[(size_t)i];
+            }
+            memset(hi, 0, (size_t)G * 8);
+            struct P { uint64_t k, m; };
+            std::vector<P> tmp;
+            for (int b = 0; b < B; b++) {
+                int64_t s = off[(size_t)b], e = off[(size_t)b + 1];
+                if (e - s < 2) continue;
+                tmp.resize((size_t)(e - s));
+                for (int64_t i = s; i < e; i++)
+                    tmp[(size_t)(i - s)] = P{lo[i], masks[i]};
+                std::sort(tmp.begin(), tmp.end(),
+                          [](const P& a, const P& b2) { return a.k < b2.k; });
+                for (int64_t i = s; i < e; i++) {
+                    lo[i] = tmp[(size_t)(i - s)].k;
+                    masks[i] = tmp[(size_t)(i - s)].m;
+                }
+            }
+            return;
+        }
         struct KRM { Key k; uint64_t m; };
         std::vector<KRM> v((size_t)G);
         for (int64_t i = 0; i < G; i++)
