@@ -345,7 +345,11 @@ static void expand_and_build(Core& c, const uint64_t* keys_hi,
     auto e1 = now();
     // narrow (lo-only) slots whenever full k-mers fit 62 bits
     const bool narrow = len_kmer <= 31;
-    c.node_id.reserve((size_t)E * 2, narrow);
+    // cDBG node count tracks the edge count closely (dense 4x4Mb:
+    // 8.95M nodes / 8.98M edges); reserving E keeps load ~57% and
+    // halves the map footprint vs 2E — a pathological graph merely
+    // pays one growth rehash
+    c.node_id.reserve((size_t)E, narrow);
 
     FlatKeyMap fullmap;  // full k-mer -> ks row id (first wins)
     fullmap.reserve((size_t)E, narrow);
@@ -433,8 +437,10 @@ static void expand_and_build(Core& c, const uint64_t* keys_hi,
         }
     if (tim)
         fprintf(stderr,
-                "[skalo_core]   expand: count %.1fs emit %.1fs dst %.1fs\n",
-                secs(e0, e1), secs(e1, e2), secs(e2, now()));
+                "[skalo_core]   expand: count %.1fs emit %.1fs dst %.1fs "
+                "(%zu nodes / %lld edges)\n",
+                secs(e0, e1), secs(e1, e2), secs(e2, now()),
+                c.node_id.count, (long long)E);
 }
 
 // extremities.rs:10-51: >= 2 out-edges whose sample sets differ
