@@ -99,6 +99,13 @@ struct SnpsCtx {
     int n_samples;
     double max_missing;
 
+    // packed per-genome-key hit record: keep flag, <=3 positions
+    // (positioning keeps at most the first 3, positioning.rs:80-88) and
+    // their count in ONE 16-byte line — the hit path previously read
+    // gm_keep/gm_starts/gm_counts/gm_pos, four scattered arrays
+    struct GRec { uint32_t pos[3]; uint8_t keep; uint8_t cnt; uint16_t pad; };
+    std::vector<GRec> gm_rec;
+
     // prefix-bucket index over the genome keys: bucket = top B key bits;
     // windows then probe ~1 entry instead of a ~22-step binary search
     // (the genome map has millions of keys and most windows miss)
@@ -107,6 +114,12 @@ struct SnpsCtx {
     int gm_B = 0;
 
     std::unordered_set<K2, K2Hash> entries_done;
+    // window_votes pipelined-pass scratch (sized to one variant's windows)
+    mutable std::vector<uint64_t> encs_scratch;
+    mutable std::vector<int64_t> blo_scratch, bhi_scratch;
+    // per-group positioning scratch
+    mutable std::vector<uint32_t> fwd_scratch, rev_scratch;
+    mutable std::vector<uint8_t> rcc_scratch;
     // SKALO_CORE_TIME=1: accumulated per-phase seconds
     bool timing = false;
     double t_cols = 0, t_pos = 0;
@@ -131,19 +144,19 @@ static int64_t ks_find(const SnpsCtx& c, const K2& k) {
 }
 
 // positioning.rs:217-255
-static void most_frequent(const std::vector<int64_t>& votes, int64_t* elem, int64_t* cnt) {
+static void most_frequent(const std::vector<uint32_t>& votes, int64_t* elem, int64_t* cnt) {
     *elem = 0; *cnt = 0;
     if (votes.empty()) return;
-    std::unordered_map<int64_t, int64_t> counts;
-    std::vector<int64_t> order;
-    for (int64_t v : votes) {
+    std::unordered_map<uint32_t, int64_t> counts;
+    std::vector<uint32_t> order;
+    for (uint32_t v : votes) {
         auto it = counts.find(v);
         if (it == counts.end()) { counts.emplace(v, 1); order.push_back(v); }
         else it->second++;
     }
     int64_t best = 0, bestc = 0;
     bool tie = false;
-    for (int64_t v : order) {
+    for (uint32_t v : order) {
         int64_t cN = counts[v];
         if (cN > bestc) { best = v; bestc = cN; tie = false; }
         else if (cN == bestc) tie = true;
@@ -161,32 +174,59 @@ static inline uint64_t topb2(uint64_t hi, uint64_t lo, int key_bits, int B) {
 
 // window votes for one code array (positioning, k_graph <= 32 fast path)
 static void window_votes(const SnpsCtx& c, const uint8_t* codes, int64_t L,
-                         std::vector<int64_t>& votes) {
+                         std::vector<uint32_t>& votes) {
     int kg = c.k_graph;
     if (L < kg || c.gm_n == 0) return;
     uint64_t enc = 0;
     uint64_t mask = (kg >= 32) ? ~0ULL : ((1ULL << (2 * kg)) - 1);
+    // Three pipelined passes over this variant's windows (the per-window
+    // scratch is L1-resident): rolling encode, then bucket-span reads,
+    // then the in-bucket search — each with its memory prefetched a few
+    // iterations ahead. The fused loop was one dependent miss chain per
+    // window (gprof: 5.8s of the dense SNP stage's 8s CPU).
+    int64_t nw = L - kg + 1;
+    auto& encs = c.encs_scratch;
+    auto& blos = c.blo_scratch;
+    auto& bhis = c.bhi_scratch;
+    encs.resize((size_t)nw);
+    blos.resize((size_t)nw);
+    bhis.resize((size_t)nw);
     for (int64_t i = 0; i < kg - 1; i++) enc = ((enc << 2) | codes[i]) & mask;
-    for (int64_t p = 0; p + kg <= L; p++) {
+    for (int64_t p = 0; p < nw; p++) {
         enc = ((enc << 2) | codes[p + kg - 1]) & mask;
-        // lower bound in gm_lo, narrowed to the key's prefix bucket
-        uint64_t b = enc >> c.gm_shift;
-        int64_t lo = c.gm_bucket[b], hi = c.gm_bucket[b + 1];
+        encs[(size_t)p] = enc;
+    }
+    constexpr int64_t D = 12;
+    for (int64_t p = 0; p < nw; p++) {
+        if (p + D < nw)
+            __builtin_prefetch(&c.gm_bucket[encs[(size_t)(p + D)] >> c.gm_shift]);
+        uint64_t b = encs[(size_t)p] >> c.gm_shift;
+        blos[(size_t)p] = c.gm_bucket[b];
+        bhis[(size_t)p] = c.gm_bucket[b + 1];
+    }
+    for (int64_t p = 0; p < nw; p++) {
+        if (p + D < nw) {
+            __builtin_prefetch(&c.gm_lo[blos[(size_t)(p + D)]]);
+            __builtin_prefetch(&c.gm_rec[blos[(size_t)(p + D)]]);
+        }
+        enc = encs[(size_t)p];
+        int64_t lo = blos[(size_t)p], hi = bhis[(size_t)p];
         while (lo < hi) {
             int64_t mid = (lo + hi) >> 1;
             if (c.gm_lo[mid] < enc) lo = mid + 1; else hi = mid;
         }
-        if (lo < c.gm_n && c.gm_lo[lo] == enc && c.gm_keep[lo]) {
-            int64_t s = c.gm_starts[lo], nctn = c.gm_counts[lo];
-            for (int64_t j = 0; j < nctn; j++)
-                votes.push_back((c.gm_pos[s + j] - p) & 0xFFFFFFFFLL);
+        if (lo < c.gm_n && c.gm_lo[lo] == enc) {
+            const SnpsCtx::GRec& r = c.gm_rec[(size_t)lo];
+            if (r.keep)
+                for (int j = 0; j < r.cnt; j++)
+                    votes.push_back(r.pos[j] - (uint32_t)p);
         }
     }
 }
 
 // window votes, two-limb keys (32 < k_graph <= 62)
 static void window_votes2(const SnpsCtx& c, const uint8_t* codes, int64_t L,
-                          std::vector<int64_t>& votes) {
+                          std::vector<uint32_t>& votes) {
     int kg = c.k_graph;
     if (L < kg || c.gm_n == 0) return;
     int key_bits = 2 * kg;
@@ -208,11 +248,11 @@ static void window_votes2(const SnpsCtx& c, const uint8_t* codes, int64_t L,
                 lo = mid + 1;
             else hi = mid;
         }
-        if (lo < c.gm_n && c.gm_hi[lo] == enc.hi && c.gm_lo[lo] == enc.lo &&
-            c.gm_keep[lo]) {
-            int64_t s = c.gm_starts[lo], nctn = c.gm_counts[lo];
-            for (int64_t j = 0; j < nctn; j++)
-                votes.push_back((c.gm_pos[s + j] - p) & 0xFFFFFFFFLL);
+        if (lo < c.gm_n && c.gm_hi[lo] == enc.hi && c.gm_lo[lo] == enc.lo) {
+            const SnpsCtx::GRec& r = c.gm_rec[(size_t)lo];
+            if (r.keep)
+                for (int j = 0; j < r.cnt; j++)
+                    votes.push_back(r.pos[j] - (uint32_t)p);
         }
     }
 }
@@ -236,6 +276,15 @@ void* skalo_snps_new(
     c->gm_hi = gm_hi;
     c->gm_lo = gm_lo; c->gm_keep = gm_keep; c->gm_starts = gm_starts;
     c->gm_counts = gm_counts; c->gm_pos = gm_pos; c->gm_n = gm_n;
+    c->gm_rec.resize((size_t)gm_n);
+    for (int64_t i = 0; i < gm_n; i++) {
+        SnpsCtx::GRec& r = c->gm_rec[(size_t)i];
+        r.keep = gm_keep[i];
+        int64_t nctn = gm_counts[i];
+        r.cnt = (uint8_t)(nctn > 3 ? 3 : nctn);
+        for (int64_t j = 0; j < r.cnt; j++)
+            r.pos[j] = (uint32_t)gm_pos[gm_starts[i] + j];
+    }
     c->do_positioning = (int)do_positioning;
     c->k_graph = (int)k_graph;
     c->n_samples = (int)n_samples;
@@ -370,9 +419,12 @@ static int64_t process_group(
     auto tp0 = std::chrono::steady_clock::now();
 
     if (c.do_positioning) {
-        // scan_variants over all variants, fwd + rc
-        std::vector<int64_t> fwd, rev;
-        std::vector<uint8_t> rc_codes;
+        // scan_variants over all variants, fwd + rc; vote values are u32
+        // by construction (reference positioning is u32 arithmetic) and
+        // the buffers are reused across groups (~25M pushes at dense scale)
+        std::vector<uint32_t>&fwd = c.fwd_scratch, &rev = c.rev_scratch;
+        fwd.clear(); rev.clear();
+        std::vector<uint8_t>& rc_codes = c.rcc_scratch;
         auto wv = (c.k_graph <= 32) ? window_votes : window_votes2;
         for (int64_t v = 0; v < V; v++) {
             const uint8_t* vc = codes + voff[v];
