@@ -207,7 +207,10 @@ static void window_votes(const SnpsCtx& c, const uint8_t* codes, int64_t L,
     for (int64_t p = 0; p < nw; p++) {
         if (p + D < nw) {
             __builtin_prefetch(&c.gm_lo[blos[(size_t)(p + D)]]);
-            __builtin_prefetch(&c.gm_rec[blos[(size_t)(p + D)]]);
+            // .data()+idx, not operator[]: idx can be gm_n (all-empty
+            // tail buckets) and a one-past-end operator[] is UB under
+            // hardened libstdc++ even though only the address is formed
+            __builtin_prefetch(c.gm_rec.data() + blos[(size_t)(p + D)]);
         }
         enc = encs[(size_t)p];
         int64_t lo = blos[(size_t)p], hi = bhis[(size_t)p];

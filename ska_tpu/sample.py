@@ -189,7 +189,11 @@ def _auto_max_batch(Lp: int) -> int:
     env = os.environ.get("SKA_MAX_BATCH")
     if env:
         return max(1, int(env))
-    return max(1, min(32, (1 << 27) // max(Lp, 1)))
+    eff = max(1, min(32, (1 << 27) // max(Lp, 1)))
+    # The dispatch pads the batch axis up to the next power of two, so a
+    # non-power-of-two here would silently double the device work (e.g.
+    # 17 samples padded to 32 rows). Round down to a power of two.
+    return 1 << (eff.bit_length() - 1)
 
 
 def build_samples_merged(
