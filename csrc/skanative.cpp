@@ -347,6 +347,32 @@ long long ska_cbor_decode_uints(
     return i;
 }
 
+// Byte-narrow variant: decode consecutive CBOR unsigned ints that all fit
+// u8 straight into a uint8 array — 1/8th the output pages of the u64
+// decoder, which is what the big `.skf` variant matrix (one base byte per
+// cell) actually needs on fault-slow hosts (see BASELINE.md). Stops at the
+// first value > 255, non-uint item, or truncation; the caller then redoes
+// the whole array through ska_cbor_decode_uints (decode CPU is ~3 ns/item,
+// so a discarded partial pass is cheap next to the page traffic saved).
+long long ska_cbor_decode_u8(
+    const uint8_t* in, long long len, long long n,
+    uint8_t* out, long long* consumed
+) {
+    size_t p = 0;
+    long long i = 0;
+    for (; i < n; i++) {
+        if ((long long)p >= len) break;
+        uint8_t ib = in[p];
+        if (ib < 24) { out[i] = ib; p += 1; }
+        else if (ib == 0x18) {
+            if ((long long)(p + 2) > len) break;
+            out[i] = in[p + 1]; p += 2;
+        } else break;
+    }
+    *consumed = (long long)p;
+    return i;
+}
+
 // ---- pseudoalignment writer (ska map) -------------------------------------------
 //
 // Exact port of the AlnWriter state machine semantics

@@ -56,16 +56,23 @@ def load(path: str) -> SkaArray:
     W = max(1, k_bits // 64)
     sk = obj["split_kmers"]
     if isinstance(sk, cbor.UIntArray):
+        # .lo may be uint8 (byte-narrow bulk decode); keys are u64 limbs.
+        # The decoder owns the buffer, so a dtype-matching view needs no copy.
+        lo = sk.lo if sk.lo.dtype == np.uint64 else sk.lo.astype(np.uint64)
         if W == 1:
-            keys = sk.lo[:, None].copy()
+            keys = lo[:, None]
         else:
-            keys = np.stack([sk.hi, sk.lo], axis=-1)
+            hi = sk.hi if sk.hi.dtype == np.uint64 else sk.hi.astype(np.uint64)
+            keys = np.stack([hi, lo], axis=-1)
     else:
         keys = K.from_python_ints(sk, W)
     v = obj["variants"]
     vdata = v["data"]
     if isinstance(vdata, cbor.UIntArray):
-        variants = vdata.lo.astype(np.uint8).reshape(v["dim"][0], v["dim"][1])
+        vlo = vdata.lo
+        if vlo.dtype != np.uint8:
+            vlo = vlo.astype(np.uint8)
+        variants = vlo.reshape(v["dim"][0], v["dim"][1])
     else:
         variants = np.array(vdata, dtype=np.uint8).reshape(v["dim"][0], v["dim"][1])
     vc = obj["variant_count"]

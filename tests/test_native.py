@@ -138,3 +138,49 @@ def test_cbor_bulk_decode_mixed_magnitudes():
     # bignum-bearing arrays materialize hi through the two-phase re-entry
     arr2 = cbor.loads(cbor.dumps(pad + [2**64 + 1] + pad))
     assert arr2._hi is not None and arr2._hi.max() == 1
+
+
+def test_cbor_bulk_decode_byte_narrow():
+    """Byte-valued arrays (the .skf variant matrix shape: one base byte
+    per cell) take the uint8 bulk path; anything wider falls back to the
+    u64 decoder with identical values. Covers skanative.cpp
+    ska_cbor_decode_u8 + the retry in cbor._decode."""
+    import numpy as np
+
+    from ska_tpu.io import cbor
+
+    byte_vals = [0, 1, 23, 24, 45, 65, 90, 255] * 20
+    arr = cbor.loads(cbor.dumps(byte_vals))
+    assert isinstance(arr, cbor.UIntArray)
+    assert arr.lo.dtype == np.uint8
+    assert arr.tolist() == byte_vals
+
+    # first wide value anywhere forces the whole array through u64
+    for wide_at in (0, 1, len(byte_vals) // 2, len(byte_vals)):
+        vals = list(byte_vals)
+        vals.insert(wide_at, 256)
+        arr = cbor.loads(cbor.dumps(vals))
+        assert arr.lo.dtype == np.uint64, wide_at
+        assert arr.tolist() == vals, wide_at
+
+    # a narrow-decoded skf round-trips through load with u64 keys
+    from ska_tpu.io import skf
+    import tempfile, os
+
+    from ska_tpu.array import SkaArray
+
+    n = 80
+    a = SkaArray(
+        k=5,
+        rc=True,
+        names=["s1"],
+        keys=np.arange(100, 100 + n, dtype=np.uint64)[:, None],
+        variants=np.full((n, 1), ord("A"), dtype=np.uint8),
+        counts=np.ones(n, dtype=np.int64),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        p = skf.save(a, os.path.join(d, "t"))
+        b = skf.load(p)
+    assert b.keys.dtype == np.uint64 and b.variants.dtype == np.uint8
+    np.testing.assert_array_equal(a.keys, b.keys)
+    np.testing.assert_array_equal(a.variants, b.variants)
