@@ -4,6 +4,10 @@
 
 from typing import Dict, List
 
+import numpy as np
+
+_KEEP = b"ATGCN"
+
 
 def create_fasta_and_vcf(
     genome_name: str,
@@ -12,48 +16,44 @@ def create_fasta_and_vcf(
     variant_map: Dict[int, List[str]],
     config,
 ):
-    # non-ATGCN -> N (output_snps.rs:18-23)
-    gs = bytearray(genome_seq)
-    for i, b in enumerate(gs):
-        if chr(b) not in "ATGCN":
-            gs[i] = ord("N")
-    genome_seq = bytes(gs)
+    # non-ATGCN -> N (output_snps.rs:18-23), via a 256-entry table
+    if genome_seq:
+        tbl = np.full(256, ord("N"), dtype=np.uint8)
+        for b in _KEEP:
+            tbl[b] = b
+        garr = tbl[np.frombuffer(genome_seq, dtype=np.uint8)]
+    else:
+        garr = None
 
     sorted_map = sorted(variant_map.items())
+    # with a genome, positions past its end are never reached by the
+    # reference's position scan and drop out of every output (the vote
+    # arithmetic wraps mod 2^32, so huge positions can occur)
+    if garr is not None:
+        sorted_map = [(p, ch) for p, ch in sorted_map if p < len(garr)]
 
-    sequences = [[] for _ in sample_names]
-    genome_alignments = [[] for _ in sample_names] if genome_seq else None
-    vcf_records = []
-
-    genome_length = (
-        len(genome_seq) if genome_seq else (sorted_map[-1][0] + 1 if sorted_map else 0)
-    )
-
-    snp_idx = 0
-    for pos in range(genome_length):
-        if snp_idx < len(sorted_map) and sorted_map[snp_idx][0] == pos:
-            snp_pos, chars = sorted_map[snp_idx]
-            if genome_alignments is not None:
-                ref_base = chr(genome_seq[snp_pos])
-                vcf_records.append((snp_pos, ref_base, chars))
-                for i, c in enumerate(chars):
-                    genome_alignments[i].append(c)
-            for i, c in enumerate(chars):
-                sequences[i].append(c)
-            snp_idx += 1
-        elif genome_alignments is not None:
-            ref_base = chr(genome_seq[pos])
-            for aln in genome_alignments:
-                aln.append(ref_base)
+    n_samples = len(sample_names)
+    if sorted_map:
+        positions = np.array([p for p, _ in sorted_map], dtype=np.int64)
+        chars = np.frombuffer(
+            "".join("".join(ch) for _, ch in sorted_map).encode(), dtype=np.uint8
+        ).reshape(len(sorted_map), n_samples)
+    else:
+        positions = np.empty(0, dtype=np.int64)
+        chars = np.empty((0, n_samples), dtype=np.uint8)
 
     with open(f"{config.output_name}_snps.fas", "w") as f:
-        for name, seq in zip(sample_names, sequences):
-            f.write(f">{name}\n{''.join(seq)}\n")
+        for i, name in enumerate(sample_names):
+            f.write(f">{name}\n{chars[:, i].tobytes().decode()}\n")
 
     if genome_seq:
+        # pseudo-genome per sample: the sanitized genome with each SNP
+        # position overwritten by that sample's base
         with open(f"{config.output_name}_pseudo_genomes.fas", "w") as f:
-            for name, aln in zip(sample_names, genome_alignments):
-                f.write(f">{name}\n{''.join(aln)}\n")
+            for i, name in enumerate(sample_names):
+                g2 = garr.copy()
+                g2[positions] = chars[:, i]
+                f.write(f">{name}\n{g2.tobytes().decode()}\n")
 
         with open(f"{config.output_name}_snps.vcf", "w") as f:
             f.write("##fileformat=VCFv4.2\n")
@@ -62,13 +62,14 @@ def create_fasta_and_vcf(
                 + "\t".join(sample_names)
                 + "\n"
             )
-            for pos, ref_base, chars in vcf_records:
+            for pos, ch in sorted_map:
+                ref_base = chr(garr[pos])
                 alt_bases = []
-                for c in chars:  # first-occurrence order (dedup)
+                for c in ch:  # first-occurrence order (dedup)
                     if c != ref_base and c not in "-N" and c not in alt_bases:
                         alt_bases.append(c)
                 gts = []
-                for c in chars:
+                for c in ch:
                     if c == ref_base:
                         gts.append("0")
                     elif c in "-N":
