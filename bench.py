@@ -151,9 +151,16 @@ def main():
             target=lambda: box.append(int(np.asarray(ns[-1])[0])), daemon=True
         )
         th.start()
-        # dispatches execute in order; syncing on the last covers all
-        th.join(120 if dt < float("inf") else None)
+        # dispatches execute in order; syncing on the last covers all.
+        # The first batch gets a long-but-finite wait: if the relay dies
+        # right after warmup, an unbounded join would hang forever with
+        # no JSON at all.
+        th.join(120 if dt < float("inf") else 900)
         if th.is_alive():
+            if dt == float("inf"):
+                print("device lost after warmup: first batch stalled >900s",
+                      file=sys.stderr)
+                sys.exit(3)
             print(f"batch {batch} stalled >120s; keeping best so far",
                   file=sys.stderr)
             break
