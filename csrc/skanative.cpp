@@ -258,6 +258,19 @@ long long ska_cbor_encode_uints(const uint64_t* v, long long n, uint8_t* out) {
     return (long long)p;
 }
 
+// Same minimal-head encoding straight from a uint8 array (the `.skf`
+// variant matrix: one base byte per cell) — skips the 8x-wider u64
+// staging copy the generic encoder would need. out capacity >= 2*n.
+long long ska_cbor_encode_u8(const uint8_t* v, long long n, uint8_t* out) {
+    size_t p = 0;
+    for (long long i = 0; i < n; i++) {
+        uint8_t x = v[i];
+        if (x < 24) out[p++] = x;
+        else { out[p++] = 0x18; out[p++] = x; }
+    }
+    return (long long)p;
+}
+
 // Encode n u128 values (hi, lo limbs) the way ciborium does: plain uint if
 // it fits u64, else tag-2 positive bignum with minimal big-endian bytes.
 // out capacity must be >= 19*n. Returns bytes written.

@@ -24,12 +24,17 @@ _FAST_DECODE_MIN = 64  # bulk-decode arrays at least this long
 
 class UInts64:
     """Marker for encoding: a numpy array serialized as a CBOR array of
-    unsigned ints (bulk C++ path)."""
+    unsigned ints (bulk C++ path). uint8 input is kept narrow — the
+    encoder emits identical bytes from it without an 8x staging copy."""
 
     __slots__ = ("v",)
 
     def __init__(self, v):
-        self.v = np.ascontiguousarray(v, dtype=np.uint64)
+        v = np.asarray(v)
+        if v.dtype == np.uint8:
+            self.v = np.ascontiguousarray(v)
+        else:
+            self.v = np.ascontiguousarray(v, dtype=np.uint64)
 
 
 class U128s:

@@ -125,6 +125,8 @@ _lib.ska_cbor_decode_uints.argtypes = [
     ctypes.POINTER(ctypes.c_longlong),
 ]
 _u8p = ctypes.POINTER(ctypes.c_uint8)
+_lib.ska_cbor_encode_u8.restype = ctypes.c_longlong
+_lib.ska_cbor_encode_u8.argtypes = [_u8p, ctypes.c_longlong, ctypes.c_char_p]
 _lib.ska_cbor_decode_u8.restype = ctypes.c_longlong
 _lib.ska_cbor_decode_u8.argtypes = [
     ctypes.c_char_p,
@@ -136,8 +138,18 @@ _lib.ska_cbor_decode_u8.argtypes = [
 
 
 def cbor_encode_uints(vals) -> bytes:
-    """Consecutive CBOR unsigned ints (minimal heads) for a uint64 array."""
-    v = _np.ascontiguousarray(vals, dtype=_np.uint64)
+    """Consecutive CBOR unsigned ints (minimal heads) for a uint64 array.
+
+    uint8 input takes the byte-narrow encoder — same output bytes, none
+    of the 8x-wider u64 staging copy (the variant matrix is the bulk of
+    every `.skf` write)."""
+    v = _np.asarray(vals)
+    if v.dtype == _np.uint8:
+        v = _np.ascontiguousarray(v)
+        out = ctypes.create_string_buffer(2 * len(v) or 1)
+        n = _lib.ska_cbor_encode_u8(v.ctypes.data_as(_u8p), len(v), out)
+        return out.raw[:n]
+    v = _np.ascontiguousarray(v, dtype=_np.uint64)
     out = ctypes.create_string_buffer(9 * len(v) or 1)
     n = _lib.ska_cbor_encode_uints(v.ctypes.data_as(_u64p), len(v), out)
     return out.raw[:n]

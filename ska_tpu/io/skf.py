@@ -33,7 +33,7 @@ def save(arr: SkaArray, path: str, add_suffix: bool = True):
         "variants": {
             "v": 1,
             "dim": [int(arr.ksize), int(arr.nsamples)],
-            "data": cbor.UInts64(arr.variants.ravel().astype(np.uint64)),
+            "data": cbor.UInts64(arr.variants.ravel()),
         },
         "variant_count": cbor.UInts64(np.asarray(arr.counts, dtype=np.uint64)),
         "ska_version": arr.ska_version,
