@@ -189,6 +189,19 @@ def _ostream(output, binary=False):
 
 
 def main(argv=None):
+    # a downstream `| head` closes stdout early; exit silently like the
+    # reference binary's default SIGPIPE disposition instead of tracing
+    try:
+        return _main(argv)
+    except BrokenPipeError:
+        try:
+            sys.stdout.close()
+        except BrokenPipeError:
+            pass
+        sys.exit(141)  # 128 + SIGPIPE
+
+
+def _main(argv=None):
     args = build_parser().parse_args(argv)
     logging.basicConfig(
         level=logging.INFO if args.verbose else logging.WARNING,
