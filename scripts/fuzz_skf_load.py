@@ -4,6 +4,8 @@ Corruption fuzz for the .skf load path (snappy framing + CBOR + array
 assembly): random bit flips, truncations, splices and pure-random files
 must raise clean python exceptions, never crash the native codecs."""
 import os, random, sys
+
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
 from ska_tpu.io import skf
 
 src = "/root/reference/tests/test_files_in/test_skalo.skf"
