@@ -26,7 +26,7 @@ for it in range(int(sys.argv[2]) if len(sys.argv) > 2 else 300):
         b[i : i + rng.randrange(64)] = os.urandom(rng.randrange(64))
     else:  # pure random with valid-ish header
         b = bytearray(raw[: rng.randrange(16)]) + bytearray(os.urandom(rng.randrange(4096)))
-    p = "/tmp/fuzz_corrupt.skf"
+    p = f"/tmp/fuzz_corrupt_{os.getpid()}.skf"  # seed-reproducible under parallel runs
     open(p, "wb").write(bytes(b))
     try:
         skf.load(p)

@@ -139,12 +139,14 @@ def _decode(r):
         if _native is not None and n >= _FAST_DECODE_MIN:
             # byte-narrow first: arrays whose values all fit u8 (the big
             # variant matrix) decode straight to uint8 — 1/8th the output
-            # pages. A failed attempt stops at the first wide value (for
-            # key arrays that's item ~0) and we redo via the u64 path.
-            cnt8, consumed8, out8 = _native.cbor_decode_u8(r.buf, r.pos, n)
-            if cnt8 == n:
-                r.pos += consumed8
-                return UIntArray(None, out8)
+            # pages. A failed attempt stops at the first wide value and we
+            # redo via the u64 path; peeking the first head byte skips the
+            # attempt (and its n-byte allocation) for key-sized arrays.
+            if r.buf[r.pos] <= 0x18:
+                cnt8, consumed8, out8 = _native.cbor_decode_u8(r.buf, r.pos, n)
+                if cnt8 == n:
+                    r.pos += consumed8
+                    return UIntArray(None, out8)
             cnt, consumed, hi, lo = _native.cbor_decode_uints(r.buf, r.pos, n)
             if cnt == n:
                 r.pos += consumed
