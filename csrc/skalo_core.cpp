@@ -22,6 +22,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <new>
 #include <unordered_map>
 #include <unordered_set>
 #include <vector>
@@ -797,6 +798,15 @@ static void traverse(Core& c) {
 
 extern "C" {
 
+// A null handle means "no entry node" (the reference's hard exit) unless
+// this flag says the run died on allocation instead: a repeat-dense graph
+// at small k with a high max_depth can grow the kept-path buffers
+// combinatorially (tens of GB from a KB-scale input — the reference's
+// Rust Vec growth aborts the same way). Catching it here turns a C++
+// terminate() into a clean python MemoryError.
+static thread_local int g_skalo_oom = 0;
+int skalo_core_oom(void) { return g_skalo_oom; }
+
 // Fused entry: expansion + graph build + extremities + compaction +
 // traversal from the merged array itself (keys (n,) limb arrays, ascii
 // variants (n, S)). keys_hi may be NULL for single-limb k. Returns the
@@ -807,6 +817,7 @@ void* skalo_expand_run(
     const uint8_t* variants, int64_t n, int64_t S,
     int64_t len_kmer, int64_t max_depth
 ) {
+    g_skalo_oom = 0;
     Core* c = new Core();
     c->k_graph = (int)(len_kmer - 1);
     c->max_depth = (int)max_depth;
@@ -815,25 +826,31 @@ void* skalo_expand_run(
     auto secs = [](auto a, auto b) {
         return std::chrono::duration<double>(b - a).count();
     };
-    auto t0 = now();
-    expand_and_build(*c, keys_hi, keys_lo, variants, n, S, len_kmer, tim);
-    auto t1 = now();
-    if (!find_extremities(*c)) {
+    try {
+        auto t0 = now();
+        expand_and_build(*c, keys_hi, keys_lo, variants, n, S, len_kmer, tim);
+        auto t1 = now();
+        if (!find_extremities(*c)) {
+            delete c;
+            return nullptr;  // no entry node: caller raises like the reference
+        }
+        auto t2 = now();
+        compact(*c);
+        auto t3 = now();
+        traverse(*c);
+        auto t4 = now();
+        if (tim)
+            fprintf(stderr,
+                    "[skalo_core] expand+nodes %.1fs extrem %.1fs compact %.1fs "
+                    "traverse %.1fs (%zu segs)\n",
+                    secs(t0, t1), secs(t1, t2), secs(t2, t3), secs(t3, t4),
+                    c->res.segs.size());
+        return c;
+    } catch (const std::bad_alloc&) {
         delete c;
-        return nullptr;  // no entry node: caller raises like the reference
+        g_skalo_oom = 1;
+        return nullptr;
     }
-    auto t2 = now();
-    compact(*c);
-    auto t3 = now();
-    traverse(*c);
-    auto t4 = now();
-    if (tim)
-        fprintf(stderr,
-                "[skalo_core] expand+nodes %.1fs extrem %.1fs compact %.1fs "
-                "traverse %.1fs (%zu segs)\n",
-                secs(t0, t1), secs(t1, t2), secs(t2, t3), secs(t3, t4),
-                c->res.segs.size());
-    return c;
 }
 
 int64_t skalo_core_n_edges(void* h) { return ((Core*)h)->n_edges; }

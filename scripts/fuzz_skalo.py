@@ -110,6 +110,17 @@ def one_scenario(rng, it):
                     }
                 except SystemExit as e:  # "no entry node" — must match too
                     got = {"exit": str(e)}
+                except MemoryError:
+                    # combinatorial bubble explosion (repeat-dense graph at
+                    # small k + high depth): both cores legitimately
+                    # explode, at very different absolute sizes (python
+                    # paths are ~75x bigger), so byte-comparison under a
+                    # memory cap is meaningless — skip the scenario.
+                    print(
+                        f"iter {it}: skipped, {mode} core hit the memory "
+                        f"cap (bubble explosion)", flush=True,
+                    )
+                    return
             finally:
                 del os.environ["SKA_SKALO_CORE"]
             outs[mode] = got
@@ -123,6 +134,16 @@ def one_scenario(rng, it):
 def main():
     seed = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    # cap the address space so a bubble-explosion scenario dies as a clean
+    # MemoryError in seconds instead of eating all host RAM (seed
+    # 818202699 iter 31 reached 38 GB before this guard existed)
+    try:
+        import resource
+
+        gb = int(os.environ.get("SKA_FUZZ_MEM_GB", "6"))
+        resource.setrlimit(resource.RLIMIT_AS, (gb << 30, gb << 30))
+    except Exception:
+        pass
     rng = np.random.default_rng(seed)
     for it in range(1, n + 1):
         one_scenario(rng, it)

@@ -265,6 +265,14 @@ def run_core(ska_array, config):
         n, S, len_kmer, int(config.max_depth),
     )
     if not h:
+        if getattr(lib, "skalo_core_oom", None) and lib.skalo_core_oom():
+            # combinatorial bubble explosion (repeat-dense graph, high
+            # max_depth): the kept-path buffers outgrew memory. The
+            # reference's Vec growth aborts here; we fail recoverably.
+            raise MemoryError(
+                "ska lo: graph traversal exceeded available memory "
+                "(try a smaller --max-depth or larger k)"
+            )
         raise SystemExit(
             "Error: there is no entry node in this graph, hence no variant.\n"
         )
