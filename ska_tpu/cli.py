@@ -199,6 +199,11 @@ def main(argv=None):
         except BrokenPipeError:
             pass
         sys.exit(141)  # 128 + SIGPIPE
+    except MemoryError as e:
+        # e.g. the skalo traversal's bubble-explosion guard: surface the
+        # guidance instead of a traceback
+        print(f"Error: {e}", file=sys.stderr)
+        sys.exit(1)
 
 
 def _main(argv=None):
