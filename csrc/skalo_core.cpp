@@ -858,6 +858,9 @@ int64_t skalo_core_ks_len(void* h) { return (int64_t)((Core*)h)->ks_keys.size();
 int64_t skalo_core_ks_m(void* h) { return ((Core*)h)->ks_m; }
 
 // kmer_samples export sorted by (hi, lo): hi/lo length G, masks G x M
+// hi may be NULL when the caller knows every full k-mer fits 62 bits
+// (len_kmer <= 31): skips writing a G*8-byte all-zero limb array,
+// which is pure fresh-page fault cost on this host (BASELINE.md)
 void skalo_core_ks_fill(void* h, uint64_t* hi, uint64_t* lo, uint64_t* masks) {
     Core& c = *(Core*)h;
     const int64_t G = (int64_t)c.ks_keys.size();
@@ -886,7 +889,7 @@ void skalo_core_ks_fill(void* h, uint64_t* hi, uint64_t* lo, uint64_t* masks) {
                 lo[j] = k;
                 masks[j] = c.ks_masks[(size_t)i];
             }
-            memset(hi, 0, (size_t)G * 8);
+            if (hi) memset(hi, 0, (size_t)G * 8);
             struct P { uint64_t k, m; };
             std::vector<P> tmp;
             for (int b = 0; b < B; b++) {
@@ -912,7 +915,7 @@ void skalo_core_ks_fill(void* h, uint64_t* hi, uint64_t* lo, uint64_t* masks) {
             return a.k.hi != b.k.hi ? a.k.hi < b.k.hi : a.k.lo < b.k.lo;
         });
         for (int64_t i = 0; i < G; i++) {
-            hi[i] = v[(size_t)i].k.hi;
+            if (hi) hi[i] = v[(size_t)i].k.hi;
             lo[i] = v[(size_t)i].k.lo;
             masks[i] = v[(size_t)i].m;
         }
@@ -926,7 +929,7 @@ void skalo_core_ks_fill(void* h, uint64_t* hi, uint64_t* lo, uint64_t* masks) {
         return a.k.hi != b.k.hi ? a.k.hi < b.k.hi : a.k.lo < b.k.lo;
     });
     for (int64_t i = 0; i < G; i++) {
-        hi[i] = v[(size_t)i].k.hi;
+        if (hi) hi[i] = v[(size_t)i].k.hi;
         lo[i] = v[(size_t)i].k.lo;
         memcpy(masks + i * M, &c.ks_masks[(size_t)v[(size_t)i].r * M],
                (size_t)M * 8);

@@ -135,11 +135,12 @@ static int64_t ks_find(const SnpsCtx& c, const K2& k) {
     int64_t lo = 0, hi = c.ks_n;
     while (lo < hi) {
         int64_t mid = (lo + hi) >> 1;
-        if (c.ks_hi[mid] < k.hi || (c.ks_hi[mid] == k.hi && c.ks_lo[mid] < k.lo))
+        const uint64_t mh = c.ks_hi ? c.ks_hi[mid] : 0;  // NULL = narrow keys, hi==0
+        if (mh < k.hi || (mh == k.hi && c.ks_lo[mid] < k.lo))
             lo = mid + 1;
         else hi = mid;
     }
-    if (lo < c.ks_n && c.ks_hi[lo] == k.hi && c.ks_lo[lo] == k.lo) return lo;
+    if (lo < c.ks_n && (c.ks_hi ? c.ks_hi[lo] : 0) == k.hi && c.ks_lo[lo] == k.lo) return lo;
     return -1;
 }
 

@@ -64,17 +64,35 @@ class KmerSamplesArrays:
     for the C++ SNP stage."""
 
     def __init__(self, hi, lo, masks):
-        self.hi = hi  # sorted primary
+        # hi may be None (narrow export: len_kmer <= 31 keys fit 62 bits,
+        # so the high limb is all zeros and is never materialized — a
+        # G*8-byte fault saving on every dense run)
+        self._hi = hi
         self.lo = lo
         self.masks = masks  # (G, M) uint64 limbs
+
+    @property
+    def hi(self):
+        if self._hi is None:
+            self._hi = np.zeros_like(self.lo)
+        return self._hi
 
     def _find(self, key):
         h = (key >> 64) & 0xFFFFFFFFFFFFFFFF
         l = key & 0xFFFFFFFFFFFFFFFF
-        i = np.searchsorted(self.hi, np.uint64(h), side="left")
-        j = np.searchsorted(self.hi, np.uint64(h), side="right")
+        if self._hi is None:
+            if h:
+                return -1
+            i, j = 0, len(self.lo)
+        else:
+            i = np.searchsorted(self._hi, np.uint64(h), side="left")
+            j = np.searchsorted(self._hi, np.uint64(h), side="right")
         k = i + np.searchsorted(self.lo[i:j], np.uint64(l))
-        if k < len(self.lo) and int(self.hi[k]) == h and int(self.lo[k]) == l:
+        if (
+            k < len(self.lo)
+            and (h == 0 if self._hi is None else int(self._hi[k]) == h)
+            and int(self.lo[k]) == l
+        ):
             return int(k)
         return -1
 
@@ -284,11 +302,16 @@ def run_core(ska_array, config):
         _t0 = _time.perf_counter()
         G = lib.skalo_core_ks_len(h)
         M = lib.skalo_core_ks_m(h)
-        ks_hi = np.empty(G, np.uint64)
+        # len_kmer <= 31: full k-mers fit 62 bits, the hi limb is all
+        # zeros — skip allocating/filling it (narrow export)
+        narrow_ks = len_kmer <= 31
+        ks_hi = None if narrow_ks else np.empty(G, np.uint64)
         ks_lo = np.empty(G, np.uint64)
         ks_masks = np.empty((G, M), np.uint64)
         lib.skalo_core_ks_fill(
-            h, ks_hi.ctypes.data_as(_u64p), ks_lo.ctypes.data_as(_u64p),
+            h,
+            ks_hi.ctypes.data_as(_u64p) if ks_hi is not None else None,
+            ks_lo.ctypes.data_as(_u64p),
             ks_masks.ctypes.data_as(_u64p),
         )
         kmer_samples = KmerSamplesArrays(ks_hi, ks_lo, ks_masks)

@@ -149,8 +149,10 @@ def _native_snps(
         gm_keep = np.zeros(0, np.uint8)
         gm_starts = gm_counts = gm_pos = np.zeros(0, np.int64)
 
+    ks_hi = getattr(kmer_samples, "_hi", None)
     h = lib.skalo_snps_new(
-        kmer_samples.hi.ctypes.data_as(_u64p),
+        # narrow export: hi limbs all zero, pass NULL (ks_find treats it as 0)
+        ks_hi.ctypes.data_as(_u64p) if ks_hi is not None else None,
         kmer_samples.lo.ctypes.data_as(_u64p),
         kmer_samples.masks.ctypes.data_as(_u64p),
         len(kmer_samples.lo), kmer_samples.masks.shape[1],
