@@ -807,6 +807,10 @@ extern "C" {
 static thread_local int g_skalo_oom = 0;
 int skalo_core_oom(void) { return g_skalo_oom; }
 
+// single source of truth for the narrow-keys rule (full k-mer fits 62
+// bits): python's NULL-hi ks export must agree with the C++ packing
+int64_t skalo_core_narrow_limit(void) { return 31; }
+
 // Fused entry: expansion + graph build + extremities + compaction +
 // traversal from the merged array itself (keys (n,) limb arrays, ascii
 // variants (n, S)). keys_hi may be NULL for single-limb k. Returns the
@@ -862,6 +866,7 @@ int64_t skalo_core_ks_m(void* h) { return ((Core*)h)->ks_m; }
 // (len_kmer <= 31): skips writing a G*8-byte all-zero limb array,
 // which is pure fresh-page fault cost on this host (BASELINE.md)
 void skalo_core_ks_fill(void* h, uint64_t* hi, uint64_t* lo, uint64_t* masks) {
+  try {
     Core& c = *(Core*)h;
     const int64_t G = (int64_t)c.ks_keys.size();
     const int64_t M = c.ks_m;
@@ -934,6 +939,9 @@ void skalo_core_ks_fill(void* h, uint64_t* hi, uint64_t* lo, uint64_t* masks) {
         memcpy(masks + i * M, &c.ks_masks[(size_t)v[(size_t)i].r * M],
                (size_t)M * 8);
     }
+  } catch (const std::bad_alloc&) {
+    g_skalo_oom = 1;  // caller checks skalo_core_oom() after the fill
+  }
 }
 
 int64_t skalo_core_n_paths(void* h) { return (int64_t)((Core*)h)->res.path_len.size(); }

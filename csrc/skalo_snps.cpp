@@ -17,6 +17,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <new>
 #include <unordered_map>
 #include <unordered_set>
 #include <vector>
@@ -496,7 +497,11 @@ int64_t skalo_snps_group(
     void* h, const uint8_t* codes, const int64_t* voff,
     const int64_t* snps, const int64_t* soff, int64_t V
 ) {
-    return process_group(*(SnpsCtx*)h, codes, voff, snps, soff, V);
+    try {
+        return process_group(*(SnpsCtx*)h, codes, voff, snps, soff, V);
+    } catch (const std::bad_alloc&) {
+        return -2;  // OOM: caller raises MemoryError, not KeyError
+    }
 }
 
 // Bulk driver over the traversal core's master buffers (zero python-side
@@ -517,6 +522,7 @@ int64_t skalo_snps_run_paths(
     const int64_t* master_snps, const int64_t* soff,
     const int64_t* path_idx, const int64_t* grp_off, int64_t n_groups
 ) {
+  try {
     SnpsCtx& c = *(SnpsCtx*)h;
     int kg = c.k_graph;
     std::vector<uint8_t> codes_s;
@@ -556,6 +562,9 @@ int64_t skalo_snps_run_paths(
         if (r != 0) return r;
     }
     return 0;
+  } catch (const std::bad_alloc&) {
+    return -2;  // OOM: caller raises MemoryError, not KeyError
+  }
 }
 
 int64_t skalo_snps_count(void* h) { return (int64_t)((SnpsCtx*)h)->out_pos.size(); }

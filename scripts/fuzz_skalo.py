@@ -111,19 +111,27 @@ def one_scenario(rng, it):
                 except SystemExit as e:  # "no entry node" — must match too
                     got = {"exit": str(e)}
                 except MemoryError:
-                    # combinatorial bubble explosion (repeat-dense graph at
-                    # small k + high depth): both cores legitimately
-                    # explode, at very different absolute sizes (python
-                    # paths are ~75x bigger), so byte-comparison under a
-                    # memory cap is meaningless — skip the scenario.
-                    print(
-                        f"iter {it}: skipped, {mode} core hit the memory "
-                        f"cap (bubble explosion)", flush=True,
-                    )
-                    return
+                    # combinatorial bubble explosion (repeat-dense graph
+                    # at small k + high depth). The python core's paths
+                    # are ~75x bigger, so python-OOM with native-OK is
+                    # expected and the scenario is skipped; but native-OOM
+                    # with python-OK would mean a native-side allocation
+                    # regression — keep running the other mode to check.
+                    got = {"oom": True}
             finally:
                 del os.environ["SKA_SKALO_CORE"]
             outs[mode] = got
+        if outs.get("native") == {"oom": True} and outs.get("python") != {"oom": True}:
+            raise AssertionError(
+                f"iter {it}: native core OOMed but python completed — "
+                "native allocation regression?"
+            )
+        if {"oom": True} in outs.values():
+            print(
+                f"iter {it}: skipped, memory cap hit (bubble explosion)",
+                flush=True,
+            )
+            return
         tag = f"it={it} k={k} S={n_samples} L={L} snps={n_snps} d={max_depth} " \
               f"indels={n_indels} motif={motif} ref={with_ref}"
         assert outs["native"].keys() == outs["python"].keys(), tag

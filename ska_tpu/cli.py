@@ -200,8 +200,11 @@ def main(argv=None):
             pass
         sys.exit(141)  # 128 + SIGPIPE
     except MemoryError as e:
-        # e.g. the skalo traversal's bubble-explosion guard: surface the
-        # guidance instead of a traceback
+        # the skalo guards raise MemoryError WITH guidance — surface it
+        # instead of a traceback; a bare MemoryError from elsewhere keeps
+        # its traceback (the allocation site is the useful part there)
+        if not str(e):
+            raise
         print(f"Error: {e}", file=sys.stderr)
         sys.exit(1)
 

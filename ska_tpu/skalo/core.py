@@ -53,6 +53,12 @@ def _lib():
         ]
         lib.skalo_core_free.restype = None
         lib.skalo_core_free.argtypes = [ctypes.c_void_p]
+        # bound eagerly: a stale .so without these symbols must fail LOUD
+        # here, not silently misdiagnose an OOM as "no entry node"
+        lib.skalo_core_oom.restype = ctypes.c_int
+        lib.skalo_core_oom.argtypes = []
+        lib.skalo_core_narrow_limit.restype = ctypes.c_int64
+        lib.skalo_core_narrow_limit.argtypes = []
         lib._skalo_bound = True
     return lib
 
@@ -75,6 +81,12 @@ class KmerSamplesArrays:
     def hi(self):
         if self._hi is None:
             self._hi = np.zeros_like(self.lo)
+        return self._hi
+
+    def hi_or_none(self):
+        """The hi limb array, or None for the narrow export — consumers
+        that can handle NULL should use this instead of .hi, which
+        materializes the G*8-byte all-zero array it exists to avoid."""
         return self._hi
 
     def _find(self, key):
@@ -283,7 +295,7 @@ def run_core(ska_array, config):
         n, S, len_kmer, int(config.max_depth),
     )
     if not h:
-        if getattr(lib, "skalo_core_oom", None) and lib.skalo_core_oom():
+        if lib.skalo_core_oom():
             # combinatorial bubble explosion (repeat-dense graph, high
             # max_depth): the kept-path buffers outgrew memory. The
             # reference's Vec growth aborts here; we fail recoverably.
@@ -302,9 +314,10 @@ def run_core(ska_array, config):
         _t0 = _time.perf_counter()
         G = lib.skalo_core_ks_len(h)
         M = lib.skalo_core_ks_m(h)
-        # len_kmer <= 31: full k-mers fit 62 bits, the hi limb is all
-        # zeros — skip allocating/filling it (narrow export)
-        narrow_ks = len_kmer <= 31
+        # narrow export: full k-mers fit 62 bits, the hi limb is all
+        # zeros — skip allocating/filling it. The threshold comes from the
+        # C core so the two sides cannot drift apart.
+        narrow_ks = len_kmer <= lib.skalo_core_narrow_limit()
         ks_hi = None if narrow_ks else np.empty(G, np.uint64)
         ks_lo = np.empty(G, np.uint64)
         ks_masks = np.empty((G, M), np.uint64)
@@ -314,6 +327,10 @@ def run_core(ska_array, config):
             ks_lo.ctypes.data_as(_u64p),
             ks_masks.ctypes.data_as(_u64p),
         )
+        if lib.skalo_core_oom():
+            raise MemoryError(
+                "ska lo: kmer_samples export exceeded available memory"
+            )
         kmer_samples = KmerSamplesArrays(ks_hi, ks_lo, ks_masks)
         log.info("kmer_samples export: %.1fs", _time.perf_counter() - _t0)
         _t0 = _time.perf_counter()

@@ -149,7 +149,7 @@ def _native_snps(
         gm_keep = np.zeros(0, np.uint8)
         gm_starts = gm_counts = gm_pos = np.zeros(0, np.int64)
 
-    ks_hi = getattr(kmer_samples, "_hi", None)
+    ks_hi = kmer_samples.hi_or_none()
     h = lib.skalo_snps_new(
         # narrow export: hi limbs all zero, pass NULL (ks_find treats it as 0)
         ks_hi.ctypes.data_as(_u64p) if ks_hi is not None else None,
@@ -211,6 +211,10 @@ def _native_snps(
                 grp_a.ctypes.data_as(_i64p),
                 len(grp_off) - 1,
             )
+            if rcode == -2:
+                raise MemoryError(
+                    "ska lo: SNP stage exceeded available memory"
+                )
             if rcode != 0:
                 raise KeyError("full k-mer missing from kmer_samples")
         else:
@@ -248,6 +252,10 @@ def _native_snps(
                     soff_a.ctypes.data_as(_i64p),
                     len(vec_variants),
                 )
+                if rcode == -2:
+                    raise MemoryError(
+                        "ska lo: SNP stage exceeded available memory"
+                    )
                 if rcode != 0:
                     raise KeyError("full k-mer missing from kmer_samples")
 
