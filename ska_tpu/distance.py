@@ -55,31 +55,113 @@ def _class_tables(filt_ambig: bool):
     return dist, match, mism
 
 
-@partial(jax.jit, static_argnames=("n",))
-def _gram_chunk(classes_chunk, n: int):
-    """classes_chunk: (C, n) int32 in [0, 16). Returns (n*16, n*16) int32 Gram."""
+@partial(jax.jit, static_argnames=("n", "width", "f32"))
+def _gram_chunk(classes_chunk, n: int, width: int = 16, f32: bool = False):
+    """classes_chunk: (C, n) int32 in [0, width). Returns (n*width, n*width)
+    int32 Gram.
+
+    int8 one-hot feeds the MXU natively on TPU; on the CPU backend XLA
+    lowers int8 matmuls to naive loops (measured 6.7x slower than sgemm),
+    so host-mode uses f32 — exact, because every entry is a 0/1-product
+    count bounded by the chunk size (<= 2^24 < f32's integer range).
+    """
     C = classes_chunk.shape[0]
-    onehot = jax.nn.one_hot(classes_chunk, 16, dtype=jnp.int8)  # (C, n, 16)
-    X = onehot.reshape(C, n * 16)
+    dt = jnp.float32 if f32 else jnp.int8
+    onehot = jax.nn.one_hot(classes_chunk, width, dtype=dt)  # (C, n, width)
+    X = onehot.reshape(C, n * width)
+    out_dt = jnp.float32 if f32 else jnp.int32
     return jax.lax.dot_general(
-        X, X, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        X, X, (((0,), (0,)), ((), ())), preferred_element_type=out_dt
     )
+
+
+@partial(jax.jit, static_argnames=("n", "width", "f64"))
+def _gram_chunk_weighted(classes_chunk, weights, n: int, width: int, f64: bool):
+    """Weighted Gram over deduplicated rows: lhs scaled by per-row counts.
+
+    f32 keeps integer sums exact up to 2^24; chunks whose weight total
+    exceeds that use f64 (exact to 2^53; x64 is enabled package-wide).
+    """
+    C = classes_chunk.shape[0]
+    dt = jnp.float64 if f64 else jnp.float32
+    onehot = jax.nn.one_hot(classes_chunk, width, dtype=dt)  # (C, n, width)
+    X = onehot.reshape(C, n * width)
+    return jax.lax.dot_general(
+        X * weights[:, None].astype(dt),
+        X,
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=dt,
+    )
+
+
+def _dedupe_rows(compact: np.ndarray):
+    """Exact unique-rows-with-counts over small-alphabet codes.
+
+    Packs 16 4-bit codes per u64 word and lexsorts the ceil(n/16) words —
+    orders of magnitude faster than np.unique over wide byte rows (42s ->
+    ~2s at 1.15M x 128 measured), and byte-exact: no hashing involved.
+    Returns (unique_rows, counts).
+    """
+    S, n = compact.shape
+    if S == 0:
+        return compact, np.zeros(0, np.int64)
+    nw = -(-n // 16)
+    packed = np.zeros((S, nw), np.uint64)
+    for j in range(16):
+        cols = np.arange(j, n, 16)
+        if len(cols):
+            packed[:, : len(cols)] |= compact[:, cols].astype(np.uint64) << np.uint64(4 * j)
+    order = np.lexsort(tuple(packed[:, w] for w in range(nw - 1, -1, -1)))
+    sp = packed[order]
+    first = np.empty(S, bool)
+    first[0] = True
+    np.any(sp[1:] != sp[:-1], axis=1, out=first[1:])
+    starts = np.flatnonzero(first)
+    counts = np.diff(np.append(starts, S))
+    return compact[order[starts]], counts
 
 
 def class_gram(variants: np.ndarray) -> np.ndarray:
     """Exact int64 co-occurrence Gram over 16 classes. variants: (S, n) uint8.
 
-    Chunk sizes are fixed powers of two and tails are padded with class 0
-    ('-', zero weight in every coefficient table) so jit shapes never
-    depend on the dataset — a fresh XLA compile costs ~20s via the remote
-    compiler, so shape stability matters more than minimal padding.
+    The one-hot width is compacted to the classes actually present
+    (typically 5-6 of 16: '-', A, C, G, T and the odd ambiguity code),
+    which shrinks the Gram matmul quadratically — (K/16)^2 of the MACs —
+    before scattering counts back to 16-class coordinates.
+
+    Chunk sizes are fixed powers of two and tails are padded with a
+    zero-weight class so jit shapes never depend on the dataset — a fresh
+    XLA compile costs ~20s via the remote compiler, so shape stability
+    matters more than minimal padding.
     """
     S, n = variants.shape
     classes = ASCII_TO_SET[variants].astype(np.int32)
-    # bound one-hot scratch (int8) to ~256MB and int32 accumulators
-    chunk = max(_CHUNK, min(1 << 24, (1 << 28) // max(16 * n, 1)))
+    present = np.unique(classes)  # sorted, so compact keeps class order
+    K = len(present)
+    # pad width to a shape bucket; keep one slot > K free for tail padding
+    # unless class 0 ('-', zero weight in every coefficient table) exists
+    width = next(w for w in (4, 8, 16) if w >= K)
+    if K == width and 0 not in present:
+        width = 16 if width == 8 else 8
+    lut = np.zeros(16, np.int32)
+    lut[present] = np.arange(K, dtype=np.int32)
+    compact = lut[classes]
+    pad_class = int(lut[0]) if 0 in present else K  # K < width: discarded slot
+    on_host = jax.default_backend() == "cpu"
+    weights = None
+    if on_host:
+        # Related genomes repeat the same variant row constantly (measured
+        # 11.4x dedup at 1.15M rows x 128 samples); host sgemm time scales
+        # with rows, so dedupe + weighted Gram wins there. The TPU path
+        # keeps the undeduped int8 one-hot: it feeds the MXU natively and
+        # finishes in well under a second at bacterial scale.
+        compact, weights = _dedupe_rows(compact)
+        S = len(compact)
+    # bound one-hot scratch to ~256MB and keep f32 sums exact (< 2^24)
+    elt = 4 if on_host else 1
+    chunk = max(_CHUNK, min(1 << 24, (1 << 28) // max(elt * width * n, 1)))
     chunk = 1 << int(np.floor(np.log2(chunk)))
-    G = np.zeros((n * 16, n * 16), dtype=np.int64)
+    Gc = np.zeros((n * width, n * width), dtype=np.int64)
     n_chunks = -(-S // chunk)
     bar = None
     if n_chunks > 1:  # merge_ska_array.rs:421 distance progress analog
@@ -87,16 +169,32 @@ def class_gram(variants: np.ndarray) -> np.ndarray:
 
         bar = Bar(n_chunks, "site chunks")
     for s0 in range(0, S, chunk):
-        c = classes[s0 : s0 + chunk]
-        if len(c) != chunk:
-            pad = np.zeros((chunk - len(c), n), np.int32)  # class 0 = '-'
-            c = np.concatenate([c, pad])
-        G += np.asarray(_gram_chunk(jnp.asarray(c), n), dtype=np.int64)
+        c = compact[s0 : s0 + chunk]
+        npad = chunk - len(c)
+        if npad:
+            c = np.concatenate([c, np.full((npad, n), pad_class, np.int32)])
+        if on_host:
+            w = weights[s0 : s0 + chunk]
+            if npad:
+                w = np.concatenate([w, np.zeros(npad, w.dtype)])
+            f64 = int(w.sum()) >= (1 << 24)  # keep f32 sums exactly integral
+            Gc += np.asarray(
+                _gram_chunk_weighted(jnp.asarray(c), jnp.asarray(w), n, width, f64),
+                dtype=np.int64,
+            )
+        else:
+            Gc += np.asarray(
+                _gram_chunk(jnp.asarray(c), n, width), dtype=np.int64
+            )
         if bar:
             bar.update()
     if bar:
         bar.finish()
-    return G
+    # scatter compact-class counts back to 16-class coordinates
+    G = np.zeros((n, 16, n, 16), dtype=np.int64)
+    Gc4 = Gc.reshape(n, width, n, width)[:, :K, :, :K]
+    G[np.ix_(np.arange(n), present, np.arange(n), present)] = Gc4
+    return G.reshape(n * 16, n * 16)
 
 
 def pairwise_stats(variants: np.ndarray, constant: float, filt_ambig: bool):

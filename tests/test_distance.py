@@ -57,3 +57,52 @@ def test_multidist_ambig(multidist, ref_out):
     assert _dist_out(multidist.copy_like(), filt_ambig=False) == _oracle(
         ref_out, "multidist.ambig.stdout"
     )
+
+
+def test_dedupe_rows_matches_np_unique():
+    """_dedupe_rows (packed 4-bit lexsort) must equal np.unique(axis=0)
+    with counts — including n not divisible by the 16-per-word packing."""
+    import numpy as np
+
+    from ska_tpu.distance import _dedupe_rows
+
+    rng = np.random.default_rng(7)
+    for S, n in [(0, 4), (1, 1), (500, 5), (300, 16), (400, 33), (257, 128)]:
+        rows = rng.integers(0, 16, size=(S, n)).astype(np.int32)
+        # force heavy duplication like real variant matrices
+        if S > 10:
+            rows = rows[rng.integers(0, max(S // 7, 1), size=S)]
+        got_rows, got_counts = _dedupe_rows(rows)
+        if S == 0:
+            assert len(got_rows) == 0 and len(got_counts) == 0
+            continue
+        exp_rows, exp_counts = np.unique(rows, axis=0, return_counts=True)
+        # _dedupe_rows orders by packed words (sample 0 in the LOW nibble),
+        # which is a different total order than np.unique's lexicographic —
+        # compare as sets of (row, count)
+        got = {tuple(r) + (int(c),) for r, c in zip(got_rows, got_counts)}
+        exp = {tuple(r) + (int(c),) for r, c in zip(exp_rows, exp_counts)}
+        assert got == exp
+        assert int(got_counts.sum()) == S
+
+
+def test_weighted_gram_chunks_match_unweighted():
+    """f32 and f64 weighted Gram over deduped rows must equal the int8
+    Gram over the expanded (repeated) rows."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ska_tpu.distance import _gram_chunk, _gram_chunk_weighted
+
+    rng = np.random.default_rng(11)
+    n, width, U = 6, 8, 40
+    rows = rng.integers(0, width, size=(U, n)).astype(np.int32)
+    w = rng.integers(1, 50, size=U).astype(np.int64)
+    expanded = np.repeat(rows, w, axis=0)
+    exp = np.asarray(_gram_chunk(jnp.asarray(expanded), n, width), np.int64)
+    for f64 in (False, True):
+        got = np.asarray(
+            _gram_chunk_weighted(jnp.asarray(rows), jnp.asarray(w), n, width, f64),
+            np.int64,
+        )
+        assert np.array_equal(got, exp), f"f64={f64}"
