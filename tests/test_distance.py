@@ -106,3 +106,50 @@ def test_weighted_gram_chunks_match_unweighted():
             np.int64,
         )
         assert np.array_equal(got, exp), f"f64={f64}"
+
+
+def test_pairwise_stats_brute_force_all_classes():
+    """Random matrices spanning ALL 16 classes (gap, ACGT, every IUPAC
+    code) vs a direct per-pair walk implementing the reference semantics
+    (merge_ska_array.rs:587-632). Exercises the width-16 compact bucket,
+    the dedup path, and both filt_ambig branches."""
+    import numpy as np
+
+    from ska_tpu.distance import pairwise_stats
+    from ska_tpu.encoding import BASE_PROB
+
+    alphabet = np.frombuffer(b"-ACGTRYSWKMBDHVN", dtype=np.uint8)
+    rng = np.random.default_rng(20260818)
+    for n, S in [(3, 50), (7, 333), (12, 101)]:
+        v = alphabet[rng.integers(0, 16, size=(S, n))]
+        # heavy duplication to hit the dedup path
+        v = v[rng.integers(0, max(S // 3, 1), size=S)]
+        for filt_ambig in (False, True):
+            got = pairwise_stats(v, constant=5.0, filt_ambig=filt_ambig)
+            for i in range(n):
+                for j in range(i + 1, n):
+                    dist = 0.0
+                    mism = 0.0
+                    matches = 5.0
+                    for s in range(len(v)):
+                        a, b = int(v[s, i]), int(v[s, j])
+                        if a == ord("-") or b == ord("-"):
+                            if not (a == ord("-") and b == ord("-")):
+                                mism += 1.0
+                        elif filt_ambig:
+                            if chr(a) in "ACGT" and chr(b) in "ACGT":
+                                matches += 1.0
+                                if a != b:
+                                    dist += 1.0
+                        else:
+                            overlap = float(BASE_PROB[a] @ BASE_PROB[b])
+                            if overlap > 0.0:
+                                matches += 1.0
+                            dist += 1.0 - overlap
+                    g = got[i][j - i - 1]
+                    assert abs(g.distance - dist) < 1e-9 * max(1.0, dist)
+                    assert g.match_count == int(matches)
+                    assert g.mismatch_count == int(mism)
+                    denom = matches + mism
+                    prop = mism / denom if denom else 0.0
+                    assert abs(g.mismatch_prop - prop) < 1e-12
