@@ -153,3 +153,33 @@ def test_pairwise_stats_brute_force_all_classes():
                     denom = matches + mism
                     prop = mism / denom if denom else 0.0
                     assert abs(g.mismatch_prop - prop) < 1e-12
+
+
+def test_class_gram_width_bucket_edges():
+    """K==width corner cases: 4 gapless classes must bump the width (the
+    tail-pad slot would otherwise collide with a real class), and exactly
+    8 classes including '-' must reuse class 0 as the pad."""
+    import numpy as np
+
+    from ska_tpu.distance import class_gram
+    from ska_tpu.encoding import ASCII_TO_SET
+
+    rng = np.random.default_rng(3)
+
+    def brute(v):
+        cls = ASCII_TO_SET[v].astype(np.int64)
+        n = v.shape[1]
+        G = np.zeros((n * 16, n * 16), np.int64)
+        for row in cls:
+            for i in range(n):
+                for j in range(n):
+                    G[i * 16 + row[i], j * 16 + row[j]] += 1
+        return G
+
+    acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    eight = np.frombuffer(b"-ACGTRYS", dtype=np.uint8)
+    for alpha, S, n in [(acgt, 77, 3), (eight, 130, 5), (acgt, 16384 + 3, 2)]:
+        v = alpha[rng.integers(0, len(alpha), size=(S, n))]
+        # ensure every class of the alphabet appears so K is exact
+        v[: len(alpha), 0] = alpha
+        assert np.array_equal(class_gram(v), brute(v)), (bytes(alpha), S, n)
