@@ -30,8 +30,11 @@ import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 from ska_tpu.api import build
-from ska_tpu.ref import RefSka
+from ska_tpu.io import native  # noqa: F401 — the differential is vacuous
+from ska_tpu.ref import RefSka  # (python vs python) if native isn't loadable
 from ska_tpu.sample import QualOpts
+
+assert native.aln_write is not None
 
 BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 rng = np.random.default_rng(int(sys.argv[1]) if len(sys.argv) > 1 else 0)
@@ -107,17 +110,20 @@ def check_vcf(text, chroms, n_samples):
         expect = chr(base) if chr(base) in "ACGT" else "N"
         assert ref_allele == expect, (chrom, pos, ref_allele, expect)
         gts = f[9:]
+        n_alts = 0 if alts == ["."] else len(alts)
         for gt in gts:
-            assert gt == "." or (gt.isdigit() and int(gt) <= len(alts)), gt
+            assert gt == "." or (gt.isdigit() and int(gt) <= n_alts), (gt, alts)
         # every ALT index is used by some sample (first-occurrence ordering)
         used = {int(g) for g in gts if g.isdigit() and int(g) > 0}
-        assert used == set(range(1, len(alts) + 1)) or alts == ["."], (alts, gts)
+        assert used == set(range(1, n_alts + 1)), (alts, gts)
 
 
 n = 0
 skipped = 0
 scratch = pathlib.Path(tempfile.mkdtemp(prefix=f"fuzz_map_{os.getpid()}_"))
 while time.time() < t_end:
+    for f in scratch.iterdir():  # also covers skipped scenarios' files
+        f.unlink()
     n += 1
     k = int(rng.choice([7, 9, 17, 31, 33, 41, 63]))
     ref_chroms = make_ref(rng)
@@ -129,8 +135,11 @@ while time.time() < t_end:
         files.append((f"s{s}", str(p), None))
     ref_fa = scratch / f"ref{n}.fa"
     write_fa(ref_fa, ref_chroms, "chr")
+    ambig = bool(rng.random() < 0.5)
+    repeat = bool(rng.random() < 0.5)
     try:
         arr = build(files, k, rc=bool(rng.random() < 0.9), qual=QualOpts())
+        r = RefSka(arr.k, str(ref_fa), arr.rc, ambig_mask=ambig, repeat_mask=repeat)
     except SystemExit:
         skipped += 1  # all-N genome etc: no valid sequence
         continue
@@ -139,9 +148,6 @@ while time.time() < t_end:
             skipped += 1  # genome shorter than k / all-N (reference panics too)
             continue
         raise
-    ambig = bool(rng.random() < 0.5)
-    repeat = bool(rng.random() < 0.5)
-    r = RefSka(arr.k, str(ref_fa), arr.rc, ambig_mask=ambig, repeat_mask=repeat)
     r.map(arr)
     if r.mapped_variants is None or len(r.mapped_variants) == 0:
         skipped += 1
@@ -158,9 +164,10 @@ while time.time() < t_end:
     buf = io.StringIO()
     r.write_vcf(buf)
     check_vcf(buf.getvalue(), ref_chroms, n_samples)
-    for f in scratch.iterdir():
-        f.unlink()
     if n % 10 == 0:
         print(f"... {n} scenarios ({skipped} skipped)", flush=True)
 
+import shutil
+
+shutil.rmtree(scratch, ignore_errors=True)
 print(f"DONE {n} scenarios, native==python + VCF contract held ({skipped} skipped)")

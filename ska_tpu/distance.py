@@ -55,23 +55,18 @@ def _class_tables(filt_ambig: bool):
     return dist, match, mism
 
 
-@partial(jax.jit, static_argnames=("n", "width", "f32"))
-def _gram_chunk(classes_chunk, n: int, width: int = 16, f32: bool = False):
+@partial(jax.jit, static_argnames=("n", "width"))
+def _gram_chunk(classes_chunk, n: int, width: int = 16):
     """classes_chunk: (C, n) int32 in [0, width). Returns (n*width, n*width)
-    int32 Gram.
-
-    int8 one-hot feeds the MXU natively on TPU; on the CPU backend XLA
-    lowers int8 matmuls to naive loops (measured 6.7x slower than sgemm),
-    so host-mode uses f32 — exact, because every entry is a 0/1-product
-    count bounded by the chunk size (<= 2^24 < f32's integer range).
-    """
+    int32 Gram. int8 one-hot feeds the MXU natively (accelerator path;
+    the host path uses _gram_chunk_weighted over deduplicated rows —
+    XLA CPU lowers int8 matmul to naive loops, measured 6.7x slower
+    than sgemm)."""
     C = classes_chunk.shape[0]
-    dt = jnp.float32 if f32 else jnp.int8
-    onehot = jax.nn.one_hot(classes_chunk, width, dtype=dt)  # (C, n, width)
+    onehot = jax.nn.one_hot(classes_chunk, width, dtype=jnp.int8)  # (C, n, width)
     X = onehot.reshape(C, n * width)
-    out_dt = jnp.float32 if f32 else jnp.int32
     return jax.lax.dot_general(
-        X, X, (((0,), (0,)), ((), ())), preferred_element_type=out_dt
+        X, X, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )
 
 
@@ -136,7 +131,10 @@ def class_gram(variants: np.ndarray) -> np.ndarray:
     """
     S, n = variants.shape
     classes = ASCII_TO_SET[variants].astype(np.int32)
-    present = np.unique(classes)  # sorted, so compact keeps class order
+    # one linear pass (np.unique would sort all S*n elements)
+    present = np.flatnonzero(np.bincount(classes.ravel(), minlength=16)).astype(
+        np.int32
+    )
     K = len(present)
     # pad width to a shape bucket; keep one slot > K free for tail padding
     # unless class 0 ('-', zero weight in every coefficient table) exists
@@ -146,7 +144,10 @@ def class_gram(variants: np.ndarray) -> np.ndarray:
     lut = np.zeros(16, np.int32)
     lut[present] = np.arange(K, dtype=np.int32)
     compact = lut[classes]
-    pad_class = int(lut[0]) if 0 in present else K  # K < width: discarded slot
+    # tail padding: prefer a discarded slot (sliced off at scatter-back);
+    # K == width only survives the bump when class 0 ('-', zero weight in
+    # every coefficient table) is present to serve as the pad
+    pad_class = K if K < width else int(lut[0])
     on_host = jax.default_backend() == "cpu"
     weights = None
     if on_host:
@@ -157,8 +158,9 @@ def class_gram(variants: np.ndarray) -> np.ndarray:
         # finishes in well under a second at bacterial scale.
         compact, weights = _dedupe_rows(compact)
         S = len(compact)
-    # bound one-hot scratch to ~256MB and keep f32 sums exact (< 2^24)
-    elt = 4 if on_host else 1
+    # bound one-hot scratch to ~256MB (host sized for the f64 worst case
+    # of the weighted kernel) and keep f32 sums exact (< 2^24)
+    elt = 8 if on_host else 1
     chunk = max(_CHUNK, min(1 << 24, (1 << 28) // max(elt * width * n, 1)))
     chunk = 1 << int(np.floor(np.log2(chunk)))
     Gc = np.zeros((n * width, n * width), dtype=np.int64)
