@@ -3,8 +3,9 @@
 
 Runs the full device build step (window extraction -> canonical min(fwd,rc)
 -> sort -> segmented IUPAC union) on synthetic bacterial-scale genomes on
-the default JAX device (real TPU chip under the driver), and prints one
-JSON line.
+the default JAX device (real TPU chip under the driver), and prints ONE
+JSON line. Measures both key widths: W=1 (k=31, the headline) and W=2
+(k=63, two-limb keys) so a two-limb regression is driver-visible.
 
 vs_baseline divides by a MEASURED single-core reference throughput: the
 image has no Rust toolchain, so csrc/ref_baseline.cpp reproduces the
@@ -13,25 +14,35 @@ ska_dict.rs:76-113 swisstable/ahash-class hashmap insert with IUPAC
 merge) and is compiled+timed on this host right before the device run.
 If the proxy cannot be built the historical 10M/s estimate is used and
 flagged in the output.
+
+Reliability: the TPU sits behind the axon relay, which has outage windows
+(backend init raises UNAVAILABLE, or a single dispatch stalls for many
+minutes). The device work therefore runs in a CHILD process supervised by
+this parent: a stalled child is killed and retried with backoff inside a
+total budget (SKA_BENCH_BUDGET_S, default 2400s), and if the device never
+comes up the parent still prints a structured, parseable JSON failure
+record ({"value": null, "error": ..., "phase": ...}) instead of a raw
+traceback. A fresh child per attempt also sidesteps jax's caching of a
+failed backend and any stuck jaxlib C++ wait threads.
 """
 
 import json
 import os
 import subprocess
 import sys
+import tempfile
 import time
 
-import numpy as np
-
 REF_ESTIMATE_KMERS_PER_SEC = 10_000_000  # fallback only
+
+HERE = os.path.dirname(os.path.abspath(__file__))
 
 
 def measure_reference_proxy(k=31):
     """Build + run csrc/ref_baseline.cpp; returns (kmers/s, 'measured')
     or (estimate, 'estimated') if anything fails."""
-    here = os.path.dirname(os.path.abspath(__file__))
-    exe = os.path.join(here, "csrc", "ref_baseline")
-    src = os.path.join(here, "csrc", "ref_baseline.cpp")
+    exe = os.path.join(HERE, "csrc", "ref_baseline")
+    src = os.path.join(HERE, "csrc", "ref_baseline.cpp")
     try:
         if not os.path.exists(exe) or os.path.getmtime(src) > os.path.getmtime(exe):
             subprocess.run(
@@ -51,15 +62,79 @@ def measure_reference_proxy(k=31):
         return float(REF_ESTIMATE_KMERS_PER_SEC), "estimated"
 
 
-def main():
-    import jax
+# ---------------------------------------------------------------------------
+# Child: owns the device. Writes phase breadcrumbs to the status file and the
+# final JSON result to the result file. Exit codes: 0 ok (possibly with W=2
+# fields null), 3 device unreachable (retryable), 4 deterministic failure.
+# ---------------------------------------------------------------------------
+
+def _child(status_path, result_path):
+    import threading
+
+    import numpy as np
+
+    def set_phase(phase, error=None):
+        rec = {"phase": phase, "t": time.time()}
+        if error is not None:
+            rec["error"] = error
+        tmp = status_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, status_path)
+
+    def watchdog(fn, timeout_s):
+        """Run fn in a daemon thread; returns (value_list, err_list, alive).
+
+        A stalled jaxlib C++ wait cannot be interrupted by signals
+        (CPython only runs handlers between bytecodes), so the only safe
+        recovery is to abandon the thread — and, at the parent level,
+        the whole process.
+        """
+        box, err = [], []
+
+        def run():
+            try:
+                box.append(fn())
+            except BaseException as e:  # report crash vs stall correctly
+                err.append(e)
+
+        th = threading.Thread(target=run, daemon=True)
+        th.start()
+        th.join(timeout_s)
+        return box, err, th.is_alive()
+
+    # -- phase: init -------------------------------------------------------
+    set_phase("init")
+
+    def bring_up():
+        # ska_tpu's __init__ applies SKA_PLATFORM / x64 / compile-cache
+        # config; it must run before anything touches the backend
+        import ska_tpu  # noqa: F401
+        import jax
+        import jax.numpy as jnp
+
+        devs = jax.devices()
+        x = jax.device_put(jnp.arange(8, dtype=jnp.int32))
+        return (str(devs[0]), int(np.asarray(x.sum())))
+
+    box, err, alive = watchdog(bring_up, float(os.environ.get("SKA_BENCH_INIT_S", 420)))
+    if alive:
+        set_phase("init", "backend bring-up stalled (relay outage?)")
+        os._exit(3)  # abandon the stuck C++ wait thread
+    if err:
+        msg = f"{type(err[0]).__name__}: {err[0]}"
+        set_phase("init", msg)
+        # backend-unavailable is link weather -> retryable
+        sys.exit(3 if "nable to initialize backend" in str(err[0]) else 4)
+    if box[0][1] != 28:
+        set_phase("init", f"device arithmetic wrong: sum(arange(8)) = {box[0][1]}")
+        sys.exit(4)
+
     import jax.numpy as jnp
 
     from ska_tpu.ops import keys as K
     from ska_tpu.ops import pipeline as P
 
-    k = 31
-    W = K.width_for_k(k)
     # SKA_BENCH_* overrides exist for smoke-testing the harness itself
     # (e.g. on CPU); the defaults are the measured TPU configuration.
     L = int(os.environ.get("SKA_BENCH_L", 1 << 22))  # 4M bases per genome
@@ -67,121 +142,187 @@ def main():
     # (batch sweep 2026-08-17: 8->195M, 16->213M, 32->238M, 64->242M
     #  kmers/s; 32 is the knee)
 
-    ref_rate, ref_kind = measure_reference_proxy(k)
-
     rng = np.random.default_rng(1)
     seqs = jnp.asarray(rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=(S, L)))
     valid = jnp.ones((S, L), bool)
     qual_ok = jnp.ones((S, L), bool)
     rec_last = jnp.zeros((S, L), bool).at[:, L - 1].set(True)
 
-    def step():
-        sp, union, is_end, n = P.batched_pipeline(
-            seqs, valid, qual_ok, rec_last, k, True, W, False, False, 0
-        )
-        return n
+    def make_step(k):
+        W = K.width_for_k(k)
 
-    # scalar readback forces completion (block_until_ready is not
-    # reliable through the axon relay)
-    import threading
+        def step():
+            sp, union, is_end, n = P.batched_pipeline(
+                seqs, valid, qual_ok, rec_last, k, True, W, False, False, 0
+            )
+            return n
 
-    # Warmup watchdog: the axon relay has outage windows where a single
-    # dispatch (even the compile) stalls for many minutes. The warmup
-    # runs in a daemon thread with a generous timeout and a few retries,
-    # so an outage at bench time degrades to a late number or a clean
-    # nonzero exit instead of an indefinite hang with no JSON at all.
-    def _warmup_once(timeout_s):
-        box, err = [], []
+        return step
 
-        def run():
-            try:
-                box.append(int(np.asarray(step())[0]))
-            except BaseException as e:  # report crash vs stall correctly
-                err.append(e)
-
-        th = threading.Thread(target=run, daemon=True)
-        th.start()
-        th.join(timeout_s)
-        return box, err, th
-
-    warm_ok = False
-    for attempt in range(3):
-        box, err, th = _warmup_once(600)
-        if err:
-            # deterministic code failure, not link weather — don't retry
-            print(f"warmup failed: {err[0]!r}", file=sys.stderr)
-            sys.exit(4)
-        if box:
-            # completed; n==0 only happens with degenerate SKA_BENCH_*
-            # smoke overrides (e.g. L < k) — a config error, not a stall
-            if box[0] <= 0:
-                print("warmup produced 0 k-mers (check SKA_BENCH_* sizes)", file=sys.stderr)
-                sys.exit(4)
-            warm_ok = True
-            break
-        print(
-            f"warmup attempt {attempt + 1} stalled >600s (relay outage?); "
-            "waiting for it to drain before retrying",
-            file=sys.stderr,
-        )
-        # the stalled dispatch still owns the device stream; give it a
-        # chance to drain before queueing another
-        th.join(300)
-    if not warm_ok:
-        print("device unreachable: warmup never completed", file=sys.stderr)
-        sys.exit(3)
-    iters = 5
-    # best-of-3 timed batches: the relay's latency swings wildly between
-    # runs (BASELINE.md methodology notes) and can stall a single batch
-    # for minutes at constant device throughput — the best batch is the
-    # code's cost, the others are link weather. The device sync runs in
-    # a worker thread so a stalled batch can be abandoned once one batch
-    # has completed: a SIGALRM handler would never fire here, because
-    # CPython only runs signal handlers between bytecodes and the stall
-    # blocks inside jaxlib's C++ wait.
-    dt = float("inf")
-    for batch in range(3):
-        t0 = time.perf_counter()
-        # queue all dispatches, then force completion once:
-        # per-iteration readbacks would add one relay round-trip
-        # (~30-100ms) per step
-        ns = [step() for _ in range(iters)]
-        box = []
-        th = threading.Thread(
-            target=lambda: box.append(int(np.asarray(ns[-1])[0])), daemon=True
-        )
-        th.start()
-        # dispatches execute in order; syncing on the last covers all.
-        # The first batch gets a long-but-finite wait: if the relay dies
-        # right after warmup, an unbounded join would hang forever with
-        # no JSON at all.
-        th.join(120 if dt < float("inf") else 900)
-        if th.is_alive():
-            if dt == float("inf"):
-                print("device lost after warmup: first batch stalled >900s",
-                      file=sys.stderr)
-                sys.exit(3)
-            print(f"batch {batch} stalled >120s; keeping best so far",
+    def measure(k, tag, batches=3, iters=5):
+        """Warmup + best-of-N timed batches. Returns kmers/s or None if the
+        device stalls mid-way (the relay can die between phases)."""
+        step = make_step(k)
+        set_phase(f"warmup:{tag}")
+        for attempt in range(2):
+            # scalar readback forces completion (block_until_ready is not
+            # reliable through the axon relay)
+            box, err, alive = watchdog(lambda: int(np.asarray(step())[0]), 600)
+            if err:
+                set_phase(f"warmup:{tag}", f"{type(err[0]).__name__}: {err[0]}")
+                sys.exit(4)  # deterministic code failure, not link weather
+            if box:
+                if box[0] <= 0:
+                    set_phase(f"warmup:{tag}",
+                              "warmup produced 0 k-mers (check SKA_BENCH_* sizes)")
+                    sys.exit(4)
+                break
+            print(f"[{tag}] warmup attempt {attempt + 1} stalled >600s",
                   file=sys.stderr)
-            break
-        dt = min(dt, time.perf_counter() - t0)
-        assert box and box[0] > 0 and all(x.shape == ns[-1].shape for x in ns)
+        else:
+            return None
 
-    windows = S * (L - k + 1)
-    kmers_per_sec = windows * iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": "split k-mers/sec/chip (ska build extract+sort+union, k=31)",
-                "value": round(kmers_per_sec),
-                "unit": "kmers/s",
-                "vs_baseline": round(kmers_per_sec / ref_rate, 3),
-                "baseline_kmers_per_sec": round(ref_rate),
-                "baseline_kind": ref_kind,
-                "vs_estimate": round(kmers_per_sec / REF_ESTIMATE_KMERS_PER_SEC, 3),
-            }
-        )
-    )
+        # best-of-N timed batches: the relay's latency swings wildly
+        # between runs (BASELINE.md methodology notes) and can stall a
+        # single batch for minutes at constant device throughput — the
+        # best batch is the code's cost, the others are link weather.
+        set_phase(f"timed:{tag}")
+        dt = float("inf")
+        for batch in range(batches):
+            t0 = time.perf_counter()
+            # queue all dispatches, then force completion once:
+            # per-iteration readbacks would add one relay round-trip
+            # (~30-100ms) per step
+            ns = [step() for _ in range(iters)]
+            box, err, alive = watchdog(
+                lambda: int(np.asarray(ns[-1])[0]),
+                120 if dt < float("inf") else 900,
+            )
+            if err:
+                set_phase(f"timed:{tag}", f"{type(err[0]).__name__}: {err[0]}")
+                sys.exit(4)
+            if alive:
+                print(f"[{tag}] batch {batch} stalled; keeping best so far",
+                      file=sys.stderr)
+                break
+            dt = min(dt, time.perf_counter() - t0)
+            assert box and box[0] > 0
+        if dt == float("inf"):
+            return None
+        windows = S * (L - k + 1)
+        return windows * iters / dt
+
+    k1, k2 = 31, 63
+    r1 = measure(k1, "w1")
+    if r1 is None:
+        set_phase("timed:w1", "device lost: W=1 measurement never completed")
+        sys.exit(3)
+    # W=2 is best-effort: if the relay dies between phases, ship the W=1
+    # number rather than losing the round's evidence.
+    r2 = measure(k2, "w2", batches=2)
+    with open(result_path, "w") as f:
+        json.dump({"w1_kmers_per_sec": r1, "w2_kmers_per_sec": r2,
+                   "S": S, "L": L, "k1": k1, "k2": k2}, f)
+    set_phase("done")
+    sys.exit(0)
+
+
+# ---------------------------------------------------------------------------
+# Parent: measures the host baseline, supervises child attempts, prints the
+# single JSON line (success or structured failure record).
+# ---------------------------------------------------------------------------
+
+def main():
+    if len(sys.argv) >= 4 and sys.argv[1] == "--child":
+        _child(sys.argv[2], sys.argv[3])
+        return
+
+    ref1, ref_kind = measure_reference_proxy(31)
+    ref2, _ = measure_reference_proxy(63) if ref_kind == "measured" else (None, None)
+
+    budget = float(os.environ.get("SKA_BENCH_BUDGET_S", 2400))
+    attempt_timeout = float(os.environ.get("SKA_BENCH_ATTEMPT_S", 1500))
+    t_start = time.monotonic()
+    last_status = {"phase": "spawn"}
+    attempt = 0
+    backoff = 60.0
+
+    def emit_failure(error):
+        print(json.dumps({
+            "metric": "split k-mers/sec/chip (ska build extract+sort+union, k=31)",
+            "value": None,
+            "unit": "kmers/s",
+            "vs_baseline": None,
+            "baseline_kmers_per_sec": round(ref1),
+            "baseline_kind": ref_kind,
+            "error": error,
+            "phase": last_status.get("phase", "unknown"),
+            "attempts": attempt,
+        }))
+
+    with tempfile.TemporaryDirectory() as td:
+        status_path = os.path.join(td, "status.json")
+        result_path = os.path.join(td, "result.json")
+        while True:
+            attempt += 1
+            try:
+                os.remove(result_path)
+            except FileNotFoundError:
+                pass
+            proc = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "--child",
+                 status_path, result_path],
+                cwd=HERE,
+            )
+            try:
+                rc = proc.wait(attempt_timeout)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait()
+                rc = -9
+            try:
+                with open(status_path) as f:
+                    last_status = json.load(f)
+            except Exception:  # noqa: BLE001 - child died before first phase
+                last_status = {"phase": "spawn"}
+
+            if rc == 0 and os.path.exists(result_path):
+                with open(result_path) as f:
+                    res = json.load(f)
+                out = {
+                    "metric": ("split k-mers/sec/chip "
+                               "(ska build extract+sort+union, k=31)"),
+                    "value": round(res["w1_kmers_per_sec"]),
+                    "unit": "kmers/s",
+                    "vs_baseline": round(res["w1_kmers_per_sec"] / ref1, 3),
+                    "baseline_kmers_per_sec": round(ref1),
+                    "baseline_kind": ref_kind,
+                    "vs_estimate": round(
+                        res["w1_kmers_per_sec"] / REF_ESTIMATE_KMERS_PER_SEC, 3),
+                    "w2_kmers_per_sec": (round(res["w2_kmers_per_sec"])
+                                         if res["w2_kmers_per_sec"] else None),
+                }
+                if res["w2_kmers_per_sec"] and ref2:
+                    out["w2_vs_baseline_k63"] = round(res["w2_kmers_per_sec"] / ref2, 3)
+                    out["baseline_k63_kmers_per_sec"] = round(ref2)
+                print(json.dumps(out))
+                return
+
+            if rc == 4:
+                # deterministic code/config failure — retrying won't help
+                emit_failure(last_status.get("error", "deterministic child failure"))
+                sys.exit(4)
+
+            elapsed = time.monotonic() - t_start
+            why = last_status.get("error", f"child rc={rc}")
+            print(f"attempt {attempt} failed in phase "
+                  f"{last_status.get('phase')}: {why} "
+                  f"({elapsed:.0f}s/{budget:.0f}s budget used)", file=sys.stderr)
+            if elapsed + backoff + 120 > budget:
+                emit_failure(why)
+                sys.exit(3)
+            time.sleep(backoff)
+            backoff = min(backoff * 2, 480)
 
 
 if __name__ == "__main__":

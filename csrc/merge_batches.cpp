@@ -62,6 +62,18 @@ int64_t ska_merge_batches(
             for (int64_t w = 0; w < W; w++)
                 if (k[w] != mink[w]) { eq = false; break; }
             if (!eq) continue;
+            // skip past any equal-key duplicates within this batch (only
+            // possible for malformed/third-party .skf inputs) keeping the
+            // LAST one, matching the numpy fallback's lexsort+unique
+            // last-write-wins collapse in extend_arrays
+            while (cur[b] + 1 < n_off[b + 1]) {
+                const uint64_t* nk = keys_cat + (cur[b] + 1) * W;
+                bool neq = true;
+                for (int64_t w = 0; w < W; w++)
+                    if (nk[w] != mink[w]) { neq = false; break; }
+                if (!neq) break;
+                cur[b]++;
+            }
             int64_t sb = col_off[b + 1] - col_off[b];
             const uint8_t* src =
                 var_cat + v_off[b] + (cur[b] - n_off[b]) * sb;

@@ -82,8 +82,14 @@ def _shard_step(
     # 3. splitters: R regular samples of the local sorted keys, gathered
     #    and sorted replicated (D*R elements — tiny), pivots at the
     #    D-quantiles
-    r = jnp.arange(_R_SAMP, dtype=jnp.int32)
-    samp_idx = jnp.clip((r * nv) // _R_SAMP, 0, N - 1)
+    r = jnp.arange(_R_SAMP, dtype=jnp.int64)
+    # 64-bit index math: r * nv wraps int32 once a device holds more than
+    # ~2^31/128 live triples — routine at genome scale — and wrapped
+    # splitter indices degenerate every bucket (capacity escalation /
+    # OOM), so this must not rely on the overflow flag for correctness
+    samp_idx = jnp.clip((r * nv.astype(jnp.int64)) // _R_SAMP, 0, N - 1).astype(
+        jnp.int32 if N < 2**31 else jnp.int64
+    )
     samp = skeys[samp_idx]
     gs = jax.lax.all_gather(samp, "samples", tiled=True)  # (D*R, W)
     gss = jnp.stack(

@@ -143,9 +143,15 @@ def neighbor_joining(dist: np.ndarray, names: Sequence[str]) -> str:
 
 
 def _check_width(k: int):
-    """Width dispatch mirrors lib.rs:942-987: k<32 one limb, k<64 two."""
+    """Width dispatch mirrors lib.rs:942-987: k<32 one limb, k<64 two.
+
+    The reference panics for k >= 64 with the off-by-one message "k values
+    larger than 64 not supported" (lib.rs:986); we keep its boundary
+    (k == 64 rejected) but state it accurately. No lower bound is imposed,
+    matching the reference's wasm path (the CLI validator is stricter).
+    """
     if not (k < 64):
-        raise ValueError("k values larger than 64 not supported")
+        raise ValueError(f"k must be smaller than 64 (got {k})")
 
 
 _NOFILTER_QUAL = QualOpts(min_count=1, min_qual=0, qual_filter=QUAL_NOFILTER)

@@ -209,3 +209,34 @@ def test_extend_arrays_reference_row_order(ref_in):
     assert np.array_equal(
         np.asarray(m.counts), 2 * np.asarray(a.counts)[order_a]
     )
+
+
+def test_extend_arrays_intra_batch_duplicate_keys():
+    """A single malformed/third-party input batch may carry duplicate
+    keys. The native B-way merge must collapse them into ONE union row
+    keeping the LAST duplicate (the numpy fallback's fancy-assignment
+    last-write-wins), not emit one row per duplicate
+    (csrc/merge_batches.cpp duplicate-skip)."""
+    import numpy as np
+
+    import ska_tpu.merge as merge_mod
+    from ska_tpu.array import SkaArray
+
+    # batch a: keys [5, 7, 7, 9] with differing variants on the dup
+    ka = np.array([[5], [7], [7], [9]], np.uint64)
+    va = np.frombuffer(b"ACTG", np.uint8).reshape(4, 1).copy()
+    a = SkaArray(k=31, rc=True, names=["a0"], keys=ka, variants=va,
+                 counts=(va != ord("-")).sum(axis=1).astype(np.int64))
+    # batch b: unique keys, overlaps the dup key
+    kb = np.array([[7], [8]], np.uint64)
+    vb = np.frombuffer(b"GA", np.uint8).reshape(2, 1).copy()
+    b = SkaArray(k=31, rc=True, names=["b0"], keys=kb, variants=vb,
+                 counts=(vb != ord("-")).sum(axis=1).astype(np.int64))
+
+    m = merge_mod.extend_arrays([a, b])
+    np.testing.assert_array_equal(m.keys[:, 0], [5, 7, 8, 9])
+    # key 7 keeps batch a's LAST duplicate ('T'), plus batch b's 'G'
+    np.testing.assert_array_equal(
+        m.variants, np.frombuffer(b"A-TG-AG-", np.uint8).reshape(4, 2)
+    )
+    np.testing.assert_array_equal(m.counts, [1, 2, 1, 1])
