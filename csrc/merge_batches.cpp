@@ -21,6 +21,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <new>
 
 extern "C" {
 
@@ -32,8 +33,10 @@ int64_t ska_merge_batches(
     uint64_t* out_keys, uint8_t* out_var, int64_t* out_counts,
     int64_t s_total
 ) {
-    // per-batch cursors
-    int64_t* cur = new int64_t[B];
+    // per-batch cursors; -2 on allocation failure (caller raises a clean
+    // MemoryError — a bad_alloc escaping extern "C" into ctypes aborts)
+    int64_t* cur = new (std::nothrow) int64_t[B];
+    if (!cur) return -2;
     for (int64_t b = 0; b < B; b++) cur[b] = n_off[b];
 
     int64_t r = 0;

@@ -23,6 +23,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <new>
+#include <stdexcept>
 #include <unordered_map>
 #include <unordered_set>
 #include <vector>
@@ -854,6 +855,12 @@ void* skalo_expand_run(
         delete c;
         g_skalo_oom = 1;
         return nullptr;
+    } catch (const std::length_error&) {
+        // vector::reserve past max_size (combinatorial blowup) — same
+        // disposition as exhaustion: clean MemoryError, not terminate()
+        delete c;
+        g_skalo_oom = 1;
+        return nullptr;
     }
 }
 
@@ -941,6 +948,8 @@ void skalo_core_ks_fill(void* h, uint64_t* hi, uint64_t* lo, uint64_t* masks) {
     }
   } catch (const std::bad_alloc&) {
     g_skalo_oom = 1;  // caller checks skalo_core_oom() after the fill
+  } catch (const std::length_error&) {
+    g_skalo_oom = 1;
   }
 }
 

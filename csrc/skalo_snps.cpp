@@ -18,6 +18,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <new>
+#include <stdexcept>
 #include <unordered_map>
 #include <unordered_set>
 #include <vector>
@@ -501,6 +502,8 @@ int64_t skalo_snps_group(
         return process_group(*(SnpsCtx*)h, codes, voff, snps, soff, V);
     } catch (const std::bad_alloc&) {
         return -2;  // OOM: caller raises MemoryError, not KeyError
+    } catch (const std::length_error&) {
+        return -2;  // reserve past max_size: same clean disposition
     }
 }
 
@@ -564,6 +567,8 @@ int64_t skalo_snps_run_paths(
     return 0;
   } catch (const std::bad_alloc&) {
     return -2;  // OOM: caller raises MemoryError, not KeyError
+  } catch (const std::length_error&) {
+    return -2;
   }
 }
 

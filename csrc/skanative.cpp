@@ -11,6 +11,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <new>
 
 extern "C" {
 
@@ -393,7 +394,7 @@ long long ska_cbor_decode_u8(
 // from the reference, overhangs between matches, middle bases at
 // finalisation, and repeat masking. One call per sample; O(genome).
 
-void ska_aln_write(
+int ska_aln_write(
     const uint8_t* ref_seq,      // concatenated reference
     const int64_t* chrom_len,    // per-chromosome lengths
     int64_t n_chrom,
@@ -407,16 +408,23 @@ void ska_aln_write(
     const int64_t* repeat_coors,
     int64_t n_repeats,
     uint8_t* out                 // pre-filled with '-', length = total ref
-) {
+) {                              // returns 0, or -2 on allocation failure
     int64_t next_pos = half;
     int64_t curr_chrom = 0;
     int64_t last_mapped = 0;
     int64_t last_written = 0;
     int64_t chrom_offset = 0;
 
-    // middle-base buffer
-    int64_t* mid_pos = new int64_t[n_hits];
-    uint8_t* mid_base = new uint8_t[n_hits];
+    // middle-base buffer — a bad_alloc here must not escape the extern
+    // "C" boundary (ctypes would terminate the process); the caller
+    // raises a clean MemoryError on -2
+    int64_t* mid_pos = new (std::nothrow) int64_t[n_hits];
+    uint8_t* mid_base = new (std::nothrow) uint8_t[n_hits];
+    if (!mid_pos || !mid_base) {
+        delete[] mid_pos;
+        delete[] mid_base;
+        return -2;
+    }
     int64_t n_mid = 0;
 
     const uint8_t* chrom_seq = ref_seq;  // start of current chromosome
@@ -471,6 +479,7 @@ void ska_aln_write(
     }
     delete[] mid_pos;
     delete[] mid_base;
+    return 0;
 }
 
 }  // extern "C"

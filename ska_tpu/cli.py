@@ -167,10 +167,18 @@ def build_parser():
 
 
 def _is_primary() -> bool:
-    """True unless this is a secondary process of a pod-slice run."""
-    import jax
+    """True unless this is a secondary process of a pod-slice run.
 
-    if jax.process_count() == 1:
+    Must not touch the JAX backend in the single-process case:
+    jax.process_count() force-initializes the XLA client, which (a) pays
+    relay bring-up for host-only commands that never dispatch, and (b)
+    under a tight RLIMIT_AS aborts the whole process inside absl (Eigen
+    pool pthread_create CHECK) instead of raising a catchable
+    MemoryError — the `ska lo` OOM-guidance path must stay abort-free.
+    A pod-slice run only exists when SKA_COORDINATOR configured it
+    (init_multihost in _main), so its absence proves single-process.
+    """
+    if not os.environ.get("SKA_COORDINATOR"):
         return True
     from .parallel import is_primary
 

@@ -64,7 +64,7 @@ _lib.ska_snappy_compress.argtypes = [
 
 import numpy as _np
 
-_lib.ska_aln_write.restype = None
+_lib.ska_aln_write.restype = ctypes.c_int  # 0 ok, -2 allocation failure
 _lib.ska_aln_write.argtypes = [
     ctypes.c_char_p,  # ref_seq
     ctypes.POINTER(ctypes.c_int64),  # chrom_len
@@ -92,7 +92,7 @@ def aln_write(ref_concat, chrom_len, m_chrom, m_pos, bases, half, is_ambig_tbl,
     m_pos = _np.ascontiguousarray(m_pos, dtype=_np.int64)
     bases = _np.ascontiguousarray(bases, dtype=_np.uint8)
     reps = _np.ascontiguousarray(repeat_coors, dtype=_np.int64)
-    _lib.ska_aln_write(
+    rc = _lib.ska_aln_write(
         ref_concat.ctypes.data_as(ctypes.c_char_p),
         chrom_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         len(chrom_len),
@@ -107,6 +107,10 @@ def aln_write(ref_concat, chrom_len, m_chrom, m_pos, bases, half, is_ambig_tbl,
         len(reps),
         out.ctypes.data_as(ctypes.c_char_p),
     )
+    if rc == -2:
+        raise MemoryError(
+            "ska map: pseudoalignment buffers exceeded available memory"
+        )
     return out
 
 
@@ -309,4 +313,6 @@ def merge_batches(keys_list, var_list):
         out_counts.ctypes.data_as(i64),
         s_total,
     )
+    if r == -2:
+        raise MemoryError("ska merge: union buffers exceeded available memory")
     return out_keys[:r], out_var[:r], out_counts[:r]
