@@ -12,6 +12,7 @@ with the output row space (key space) sharded across devices.
 from .build import (  # noqa: F401
     build_mesh,
     distributed_build,
+    distributed_build_multi,
     distributed_merged_build,
     dryrun_step,
 )

@@ -3,25 +3,35 @@ distributed merge (sample sort / PSRS over the device mesh).
 
 Replaces the reference's rayon binary-tree hashmap merge
 (merge_ska_dict.rs:354-417) with collectives, and is the path
-`__graft_entry__.dryrun_multichip` exercises. One jitted step
+`__graft_entry__.dryrun_multichip` exercises. Two jitted stages
 (shard_map over a 'samples' mesh axis):
 
-1. each device runs the FULL per-sample pipeline for its shard of
-   samples (vmap of ops.pipeline.sample_pipeline: extraction, FASTQ
-   quality gates, min-count rank filter, per-sample sort + segmented
-   IUPAC union) — identical semantics to the serial path
-2. each device sorts its local (key, sample, set) triples by key
-3. splitter selection: R regularly-spaced key samples per device are
+LOCAL stage — one dispatch per (padded-length bucket, FASTQ config)
+group of samples; each device runs the FULL per-sample pipeline for its
+shard (vmap of ops.pipeline.sample_pipeline: extraction, FASTQ quality
+gates, min-count rank filter, per-sample sort + segmented IUPAC union) —
+identical semantics to the serial path — and emits device-resident
+(key, global sample id, set) triples. Triples of every group stay on
+device: mixed-length cohorts never round-trip through the host.
+
+MERGE stage — ONE dispatch for the whole cohort regardless of how many
+length buckets it spans (the reference's one global merge,
+merge_ska_dict.rs:354-417):
+
+1. each device concatenates its local triples across all groups and
+   sorts them by key
+2. splitter selection: R regularly-spaced key samples per device are
    all-gathered (tiny), sorted replicated, and D-1 quantile pivots
    chosen — the classic parallel-sample-sort recipe, which bounds every
    key-range bucket by ~2x the even share
-4. triples are exchanged by key range with `all_to_all`: device j
+3. triples are exchanged by key range with `all_to_all`: device j
    receives exactly the triples whose keys fall in its bucket. XLA:CPU
    (the virtual-mesh test backend) has no ragged-all-to-all, so chunks
    are padded to a static per-pair capacity; a send-side overflow flag
-   is returned and the host escalates the capacity (recompiling) in the
-   rare skewed case — correctness never depends on the capacity guess.
-5. each device merges ONLY its own bucket: one local sort by key, row
+   is returned and the host escalates the capacity (recompiling ONLY
+   the merge stage — local triples are reused) in the rare skewed
+   case — correctness never depends on the capacity guess.
+4. each device merges ONLY its own bucket: one local sort by key, row
    assignment, and a scatter into its (rows x n_samples) shard of the
    variants matrix. Device order == key-range order, so concatenating
    the per-device row blocks yields the globally sorted array.
@@ -44,6 +54,9 @@ from ..ops import pipeline as PIPE
 U64 = jnp.uint64
 _SENT = np.uint64(0xFFFFFFFFFFFFFFFF)
 _R_SAMP = 128  # splitter samples per device
+# flat-scatter positions stay int32 below this M * n_samples product;
+# module-level so tests can shrink it to drive the int64 branch
+_I32_SCATTER_LIMIT = 2**31
 
 
 def build_mesh(n_devices=None, devices=None):
@@ -52,16 +65,20 @@ def build_mesh(n_devices=None, devices=None):
     return Mesh(np.array(devices), axis_names=("samples",))
 
 
-def _shard_step(
-    seqs, valid, qual_ok, rec_last,
-    k, rc, W, n_dev, n_samples, is_reads, use_mq, min_count, C_pair,
+def _local_triples(
+    seqs, valid, qual_ok, rec_last, sids,
+    k, rc, W, is_reads, use_mq, min_count,
 ):
-    """Runs on each device with a local shard of samples."""
-    s_loc, L = seqs.shape
-    dev = jax.lax.axis_index("samples")
+    """Inside shard_map: per-sample pipelines for this device's shard.
 
-    # 1. per-sample pipelines (count filter + qual + per-sample union),
-    #    exactly the serial semantics (ska_dict.rs:76-113 + bloom_filter.rs)
+    Returns (keyv (1, N, W), sid (1, N) int32, setv (1, N)) where N =
+    s_loc * L; dead positions carry all-ones sentinel keys. sids maps
+    local rows to GLOBAL cohort columns, so triples from different
+    length-bucket groups can merge in one exchange.
+    """
+    s_loc, L = seqs.shape
+    # per-sample pipelines (count filter + qual + per-sample union),
+    # exactly the serial semantics (ska_dict.rs:76-113 + bloom_filter.rs)
     sp, union, is_end, _n = PIPE.batched_pipeline.__wrapped__(
         seqs, valid, qual_ok, rec_last, k, rc, W, is_reads, use_mq, min_count
     )
@@ -70,16 +87,26 @@ def _shard_step(
     keyv = K.shr(sp, 4)  # drop the in-sort set bits
     live = is_end.reshape(N) & jnp.any(sp != U64(_SENT), axis=-1)
     keyv = jnp.where(live[:, None], keyv, jnp.full_like(keyv, _SENT))
-    sid = (dev.astype(jnp.int32) * s_loc + jnp.arange(s_loc, dtype=jnp.int32))[:, None]
-    sid = jnp.broadcast_to(sid, (s_loc, L)).reshape(N)
+    sid = jnp.broadcast_to(sids[:, None], (s_loc, L)).reshape(N)
     setv = jnp.where(live, union.reshape(N), 0)
+    return keyv[None], sid[None], setv[None]
 
-    # 2. local sort by key (sentinels last; real keys have the top 4 bits
-    #    of the hi limb clear, so all-ones never collides with a key)
+
+def _merge_shard(keyv_parts, sid_parts, set_parts, n_dev, n_samples, C_pair):
+    """Inside shard_map: one global key-range exchange + bucket merge over
+    the concatenation of every group's device-local triples."""
+    # 1. concat this device's triples across groups, sort by key
+    #    (sentinels last; real keys have the top 4 bits of the hi limb
+    #    clear, so all-ones never collides with a key)
+    keyv = jnp.concatenate([p[0] for p in keyv_parts], axis=0)
+    sid = jnp.concatenate([p[0] for p in sid_parts], axis=0)
+    setv = jnp.concatenate([p[0] for p in set_parts], axis=0)
+    N, W = keyv.shape
     skeys, _, (ssid, sset) = K.sort_with(keyv, (sid, setv))
+    live = jnp.any(skeys != U64(_SENT), axis=-1)
     nv = jnp.sum(live.astype(jnp.int32))
 
-    # 3. splitters: R regular samples of the local sorted keys, gathered
+    # 2. splitters: R regular samples of the local sorted keys, gathered
     #    and sorted replicated (D*R elements — tiny), pivots at the
     #    D-quantiles
     r = jnp.arange(_R_SAMP, dtype=jnp.int64)
@@ -108,7 +135,7 @@ def _shard_step(
     cnt = o[1:] - o[:-1]  # (D,) triples for each destination
     overflow = jnp.any(cnt > C_pair)
 
-    # 4. pad + slice per-destination chunks, exchange by key range
+    # 3. pad + slice per-destination chunks, exchange by key range
     pk = jnp.concatenate([skeys, jnp.full((C_pair, W), _SENT, U64)], axis=0)
     psid = jnp.concatenate([ssid, jnp.zeros(C_pair, ssid.dtype)])
     pset = jnp.concatenate([sset, jnp.zeros(C_pair, sset.dtype)])
@@ -132,7 +159,7 @@ def _shard_step(
     else:
         recv_k, recv_s, recv_t = send_k, send_s, send_t
 
-    # 5. merge this device's bucket only: sort received triples by key,
+    # 4. merge this device's bucket only: sort received triples by key,
     #    assign rows, scatter middle-base columns
     M = n_dev * C_pair
     mk, _, (msid, mset) = K.sort_with(
@@ -153,7 +180,7 @@ def _shard_step(
     # flat scatter position: int32 wraps once M * n_samples exceeds 2^31
     # (large-sample mesh builds), silently dropping rows — both factors
     # are static, so widen exactly when needed
-    idt = jnp.int32 if M * n_samples + 1 < 2**31 else jnp.int64
+    idt = jnp.int32 if M * n_samples + 1 < _I32_SCATTER_LIMIT else jnp.int64
     pos = jnp.where(
         mlive, rows.astype(idt) * idt(n_samples) + msid.astype(idt),
         idt(M * n_samples),
@@ -181,30 +208,44 @@ def _shard_step(
 @partial(
     jax.jit,
     static_argnames=(
-        "k", "rc", "W", "is_reads", "use_mq", "min_count", "C_pair", "mesh_holder",
+        "k", "rc", "W", "is_reads", "use_mq", "min_count", "mesh_holder",
     ),
 )
-def _jit_build(
-    seqs, valid, qual_ok, rec_last,
-    k, rc, W, is_reads, use_mq, min_count, C_pair, mesh_holder,
+def _jit_local(
+    seqs, valid, qual_ok, rec_last, sids,
+    k, rc, W, is_reads, use_mq, min_count, mesh_holder,
 ):
     mesh = mesh_holder.mesh
-    n_dev = mesh.devices.size
-    n_samples = seqs.shape[0]
     fn = jax.shard_map(
         partial(
-            _shard_step,
-            k=k, rc=rc, W=W, n_dev=n_dev, n_samples=n_samples,
+            _local_triples,
+            k=k, rc=rc, W=W,
             is_reads=is_reads, use_mq=use_mq, min_count=min_count,
-            C_pair=C_pair,
         ),
         mesh=mesh,
-        in_specs=(P("samples"), P("samples"), P("samples"), P("samples")),
+        in_specs=(P("samples"), P("samples"), P("samples"), P("samples"),
+                  P("samples")),
+        out_specs=(P("samples"), P("samples"), P("samples")),
+    )
+    return fn(seqs, valid, qual_ok, rec_last, sids)
+
+
+@partial(jax.jit, static_argnames=("n_samples", "C_pair", "mesh_holder"))
+def _jit_merge(keyv_parts, sid_parts, set_parts, n_samples, C_pair, mesh_holder):
+    mesh = mesh_holder.mesh
+    n_dev = mesh.devices.size
+    fn = jax.shard_map(
+        partial(
+            _merge_shard,
+            n_dev=n_dev, n_samples=n_samples, C_pair=C_pair,
+        ),
+        mesh=mesh,
+        in_specs=(P("samples"), P("samples"), P("samples")),
         out_specs=(
             P("samples"), P("samples"), P("samples"), P("samples"), P("samples"),
         ),
     )
-    return fn(seqs, valid, qual_ok, rec_last)
+    return fn(keyv_parts, sid_parts, set_parts)
 
 
 class _MeshHolder:
@@ -227,29 +268,25 @@ def _pow2(n: int) -> int:
     return b
 
 
-def distributed_merged_build(
-    seqs_np, valid_np, qual_np, rec_last_np, k, rc, mesh,
-    is_reads=False, use_mid_qual=False, min_count=0,
-):
-    """Full distributed build+merge of (n_samples, L) uint8 sequences.
+def distributed_build_multi(calls, k, rc, mesh, min_count=0):
+    """Full distributed build+merge of a mixed-shape cohort in ONE
+    key-range exchange.
 
-    Any sample count (rows are padded to a mesh multiple with all-invalid
-    samples; their all-'-' columns are stripped before returning) and the
-    full FASTQ surface (quality masks, min-count filter) are supported.
+    calls: list of dicts, one per (length bucket, FASTQ config) group:
+      seqs/valid/qual/rec_last: (S_c, L_c) host arrays
+      sids: (S_c,) int32 GLOBAL cohort column of each row
+      is_reads/use_mq: bool pipeline config for the group
+    n_samples (the output width) is 1 + max sid across calls.
+
+    Each call's local pipeline runs as its own jitted dispatch (shapes
+    differ), its triples staying device-resident; the merge is a single
+    dispatch over all of them — no host op ever touches the full union
+    (the reference's one global merge, merge_ska_dict.rs:354-417).
     Returns (keys (R, W), variants (R, n_samples) uint8, counts (R,),
     n_rows) on host, globally sorted by key.
     """
     W = K.width_for_k(k)
     D = mesh.devices.size
-    S_in, L = seqs_np.shape
-    S_pad = -(-S_in // D) * D
-    if S_pad != S_in:
-        padrow = ((0, S_pad - S_in), (0, 0))
-        seqs_np = np.pad(np.asarray(seqs_np), padrow)
-        valid_np = np.pad(np.asarray(valid_np), padrow)
-        qual_np = np.pad(np.asarray(qual_np), padrow)
-        rec_last_np = np.pad(np.asarray(rec_last_np), padrow)
-
     holder = _MeshHolder(mesh)
     sharding = NamedSharding(mesh, P("samples"))
 
@@ -262,10 +299,34 @@ def distributed_merged_build(
             x_np.shape, sharding, lambda idx: x_np[idx]
         )
 
-    seqs = _put(seqs_np)
-    valid = _put(valid_np)
-    qual_ok = _put(qual_np)
-    rec_last = _put(rec_last_np)
+    n_samples = 1 + max(int(np.max(c["sids"])) for c in calls)
+    keyv_parts, sid_parts, set_parts = [], [], []
+    N_loc_total = 0
+    for c in calls:
+        seqs_np = np.asarray(c["seqs"])
+        S_in, L = seqs_np.shape
+        S_pad = -(-S_in // D) * D
+        valid_np = np.asarray(c["valid"])
+        qual_np = np.asarray(c["qual"])
+        rl_np = np.asarray(c["rec_last"])
+        sids_np = np.asarray(c["sids"], dtype=np.int32)
+        if S_pad != S_in:
+            padrow = ((0, S_pad - S_in), (0, 0))
+            seqs_np = np.pad(seqs_np, padrow)
+            valid_np = np.pad(valid_np, padrow)  # all-invalid: no triples
+            qual_np = np.pad(qual_np, padrow)
+            rl_np = np.pad(rl_np, padrow)
+            sids_np = np.pad(sids_np, (0, S_pad - S_in))
+        kv, sv, tv = _jit_local(
+            _put(seqs_np), _put(valid_np), _put(qual_np), _put(rl_np),
+            _put(sids_np),
+            k, rc, W, bool(c["is_reads"]), bool(c["use_mq"]), int(min_count),
+            holder,
+        )
+        keyv_parts.append(kv)
+        sid_parts.append(sv)
+        set_parts.append(tv)
+        N_loc_total += (S_pad // D) * L
 
     def _fetch(x):
         # on a multi-process mesh the output shards are not all
@@ -278,26 +339,30 @@ def distributed_merged_build(
 
         return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
-    N_loc = (S_pad // D) * L
     # even share is N_loc/D per (src, dst) pair; PSRS splitters bound the
-    # realized bucket at ~2x, so 2x capacity avoids escalation in practice
-    C_pair = min(_pow2(max(2 * N_loc // D, 1)), _pow2(N_loc))
+    # realized bucket at ~2x, so 2x capacity avoids escalation in practice.
+    # SKA_MESH_CPAIR_INIT shrinks the first guess (stress tests drive the
+    # escalation loop with it; correctness never depends on the guess)
+    import os as _os
+
+    C_pair = int(_os.environ.get("SKA_MESH_CPAIR_INIT", 0)) or min(
+        _pow2(max(2 * N_loc_total // D, 1)), _pow2(N_loc_total)
+    )
     while True:
-        ukeys, variants, counts, n_rows, overflow = _jit_build(
-            seqs, valid, qual_ok, rec_last,
-            k, rc, W, bool(is_reads), bool(use_mid_qual), int(min_count),
-            int(C_pair), holder,
+        ukeys, variants, counts, n_rows, overflow = _jit_merge(
+            keyv_parts, sid_parts, set_parts, int(n_samples), int(C_pair),
+            holder,
         )
         if not bool(_fetch(overflow).any()):
             break
-        if C_pair >= N_loc:  # cnt <= nv <= N_loc: cannot overflow here
+        if C_pair >= N_loc_total:  # cnt <= nv <= N_loc: cannot overflow here
             break
         import logging
 
         logging.getLogger("ska_tpu").info(
             "distributed merge: bucket overflow at capacity %d, doubling", C_pair
         )
-        C_pair = min(C_pair * 2, _pow2(N_loc))
+        C_pair = min(C_pair * 2, _pow2(N_loc_total))
 
     # host assembly: device blocks are consecutive key ranges
     M = D * C_pair
@@ -312,9 +377,32 @@ def distributed_merged_build(
         parts_v.append(variants[d * M : d * M + n])
         parts_c.append(counts[d * M : d * M + n])
     keys = np.concatenate(parts_k, axis=0)
-    var = np.concatenate(parts_v, axis=0)[:, :S_in]
+    var = np.concatenate(parts_v, axis=0)
     cnts = np.concatenate(parts_c, axis=0).astype(np.int64)
     return keys, var, cnts, len(keys)
+
+
+def distributed_merged_build(
+    seqs_np, valid_np, qual_np, rec_last_np, k, rc, mesh,
+    is_reads=False, use_mid_qual=False, min_count=0,
+):
+    """Single-group build of (n_samples, L) uint8 sequences (the
+    one-length-bucket special case of distributed_build_multi).
+
+    Any sample count (rows are padded to a mesh multiple with all-invalid
+    samples) and the full FASTQ surface (quality masks, min-count filter)
+    are supported. Returns (keys (R, W), variants (R, n_samples) uint8,
+    counts (R,), n_rows) on host, globally sorted by key.
+    """
+    S_in = np.asarray(seqs_np).shape[0]
+    return distributed_build_multi(
+        [dict(
+            seqs=seqs_np, valid=valid_np, qual=qual_np, rec_last=rec_last_np,
+            sids=np.arange(S_in, dtype=np.int32),
+            is_reads=is_reads, use_mq=use_mid_qual,
+        )],
+        k, rc, mesh, min_count=min_count,
+    )
 
 
 def distributed_build(seqs_np, valid_np, rec_last_np, k, rc, mesh):
@@ -328,11 +416,13 @@ def distributed_build(seqs_np, valid_np, rec_last_np, k, rc, mesh):
 def dryrun_step(n_devices: int, k: int = 17, L: int = 512, per_dev_samples: int = 2):
     """Tiny mesh-sharded build steps (used by __graft_entry__).
 
-    Exercises the full distributed pipeline on three configs: FASTA at
+    Exercises the full distributed pipeline on four configs: FASTA at
     k=17 with a sample count that does NOT divide the mesh (padding
-    path), FASTQ with the min-count rank filter, and W=2 two-limb keys
-    (k=41) — i.e. local build, splitter selection, all_to_all key-range
-    exchange, and the bucket merge, under every key/filter variant.
+    path), FASTQ with the min-count rank filter, W=2 two-limb keys
+    (k=41), and a MIXED-LENGTH cohort (two length buckets through one
+    key-range exchange) — i.e. local build, splitter selection,
+    all_to_all key-range exchange, and the bucket merge, under every
+    key/filter/grouping variant.
     """
     mesh = build_mesh(n_devices)
     n_samples = n_devices * per_dev_samples - 1 if n_devices > 1 else per_dev_samples
@@ -362,4 +452,21 @@ def dryrun_step(n_devices: int, k: int = 17, L: int = 512, per_dev_samples: int 
     # W=2 two-limb keys
     *_, n3 = distributed_build(seqs, valid, rec_last, 41, True, mesh)
     assert n3 > 0
+
+    # mixed-length cohort: two buckets, one exchange
+    L2 = L // 2
+    seqs_b = seqs[:, :L2]
+    rl_b = np.zeros((n_samples, L2), bool)
+    rl_b[:, -1] = True
+    calls = [
+        dict(seqs=seqs, valid=valid, qual=qual, rec_last=rec_last,
+             sids=np.arange(n_samples, dtype=np.int32),
+             is_reads=False, use_mq=False),
+        dict(seqs=seqs_b, valid=valid[:, :L2], qual=qual[:, :L2],
+             rec_last=rl_b,
+             sids=np.arange(n_samples, 2 * n_samples, dtype=np.int32),
+             is_reads=False, use_mq=False),
+    ]
+    keys4, var4, _, n4 = distributed_build_multi(calls, k, True, mesh)
+    assert n4 > 0 and var4.shape == (n4, 2 * n_samples)
     return n_rows

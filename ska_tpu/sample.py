@@ -413,13 +413,18 @@ def build_samples_distributed(
     (chunk, names, keys, variants, counts) batch tuples for api.build),
     but samples are sharded over a jax.sharding.Mesh and the dictionary
     merge runs as a key-range-repartitioned sample sort on device
-    (ska_tpu.parallel.distributed_merged_build). Samples are grouped by
-    (is_reads, use_mid_qual) config; within a group every sample pads to
-    the group's max length bucket.
+    (ska_tpu.parallel.distributed_build_multi). Samples are grouped by
+    (padded-length bucket, is_reads, use_mid_qual) for the LOCAL pipeline
+    dispatches only; every group's triples stay device-resident and merge
+    in ONE key-range exchange, so a mixed-length cohort produces a single
+    batch tuple and api.build never touches the full union on the host
+    (the reference's one global merge, merge_ska_dict.rs:354-417).
+    Only oversized samples (> SKA_MAX_CHUNK_BASES) fall back to serial
+    chunked builds and a host union of their (tiny-count) extra tuples.
     """
     import concurrent.futures as cf
 
-    from .parallel import build_mesh, distributed_merged_build
+    from .parallel import build_mesh, distributed_build_multi
 
     check_k(k)
     if mesh is None:
@@ -464,10 +469,12 @@ def build_samples_distributed(
             var = np.asarray(SET_TO_ASCII)[sets_np][:, None]
             out.append(([i], [input_files[i][0]], keys_np, var,
                         np.ones(len(keys_np), np.int64)))
-    # bound transient host staging memory per device dispatch (~4 bytes
+    # bound transient host staging memory per LOCAL dispatch (~4 bytes
     # per base across seq + three masks); oversubscribed groups split
-    # into sub-batches that api.build unions afterwards
+    # into extra local dispatches — still one global merge
     cap_bytes = int(os.environ.get("SKA_MAX_HOST_BATCH_BYTES", 4 << 30))
+    calls = []
+    call_idxs = []  # original input index per cohort column
     for (Lp, is_reads, use_mq), gidxs in groups.items():
         per = max(1, cap_bytes // (Lp * 4))
         for c0 in range(0, len(gidxs), per):
@@ -485,19 +492,27 @@ def build_samples_distributed(
                 vs[row, :L] = valid
                 qo[row, :L] = qual_ok
                 rl[row, :L] = b.rec_last
-            keys_np, var_np, counts_np, n_rows = distributed_merged_build(
-                seqs, vs, qo, rl, k, rc, mesh,
-                is_reads=is_reads, use_mid_qual=use_mq,
-                min_count=int(qual.min_count),
-            )
-            names = [input_files[i][0] for i in idxs]
-            present = (
-                (var_np != ord("-")).any(axis=0) if n_rows else np.zeros(S, bool)
-            )
-            for row, i in enumerate(idxs):
-                if not present[row]:
-                    raise ValueError(f"{input_files[i][1]} has no valid sequence")
-            out.append((idxs, names, keys_np, var_np, counts_np))
+            calls.append(dict(
+                seqs=seqs, valid=vs, qual=qo, rec_last=rl,
+                sids=np.arange(
+                    len(call_idxs), len(call_idxs) + S, dtype=np.int32
+                ),
+                is_reads=is_reads, use_mq=use_mq,
+            ))
+            call_idxs.extend(idxs)
+    if calls:
+        keys_np, var_np, counts_np, n_rows = distributed_build_multi(
+            calls, k, rc, mesh, min_count=int(qual.min_count)
+        )
+        names = [input_files[i][0] for i in call_idxs]
+        S = len(call_idxs)
+        present = (
+            (var_np != ord("-")).any(axis=0) if n_rows else np.zeros(S, bool)
+        )
+        for col, i in enumerate(call_idxs):
+            if not present[col]:
+                raise ValueError(f"{input_files[i][1]} has no valid sequence")
+        out.append((call_idxs, names, keys_np, var_np, counts_np))
     return out
 
 

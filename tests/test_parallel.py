@@ -242,3 +242,107 @@ def test_api_build_distributed_with_oversized_sample(tmp_path, monkeypatch):
     assert got.names == want.names
     np.testing.assert_array_equal(got.keys, want.keys)
     np.testing.assert_array_equal(got.variants, want.variants)
+
+
+def test_api_build_mixed_length_single_exchange(tmp_path, monkeypatch):
+    """A mixed-length cohort (3 padded-length buckets, 64 samples) must
+    flow through ONE key-range exchange: api.build receives a single
+    batch tuple and never invokes the host cross-batch merge
+    (merge_ska_dict.rs:354-417 — one global merge regardless of sample
+    shape). Results equal the serial path exactly."""
+    import ska_tpu.api as api_mod
+
+    rng = np.random.default_rng(23)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    ref = rng.choice(bases, size=3700)
+    files = []
+    # 64 samples spanning buckets 1024 / 2048 / 4096
+    for i in range(64):
+        size = (600, 1500, 2900)[i % 3] + 11 * (i // 3)
+        g = ref[:size].copy()
+        pos = rng.choice(size, size=5, replace=False)
+        g[pos] = bases[(np.searchsorted(bases, g[pos]) + 1) % 4]
+        p = tmp_path / f"x{i}.fa"
+        with open(p, "wb") as f:
+            f.write(b">x%d\n" % i + g.tobytes() + b"\n")
+        files.append((f"x{i}", str(p), None))
+
+    monkeypatch.setenv("SKA_DISTRIBUTED", "0")
+    want = api_mod.build(files, 31, True, QualOpts())
+
+    def _poisoned(arrays):
+        raise AssertionError(
+            "host cross-batch merge invoked on a pure mesh build"
+        )
+
+    monkeypatch.setenv("SKA_DISTRIBUTED", "1")
+    monkeypatch.setattr(api_mod, "extend_arrays", _poisoned)
+    got = api_mod.build(files, 31, True, QualOpts())
+    assert got.names == want.names
+    np.testing.assert_array_equal(got.keys, want.keys)
+    np.testing.assert_array_equal(got.variants, want.variants)
+    np.testing.assert_array_equal(got.counts, want.counts)
+
+
+def test_distributed_build_genome_scale_with_escalation(monkeypatch):
+    """Genome-scale mesh stress (VERDICT r2 #5): 4 samples x ~1 Mb through
+    the virtual 8-device mesh at W=1 (k=31, with SKA_MESH_CPAIR_INIT
+    shrunk to force the capacity-escalation retry loop) and W=2 (k=63),
+    byte-identical to the serial path."""
+    rng = np.random.default_rng(31)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    L = (1 << 20) - 64  # keeps L + k + 1 inside the 2^20 serial bucket
+    ref = rng.choice(bases, size=L)
+    seqs = np.broadcast_to(ref, (4, L)).copy()
+    for i in range(4):
+        pos = rng.choice(L, size=1000, replace=False)
+        seqs[i, pos] = bases[(np.searchsorted(bases, seqs[i, pos]) + 1 + i) % 4]
+    valid = np.ones((4, L), bool)
+    rec_last = np.zeros((4, L), bool)
+    rec_last[:, -1] = True
+    mesh = build_mesh(8)
+
+    # W=1 with a deliberately undersized first capacity: must escalate
+    # (>= 1 doubling) and still match the serial result exactly
+    monkeypatch.setenv("SKA_MESH_CPAIR_INIT", str(1 << 16))
+    keys, variants, counts, n_rows = distributed_build(
+        seqs, valid, rec_last, 31, True, mesh
+    )
+    arr = _serial_merge(seqs, 31)
+    assert n_rows == arr.ksize
+    np.testing.assert_array_equal(keys, arr.keys)
+    np.testing.assert_array_equal(variants, arr.variants)
+    np.testing.assert_array_equal(counts, arr.counts)
+
+    # W=2 two-limb keys at the same scale, normal capacity
+    monkeypatch.delenv("SKA_MESH_CPAIR_INIT")
+    keys2, variants2, _, n2 = distributed_build(
+        seqs, valid, rec_last, 63, True, mesh
+    )
+    arr2 = _serial_merge(seqs, 63)
+    assert n2 == arr2.ksize
+    np.testing.assert_array_equal(keys2, arr2.keys)
+    np.testing.assert_array_equal(variants2, arr2.variants)
+
+
+def test_distributed_build_int64_scatter_branch(monkeypatch):
+    """The int64 flat-scatter widening (taken for real once
+    M * n_samples >= 2^31) must produce identical results; driven here by
+    shrinking the module threshold on an otherwise-uncompiled shape."""
+    import ska_tpu.parallel.build as pb
+
+    monkeypatch.setattr(pb, "_I32_SCATTER_LIMIT", 1000)
+    rng = np.random.default_rng(13)
+    seqs = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=(9, 333))
+    valid = np.ones((9, 333), bool)
+    rec_last = np.zeros((9, 333), bool)
+    rec_last[:, -1] = True
+    mesh = build_mesh(8)
+    keys, variants, counts, n_rows = distributed_build(
+        seqs, valid, rec_last, 19, True, mesh
+    )
+    arr = _serial_merge(seqs, 19)
+    assert n_rows == arr.ksize
+    np.testing.assert_array_equal(keys, arr.keys)
+    np.testing.assert_array_equal(variants, arr.variants)
+    np.testing.assert_array_equal(counts, arr.counts)
