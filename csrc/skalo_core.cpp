@@ -17,6 +17,10 @@
 // uint64 pairs.
 
 #include <algorithm>
+#include <atomic>
+#include <memory>
+#include <system_error>
+#include <thread>
 #include <chrono>
 #include <cstdint>
 #include <cstdio>
@@ -581,11 +585,15 @@ static void compact(Core& c) {
         }
 }
 
-// read_graph.rs:19-272 via the cons-path formulation of traverse.py
-static void traverse(Core& c) {
-    std::vector<PNode> arena;
-    arena.reserve(1 << 20);
-
+// read_graph.rs:19-272 via the cons-path formulation of traverse.py.
+// traverse_entry is a pure READER of the compacted graph: all paths from
+// one entry node, kept-path decode into R. The per-entry independence is
+// the reference's own parallel axis (read_graph.rs:41 par_iter over
+// start_kmers); the orchestrator below runs entries across SKA_THREADS
+// workers with per-entry result slots concatenated in entry order, so
+// output is byte-identical at any thread count.
+static void traverse_entry(const Core& c, int32_t entry_id,
+                           std::vector<PNode>& arena, Result& R) {
     auto mk_root = [&](const Key& a, uint8_t fa, const Key& b,
                        uint8_t fb) -> int32_t {
         PNode p;
@@ -607,7 +615,7 @@ static void traverse(Core& c) {
         return (int32_t)arena.size() - 1;
     };
     auto mk_extend = [&](int32_t par, int32_t cid) -> int32_t {
-        Chain& ch = c.chains[cid];
+        const Chain& ch = c.chains[cid];
         if (ch.nodes.empty()) return par;
         PNode p;
         p.parent = par; p.chain = cid; p.is_root = 0;
@@ -635,8 +643,6 @@ static void traverse(Core& c) {
         return false;
     };
 
-    Result& R = c.res;
-
     auto decode_path = [&](int32_t pidx, const Key& entry, const Key& exitk) {
         // collect segments root -> leaf
         std::vector<int32_t> segs;
@@ -662,7 +668,7 @@ static void traverse(Core& c) {
                     off++;
                 }
             } else if (p.chain >= 0) {
-                Chain& ch = c.chains[p.chain];
+                const Chain& ch = c.chains[p.chain];
                 R.segs.push_back(p.chain);
                 for (size_t m = 0; m < ch.mark_rel.size(); m++) {
                     int64_t i = off + ch.mark_rel[m];
@@ -682,116 +688,193 @@ static void traverse(Core& c) {
         }
     };
 
-    for (int32_t entry_id : c.start_order) {
-        const Key entry = c.node_key[entry_id];
-        // tmp_container: exit key -> records, insertion-ordered
-        std::vector<std::pair<Key, std::vector<Record>>> tmp;
-        std::unordered_map<Key, size_t, KeyHash> tmp_idx;
-        arena.clear();
+    const Key entry = c.node_key[entry_id];
+    // tmp_container: exit key -> records, insertion-ordered
+    std::vector<std::pair<Key, std::vector<Record>>> tmp;
+    std::unordered_map<Key, size_t, KeyHash> tmp_idx;
+    arena.clear();
 
-        auto record = [&](const Key& exitk, int32_t path, const Key& second) {
-            auto it = tmp_idx.find(exitk);
-            size_t gi;
-            if (it == tmp_idx.end()) {
-                gi = tmp.size();
-                tmp.emplace_back(exitk, std::vector<Record>{});
-                tmp_idx.emplace(exitk, gi);
-            } else gi = it->second;
-            tmp[gi].second.push_back(Record{path, second});
-        };
+    auto record = [&](const Key& exitk, int32_t path, const Key& second) {
+        auto it = tmp_idx.find(exitk);
+        size_t gi;
+        if (it == tmp_idx.end()) {
+            gi = tmp.size();
+            tmp.emplace_back(exitk, std::vector<Record>{});
+            tmp_idx.emplace(exitk, gi);
+        } else gi = it->second;
+        tmp[gi].second.push_back(Record{path, second});
+    };
 
-        for (auto& e0 : c.adj[entry_id]) {
-            const Key starting = e0.dst;
-            Frame f;
-            f.cur_id = e0.dst_id;
-            f.visited.reserve(8);
-            f.visited.push_back(entry_id);
-            f.visited.push_back(e0.dst_id);
-            f.path = mk_root(entry, c.nflags[entry_id], starting, e0.dst_flags);
-            if (e0.dst_chain >= 0) f.path = mk_extend(f.path, e0.dst_chain);
-            f.depth = 0;
+    for (const auto& e0 : c.adj[entry_id]) {
+        const Key starting = e0.dst;
+        Frame f;
+        f.cur_id = e0.dst_id;
+        f.visited.reserve(8);
+        f.visited.push_back(entry_id);
+        f.visited.push_back(e0.dst_id);
+        f.path = mk_root(entry, c.nflags[entry_id], starting, e0.dst_flags);
+        if (e0.dst_chain >= 0) f.path = mk_extend(f.path, e0.dst_chain);
+        f.depth = 0;
 
-            std::vector<Frame> stack;
-            stack.push_back(std::move(f));
-            std::vector<const Edge*> good;
-            while (!stack.empty()) {
-                Frame fr = std::move(stack.back());
-                stack.pop_back();
-                if (fr.depth > c.max_depth) continue;
+        std::vector<Frame> stack;
+        stack.push_back(std::move(f));
+        std::vector<const Edge*> good;
+        while (!stack.empty()) {
+            Frame fr = std::move(stack.back());
+            stack.pop_back();
+            if (fr.depth > c.max_depth) continue;
 
-                bool walking = true;
-                while (walking) {
-                    good.clear();
-                    for (auto& e : c.adj[fr.cur_id])
-                        if (!seen(fr.visited, e.dst_id)) good.push_back(&e);
-                    if (good.size() == 1) {
-                        const Edge& e = *good[0];
-                        fr.visited.push_back(e.dst_id);
-                        fr.path = mk_append(fr.path, e.dst, e.dst_flags);
-                        fr.cur_id = e.dst_id;
-                        if (e.dst_chain >= 0)
-                            fr.path = mk_extend(fr.path, e.dst_chain);
-                        if (e.dst_flags & 2) record(e.dst, fr.path, starting);
-                    } else if (good.size() > 1) {
-                        for (size_t gi2 = 0; gi2 < good.size(); gi2++) {
-                            const Edge* ep = good[gi2];
-                            Frame nf;
-                            nf.cur_id = ep->dst_id;
-                            if (gi2 + 1 == good.size())
-                                nf.visited = std::move(fr.visited);
-                            else
-                                nf.visited = fr.visited;
-                            nf.visited.push_back(ep->dst_id);
-                            nf.path = mk_append(fr.path, ep->dst, ep->dst_flags);
-                            if (ep->dst_chain >= 0)
-                                nf.path = mk_extend(nf.path, ep->dst_chain);
-                            if (ep->dst_flags & 2)
-                                record(ep->dst, nf.path, starting);
-                            nf.depth = fr.depth + 1;
-                            stack.push_back(std::move(nf));
-                        }
-                        walking = false;
-                    } else {
-                        walking = false;
+            bool walking = true;
+            while (walking) {
+                good.clear();
+                for (const auto& e : c.adj[fr.cur_id])
+                    if (!seen(fr.visited, e.dst_id)) good.push_back(&e);
+                if (good.size() == 1) {
+                    const Edge& e = *good[0];
+                    fr.visited.push_back(e.dst_id);
+                    fr.path = mk_append(fr.path, e.dst, e.dst_flags);
+                    fr.cur_id = e.dst_id;
+                    if (e.dst_chain >= 0)
+                        fr.path = mk_extend(fr.path, e.dst_chain);
+                    if (e.dst_flags & 2) record(e.dst, fr.path, starting);
+                } else if (good.size() > 1) {
+                    for (size_t gi2 = 0; gi2 < good.size(); gi2++) {
+                        const Edge* ep = good[gi2];
+                        Frame nf;
+                        nf.cur_id = ep->dst_id;
+                        if (gi2 + 1 == good.size())
+                            nf.visited = std::move(fr.visited);
+                        else
+                            nf.visited = fr.visited;
+                        nf.visited.push_back(ep->dst_id);
+                        nf.path = mk_append(fr.path, ep->dst, ep->dst_flags);
+                        if (ep->dst_chain >= 0)
+                            nf.path = mk_extend(nf.path, ep->dst_chain);
+                        if (ep->dst_flags & 2)
+                            record(ep->dst, nf.path, starting);
+                        nf.depth = fr.depth + 1;
+                        stack.push_back(std::move(nf));
                     }
+                    walking = false;
+                } else {
+                    walking = false;
                 }
             }
         }
+    }
 
-        bool any_multi = false;
-        for (auto& g : tmp)
-            if (g.second.size() > 1) { any_multi = true; break; }
-        if (!any_multi) continue;
+    bool any_multi = false;
+    for (auto& g : tmp)
+        if (g.second.size() > 1) { any_multi = true; break; }
+    if (!any_multi) return;
 
-        for (auto& g : tmp) {
-            auto& recs = g.second;
-            // distinct seconds and second-to-lasts (read_graph.rs:166-172)
-            std::unordered_set<Key, KeyHash> seconds, prevs;
-            for (auto& r : recs) {
-                seconds.insert(r.second);
-                prevs.insert(arena[r.path].prev_last);
-            }
-            if (seconds.size() < 2 || prevs.size() < 2) continue;
-            // most common length, first-encountered wins ties
-            std::vector<std::pair<int64_t, int64_t>> counts;  // (len, count)
-            for (auto& r : recs) {
-                int64_t L = arena[r.path].length;
-                bool found = false;
-                for (auto& kv : counts)
-                    if (kv.first == L) { kv.second++; found = true; break; }
-                if (!found) counts.emplace_back(L, 1);
-            }
-            int64_t mcl = counts[0].first, best = counts[0].second;
+    for (auto& g : tmp) {
+        auto& recs = g.second;
+        // distinct seconds and second-to-lasts (read_graph.rs:166-172)
+        std::unordered_set<Key, KeyHash> seconds, prevs;
+        for (auto& r : recs) {
+            seconds.insert(r.second);
+            prevs.insert(arena[r.path].prev_last);
+        }
+        if (seconds.size() < 2 || prevs.size() < 2) continue;
+        // most common length, first-encountered wins ties
+        std::vector<std::pair<int64_t, int64_t>> counts;  // (len, count)
+        for (auto& r : recs) {
+            int64_t L = arena[r.path].length;
+            bool found = false;
             for (auto& kv : counts)
-                if (kv.second > best) { best = kv.second; mcl = kv.first; }
-            if (recs.size() == 2) {
-                for (auto& r : recs) decode_path(r.path, entry, g.first);
-            } else {
-                for (auto& r : recs)
-                    if (arena[r.path].length == mcl)
-                        decode_path(r.path, entry, g.first);
+                if (kv.first == L) { kv.second++; found = true; break; }
+            if (!found) counts.emplace_back(L, 1);
+        }
+        int64_t mcl = counts[0].first, best = counts[0].second;
+        for (auto& kv : counts)
+            if (kv.second > best) { best = kv.second; mcl = kv.first; }
+        if (recs.size() == 2) {
+            for (auto& r : recs) decode_path(r.path, entry, g.first);
+        } else {
+            for (auto& r : recs)
+                if (arena[r.path].length == mcl)
+                    decode_path(r.path, entry, g.first);
+        }
+    }
+}
+
+// host thread pool size: --threads N sets SKA_THREADS (cli.py); the
+// reference sizes a rayon pool the same way (read_graph.rs:37-40)
+static int env_threads() {
+    const char* s = getenv("SKA_THREADS");
+    int t = s ? atoi(s) : 1;
+    if (t < 1) t = 1;
+    if (t > 256) t = 256;
+    return t;
+}
+
+static void traverse(Core& c) {
+    const size_t nE = c.start_order.size();
+    const int T = env_threads();
+    if (T <= 1 || nE < 2) {
+        std::vector<PNode> arena;
+        arena.reserve(1 << 20);
+        for (int32_t entry_id : c.start_order)
+            traverse_entry(c, entry_id, arena, c.res);
+        return;
+    }
+
+    // per-entry result slots filled by a work-stealing counter; workers
+    // never touch shared output state, and the sequential concatenation
+    // below preserves entry order exactly
+    std::vector<std::unique_ptr<Result>> per(nE);
+    std::atomic<size_t> next{0};
+    std::atomic<bool> oom{false};
+    auto worker = [&]() {
+        std::vector<PNode> arena;
+        arena.reserve(1 << 16);
+        for (;;) {
+            if (oom.load(std::memory_order_relaxed)) break;
+            size_t i = next.fetch_add(1, std::memory_order_relaxed);
+            if (i >= nE) break;
+            try {
+                Result tmp;
+                traverse_entry(c, c.start_order[i], arena, tmp);
+                if (!tmp.path_len.empty())
+                    per[i].reset(new Result(std::move(tmp)));
+            } catch (const std::bad_alloc&) {
+                oom.store(true);
+                break;
+            } catch (const std::length_error&) {
+                oom.store(true);
+                break;
             }
         }
+    };
+    std::vector<std::thread> pool;
+    pool.reserve((size_t)T - 1);
+    try {
+        for (int t2 = 0; t2 < T - 1; t2++) pool.emplace_back(worker);
+    } catch (const std::system_error&) {
+        // pthread_create failed (e.g. tight RLIMIT): proceed with the
+        // threads that did start — the calling thread still works
+    }
+    worker();
+    for (auto& th : pool) th.join();
+    if (oom.load()) throw std::bad_alloc();
+
+    Result& R = c.res;
+    for (size_t i = 0; i < nE; i++) {
+        if (!per[i]) continue;
+        Result& r = *per[i];
+        const int64_t so = (int64_t)R.segs.size();
+        const int64_t po = (int64_t)R.snps.size();
+        R.ent_hi.insert(R.ent_hi.end(), r.ent_hi.begin(), r.ent_hi.end());
+        R.ent_lo.insert(R.ent_lo.end(), r.ent_lo.begin(), r.ent_lo.end());
+        R.ex_hi.insert(R.ex_hi.end(), r.ex_hi.begin(), r.ex_hi.end());
+        R.ex_lo.insert(R.ex_lo.end(), r.ex_lo.begin(), r.ex_lo.end());
+        R.path_len.insert(R.path_len.end(), r.path_len.begin(), r.path_len.end());
+        for (int64_t v : r.segs_off) R.segs_off.push_back(v + so);
+        for (int64_t v : r.snps_off) R.snps_off.push_back(v + po);
+        R.segs.insert(R.segs.end(), r.segs.begin(), r.segs.end());
+        R.snps.insert(R.snps.end(), r.snps.begin(), r.snps.end());
+        per[i].reset();
     }
 }
 

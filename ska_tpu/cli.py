@@ -250,12 +250,18 @@ def _main(argv=None):
 
         jax.profiler.start_trace(profile_dir)
     if getattr(args, "threads", 1) > 1:
-        # the reference's rayon thread count (power-of-2, >=10 samples per
-        # thread); here device batching / the mesh replaces rayon, so the
-        # flag is accepted for CLI compatibility but does nothing
+        # the reference sizes a rayon pool with this flag (main.rs via
+        # rayon::ThreadPoolBuilder); here the device pipeline replaces
+        # rayon for build/map/distance compute, and the host-bound native
+        # cores (skalo traversal/SNP stages, AlnWriter) read SKA_THREADS
+        # to size their own pthread pools — outputs are byte-identical at
+        # any thread count (test_skalo_core.py::test_native_thread_count_
+        # invariant)
+        os.environ.setdefault("SKA_THREADS", str(args.threads))
         logging.getLogger("ska_tpu").info(
-            "--threads %d requested: no-op on this backend (device batching "
-            "replaces rayon threads)", args.threads,
+            "--threads %d: host-side native stages use a %d-thread pool "
+            "(device compute is batched on the accelerator regardless)",
+            args.threads, args.threads,
         )
     if cmd != "build" and not _is_primary():
         # only `build` distributes over the pod mesh; every other command

@@ -115,11 +115,14 @@ def test_build_min_count_auto(tmp_path, ref_in, capsys, monkeypatch):
               "--min-count", "-1", "-v", "-k", "9", "--min-qual", "2"])
 
 
-def test_cli_threads_noop_notice_and_progress(tmp_path, ref_in, capsys, caplog):
-    """--threads is accepted for CLI parity but logged as a no-op; with -v
-    the build shows an indicatif-style progress bar on stderr."""
+def test_cli_threads_pool_notice_and_progress(tmp_path, ref_in, capsys, caplog, monkeypatch):
+    """--threads sizes the host-side native pools via SKA_THREADS (the
+    reference sizes a rayon pool from the same flag); with -v the build
+    shows an indicatif-style progress bar on stderr."""
     import logging as _logging
+    import os as _os
 
+    monkeypatch.delenv("SKA_THREADS", raising=False)
     out = str(tmp_path / "thr")
     caplog.set_level(_logging.INFO, logger="ska_tpu")
     _run(
@@ -128,7 +131,8 @@ def test_cli_threads_noop_notice_and_progress(tmp_path, ref_in, capsys, caplog):
         capsys,
     )
     _logging.getLogger().handlers.clear()  # undo basicConfig for later tests
-    assert any("no-op" in r.message for r in caplog.records)
+    assert any("4-thread pool" in r.message for r in caplog.records)
+    assert _os.environ.get("SKA_THREADS") == "4"
 
 
 def test_cli_profile_trace(tmp_path, ref_in, capsys, monkeypatch):

@@ -150,3 +150,39 @@ def test_native_matches_python_two_mask_limbs(tmp_path):
 
     assert outs["native"] == outs["python"]
     assert outs["native"]["_snps.fas"] is not None
+
+def test_native_thread_count_invariant(tmp_path):
+    """SKA_THREADS must not change any output byte: the traversal pool
+    fills per-entry result slots and concatenates in entry order, matching
+    the reference's determinism discipline under rayon (read_graph.rs:41,
+    tests/align.rs:349-397 run the suite at several thread counts)."""
+    from ska_tpu.skalo import SkaloConfig, run_skalo
+
+    ref_f, files = _make_inputs(tmp_path, n_samples=4, L=8000, n_snps=40, seed=21)
+    arr = build(files, 31, True, QualOpts())
+
+    outs = {}
+    os.environ["SKA_SKALO_CORE"] = "native"
+    try:
+        for nt in ("1", "4"):
+            os.environ["SKA_THREADS"] = nt
+            try:
+                cfg = SkaloConfig(
+                    output_name=str(tmp_path / f"t{nt}"),
+                    reference_genome=str(ref_f),
+                )
+                run_skalo(arr, cfg)
+            finally:
+                del os.environ["SKA_THREADS"]
+            got = {}
+            for suffix in (
+                "_snps.fas", "_snps.vcf", "_indels.vcf", "_pseudo_genomes.fas"
+            ):
+                p = tmp_path / f"t{nt}{suffix}"
+                got[suffix] = p.read_bytes() if p.exists() else None
+            outs[nt] = got
+    finally:
+        del os.environ["SKA_SKALO_CORE"]
+
+    assert outs["1"] == outs["4"]
+    assert outs["1"]["_snps.fas"] is not None
