@@ -472,73 +472,145 @@ static bool find_extremities(Core& c) {
     return !c.start_order.empty();
 }
 
+// host thread pool size: --threads N sets SKA_THREADS (cli.py); the
+// reference sizes a rayon pool the same way (read_graph.rs:37-40)
+static int env_threads() {
+    const char* s = getenv("SKA_THREADS");
+    int t = s ? atoi(s) : 1;
+    if (t < 1) t = 1;
+    if (t > 256) t = 256;
+    return t;
+}
+
 // compaction.rs:10-117 (walks first, then rewiring; order-independent)
 static void compact(Core& c) {
-    c.chain_of.assign(c.node_key.size(), -1);
-    int32_t epoch = 0;
-    std::vector<int32_t> chain_ids;  // scratch: walked node ids
+    const size_t nN = c.node_key.size();
+    c.chain_of.assign(nN, -1);
 
     // packed per-node walk state: corridor successor (dst when out-degree
-    // is exactly 1, else -1), extremity flags, and the epoch-stamped
-    // visited mark, in ONE 12-byte record. The walk previously read
-    // adj[cur] (header + edge), vis_epoch and nflags — ~4 cache misses
-    // per corridor step over millions of steps (profiled 4s dense).
-    struct WN { int32_t succ; uint8_t flags; int32_t epoch; };
-    std::vector<WN> wn(c.node_key.size());
+    // is exactly 1, else -1) and extremity flags in ONE 8-byte record.
+    // The walk previously read adj[cur] (header + edge), vis_epoch and
+    // nflags — ~4 cache misses per corridor step over millions of steps
+    // (profiled 4s dense).
+    struct WN { int32_t succ; uint8_t flags; };
+    std::vector<WN> wn(nN);
     for (size_t i = 0; i < c.adj.size(); i++)
         wn[i] = WN{c.adj[i].size() == 1 ? c.adj[i][0].dst_id : -1,
-                   c.nflags[i], 0};
+                   c.nflags[i]};
 
-    auto walk_from = [&](int32_t id) {
-        // snapshot: python iterates list(all_kmers[kmer])
-        std::vector<int32_t> dsts;
-        for (auto& e : c.adj[id]) dsts.push_back(e.dst_id);
-        for (int32_t starting : dsts) {
-            // a walk is a pure function of `starting` on the unmodified
-            // graph, and registration is first-wins — skip re-walks
-            if (c.chain_of[starting] >= 0) continue;
-            int32_t cur = starting;
-            epoch++;
-            chain_ids.clear();
-            while (true) {
-                int32_t d = wn[cur].succ;  // -1 when out-degree != 1
-                if (d < 0) break;
-                if (wn[d].epoch == epoch) break;
-                cur = d;
-                chain_ids.push_back(cur);
-                wn[cur].epoch = epoch;
-                if (wn[cur].flags) break;
-            }
-            if (chain_ids.size() > 1 && c.chain_of[starting] < 0) {
-                // python dict assignment overwrites; values are identical
-                // for repeated walks (graph unmodified during walks), so
-                // first-wins is equivalent
-                int32_t cid = (int32_t)c.chains.size();
-                c.chains.push_back(Chain{});
-                Chain& ch = c.chains.back();
-                ch.nodes.reserve(chain_ids.size());
-                ch.ids = chain_ids;
-                ch.codes.reserve(chain_ids.size());
-                for (size_t i = 0; i < chain_ids.size(); i++) {
-                    const Key& k = c.node_key[chain_ids[i]];
-                    ch.nodes.push_back(k);
-                    ch.codes.push_back((uint8_t)(k.lo & 3));
-                    uint8_t f = c.nflags[chain_ids[i]];
-                    if (f) {
-                        ch.mark_rel.push_back((int32_t)i);
-                        ch.mark_se.push_back(f);
-                    }
+    // A walk is a pure function of `starting` on the unmodified graph and
+    // registration is first-wins with identical values on re-walks, so the
+    // sequential loop factors into: (a) candidate starts deduped in first-
+    // appearance order, (b) independent walks — the reference's own
+    // parallel axis (compaction.rs:18,55 par_iter over start/end kmers) —
+    // and (c) sequential registration in candidate order, which keeps
+    // c.chains / chain ids byte-identical at any SKA_THREADS.
+    std::vector<int32_t> cand;
+    {
+        std::vector<uint8_t> in_cand(nN, 0);
+        auto push_cands = [&](int32_t id) {
+            // snapshot: python iterates list(all_kmers[kmer])
+            for (const auto& e : c.adj[id])
+                if (!in_cand[e.dst_id]) {
+                    in_cand[e.dst_id] = 1;
+                    cand.push_back(e.dst_id);
                 }
-                c.chain_of[starting] = cid;
-                c.chain_start_ids.push_back(starting);
-            }
+        };
+        for (int32_t id : c.start_order) push_cands(id);
+        for (int32_t id : c.start_order) {
+            Key rc = rev_comp(c.node_key[id], c.k_graph);
+            int32_t rid = c.node_id.find(rc);
+            if (rid >= 0) push_cands(rid);
+        }
+    }
+
+    const size_t nC = cand.size();
+    std::vector<std::unique_ptr<Chain>> slots(nC);
+    // walk one corridor; vis is a per-worker epoch-stamp array
+    auto walk_one = [&](int32_t starting, int32_t* vis, int32_t epoch,
+                        std::vector<int32_t>& chain_ids) {
+        chain_ids.clear();
+        int32_t cur = starting;
+        while (true) {
+            int32_t d = wn[cur].succ;  // -1 when out-degree != 1
+            if (d < 0) break;
+            if (vis[d] == epoch) break;
+            cur = d;
+            chain_ids.push_back(cur);
+            vis[cur] = epoch;
+            if (wn[cur].flags) break;
         }
     };
-    for (int32_t id : c.start_order) walk_from(id);
-    for (int32_t id : c.start_order) {
-        Key rc = rev_comp(c.node_key[id], c.k_graph);
-        int32_t rid = c.node_id.find(rc);
-        if (rid >= 0) walk_from(rid);
+    auto build_chain = [&](const std::vector<int32_t>& chain_ids) {
+        std::unique_ptr<Chain> up(new Chain{});
+        Chain& ch = *up;
+        ch.nodes.reserve(chain_ids.size());
+        ch.ids = chain_ids;
+        ch.codes.reserve(chain_ids.size());
+        for (size_t i = 0; i < chain_ids.size(); i++) {
+            const Key& k = c.node_key[chain_ids[i]];
+            ch.nodes.push_back(k);
+            ch.codes.push_back((uint8_t)(k.lo & 3));
+            uint8_t f = c.nflags[chain_ids[i]];
+            if (f) {
+                ch.mark_rel.push_back((int32_t)i);
+                ch.mark_se.push_back(f);
+            }
+        }
+        return up;
+    };
+
+    const int T = env_threads();
+    if (T <= 1 || nC < 2) {
+        std::vector<int32_t> vis(nN, 0);
+        std::vector<int32_t> chain_ids;
+        for (size_t i = 0; i < nC; i++) {
+            walk_one(cand[i], vis.data(), (int32_t)i + 1, chain_ids);
+            if (chain_ids.size() > 1) slots[i] = build_chain(chain_ids);
+        }
+    } else {
+        std::atomic<size_t> next{0};
+        std::atomic<bool> oom{false};
+        auto worker = [&]() {
+            try {
+                std::vector<int32_t> vis(nN, 0);
+                std::vector<int32_t> chain_ids;
+                for (;;) {
+                    if (oom.load(std::memory_order_relaxed)) break;
+                    size_t i = next.fetch_add(1, std::memory_order_relaxed);
+                    if (i >= nC) break;
+                    walk_one(cand[i], vis.data(), (int32_t)i + 1, chain_ids);
+                    if (chain_ids.size() > 1) slots[i] = build_chain(chain_ids);
+                }
+            } catch (const std::bad_alloc&) {
+                oom.store(true);
+            } catch (const std::length_error&) {
+                oom.store(true);
+            }
+        };
+        std::vector<std::thread> pool;
+        pool.reserve((size_t)T - 1);
+        try {
+            for (int t2 = 0; t2 < T - 1; t2++) pool.emplace_back(worker);
+        } catch (const std::system_error&) {
+            // pthread_create failed (e.g. tight RLIMIT): the calling
+            // thread still drains the queue
+        }
+        worker();
+        for (auto& th : pool) th.join();
+        if (oom.load()) throw std::bad_alloc();
+    }
+
+    for (size_t i = 0; i < nC; i++) {
+        if (!slots[i]) continue;
+        // python dict assignment overwrites; values are identical for
+        // repeated walks (graph unmodified during walks) and the dedup
+        // above keeps first appearance, so first-wins is preserved
+        int32_t cid = (int32_t)c.chains.size();
+        c.chain_of[cand[i]] = cid;
+        c.chains.push_back(std::move(*slots[i]));
+        c.chain_start_ids.push_back(cand[i]);
+        slots[i].reset();
     }
 
     // rewiring: remove the chain from the graph, bridge start -> chain end
@@ -797,16 +869,6 @@ static void traverse_entry(const Core& c, int32_t entry_id,
                     decode_path(r.path, entry, g.first);
         }
     }
-}
-
-// host thread pool size: --threads N sets SKA_THREADS (cli.py); the
-// reference sizes a rayon pool the same way (read_graph.rs:37-40)
-static int env_threads() {
-    const char* s = getenv("SKA_THREADS");
-    int t = s ? atoi(s) : 1;
-    if (t < 1) t = 1;
-    if (t > 256) t = 256;
-    return t;
 }
 
 static void traverse(Core& c) {
