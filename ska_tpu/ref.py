@@ -8,6 +8,7 @@ per-k-mer hashmap lookups of RefSka::map (ska_ref.rs:508-533).
 """
 
 import io as _io
+import os
 from typing import List, Optional
 
 import jax.numpy as jnp
@@ -249,8 +250,9 @@ class RefSka:
             chrom_len = np.array([len(s) for s in self.seq], dtype=np.int64)
             reps = np.array(self.repeat_coors, dtype=np.int64)
             h = (self.k - 1) // 2
-            return [
-                bytearray(
+
+            def one(i):
+                return bytearray(
                     native.aln_write(
                         ref_concat,
                         chrom_len,
@@ -263,8 +265,20 @@ class RefSka:
                         reps,
                     )
                 )
-                for i in range(self.mapped_variants.shape[1])
-            ]
+
+            n = self.mapped_variants.shape[1]
+            threads = min(int(os.environ.get("SKA_THREADS", "1") or 1), n)
+            if threads > 1:
+                # samples are independent writers into private buffers and
+                # ctypes drops the GIL around the C call — the reference's
+                # par_iter_mut axis over sample rows (ska_ref.rs:572-605);
+                # executor.map preserves sample order, so output is
+                # byte-identical at any thread count
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=threads) as ex:
+                    return list(ex.map(one, range(n)))
+            return [one(i) for i in range(n)]
         return [
             self._pseudoalignment_one(self.mapped_variants[:, i])
             for i in range(self.mapped_variants.shape[1])

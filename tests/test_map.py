@@ -213,3 +213,19 @@ def test_map_rev_comp_build_equivalence(ref_in, tmp_path):
     # compare sequence lines only (names differ), like cmp_map_aln
     seq = lambda s: s.splitlines()[1::2]
     assert seq(got_rc) == seq(got_fwd)
+
+
+def test_map_thread_count_invariant(ref_in, monkeypatch):
+    """SKA_THREADS must not change a single output byte: pseudoalignment
+    rows are written by an order-preserving per-sample pool (the
+    reference's par_iter_mut axis, ska_ref.rs:572-605)."""
+    arr = skf.load(f"{ref_in}/merge.skf")
+    monkeypatch.delenv("SKA_THREADS", raising=False)
+    one = _map_out(arr, f"{ref_in}/test_ref.fa", "aln")
+    monkeypatch.setenv("SKA_THREADS", "4")
+    four = _map_out(arr, f"{ref_in}/test_ref.fa", "aln")
+    assert one == four
+    monkeypatch.setenv("SKA_THREADS", "4")
+    vcf1 = _map_out(arr, f"{ref_in}/test_ref.fa", "vcf")
+    monkeypatch.delenv("SKA_THREADS")
+    assert vcf1 == _map_out(arr, f"{ref_in}/test_ref.fa", "vcf")
