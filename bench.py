@@ -227,6 +227,48 @@ def _child(status_path, result_path):
     sys.exit(0)
 
 
+def run_cmd_bench(remaining_budget_s):
+    """Command-level wall times as a per-round artifact (VERDICT r2 #6).
+
+    After a healthy device run, regenerate the scripts/bench_cmds.py table
+    (build/align/map/vcf/distance/lo at the 4x4Mb config) as
+    BENCH_CMDS_r{N}.json so CLI-level perf claims are driver-visible each
+    round. Never jeopardises the headline: skipped when the leftover
+    budget is thin, capped per command, and any failure just returns None.
+    Returns the artifact filename or None.
+    """
+    if os.environ.get("SKA_BENCH_CMDS", "1") == "0":
+        return None
+    budget = min(float(os.environ.get("SKA_BENCH_CMDS_BUDGET_S", 1200)),
+                 remaining_budget_s - 60)
+    if budget < 300:
+        print(f"cmd bench skipped: only {budget:.0f}s budget left",
+              file=sys.stderr)
+        return None
+    # round number: the driver writes BENCH_r{N}.json after this run, so
+    # the current round is one past the newest existing record
+    n = 1
+    for f in os.listdir(HERE):
+        if f.startswith("BENCH_r") and f.endswith(".json"):
+            try:
+                n = max(n, int(f[7:-5].lstrip("0") or 0) + 1)
+            except ValueError:
+                pass
+    out_name = f"BENCH_CMDS_r{n:02d}.json"
+    try:
+        subprocess.run(
+            [sys.executable, os.path.join(HERE, "scripts", "bench_cmds.py"),
+             "--json", os.path.join(HERE, out_name),
+             "--cmd-timeout", str(max(120.0, budget / 7))],
+            timeout=budget, check=True, cwd=HERE,
+            stdout=sys.stderr, stderr=subprocess.STDOUT,
+        )
+    except Exception as e:  # noqa: BLE001 - artifact is best-effort
+        print(f"cmd bench failed: {e}", file=sys.stderr)
+        return None
+    return out_name
+
+
 # ---------------------------------------------------------------------------
 # Parent: measures the host baseline, supervises child attempts, prints the
 # single JSON line (success or structured failure record).
@@ -305,6 +347,8 @@ def main():
                 if res["w2_kmers_per_sec"] and ref2:
                     out["w2_vs_baseline_k63"] = round(res["w2_kmers_per_sec"] / ref2, 3)
                     out["baseline_k63_kmers_per_sec"] = round(ref2)
+                out["cmds_json"] = run_cmd_bench(
+                    budget - (time.monotonic() - t_start))
                 print(json.dumps(out))
                 return
 

@@ -7,6 +7,7 @@ end, including IO. Run on the TPU host: `python scripts/bench_cmds.py`.
 """
 
 import argparse
+import json
 import subprocess
 import sys
 import tempfile
@@ -40,12 +41,13 @@ def make_genomes(d: Path, n_samples: int, length: int, seed=0, snp_rate=0.001):
     return ref_f, sample_files
 
 
-def run(cmd, **kw):
+def run(cmd, timeout=None, **kw):
     t0 = time.perf_counter()
     r = subprocess.run(
         [sys.executable, str(REPO / "ska.py")] + [str(c) for c in cmd],
         check=True,
         capture_output=True,
+        timeout=timeout,
         **kw,
     )
     return time.perf_counter() - t0, r
@@ -56,28 +58,73 @@ def main():
     ap.add_argument("-n", type=int, default=4, help="samples")
     ap.add_argument("-L", type=int, default=4_000_000, help="genome length")
     ap.add_argument("-k", type=int, default=31)
+    ap.add_argument("--json", default=None, metavar="PATH",
+                    help="also write the table as a JSON record")
+    ap.add_argument("--cmd-timeout", type=float, default=None,
+                    help="per-command wall cap in seconds (relay outages "
+                         "stall single device dispatches for minutes)")
     args = ap.parse_args()
+
+    rows = []  # (name, seconds) in run order
+
+    def bench(name, cmd):
+        try:
+            t, _ = run(cmd, timeout=args.cmd_timeout)
+        except subprocess.TimeoutExpired:
+            print(f"{name:<19}: TIMEOUT (> {args.cmd_timeout:.0f}s)")
+            rows.append({"cmd": name, "seconds": None, "error": "timeout"})
+            return None
+        print(f"{name:<19}: {t:7.2f}s")
+        rows.append({"cmd": name, "seconds": round(t, 2)})
+        return t
 
     with tempfile.TemporaryDirectory() as td:
         d = Path(td)
         print(f"generating {args.n} x {args.L/1e6:.1f} Mb genomes ...")
         ref_f, samples = make_genomes(d, args.n, args.L)
 
-        t, _ = run(["build", "-o", d / "all", "-k", args.k] + samples)
-        kmers_per_s = args.n * (args.L - args.k + 1) / t
-        print(f"build  {args.n} samples: {t:7.2f}s  ({kmers_per_s/1e6:8.1f} M windows/s incl IO)")
+        t = bench("build", ["build", "-o", d / "all", "-k", args.k] + samples)
+        if t is None:
+            print("build timed out; downstream commands need all.skf - aborting")
+        else:
+            kmers_per_s = args.n * (args.L - args.k + 1) / t
+            print(f"    ({kmers_per_s/1e6:8.1f} M windows/s incl IO)")
+            rows[-1]["windows_per_sec"] = round(kmers_per_s)
 
-        t, _ = run(["align", d / "all.skf", "-o", d / "out.aln"])
-        print(f"align              : {t:7.2f}s")
+            bench("align", ["align", d / "all.skf", "-o", d / "out.aln"])
+            bench("map_aln", ["map", ref_f, d / "all.skf", "-o", d / "out_map.aln"])
+            bench("map_vcf",
+                  ["map", ref_f, d / "all.skf", "-f", "vcf", "-o", d / "out.vcf"])
+            bench("distance", ["distance", d / "all.skf", "-o", d / "dists.tsv"])
+            bench("lo", ["lo", "-r", ref_f, d / "all.skf", d / "lo_out"])
 
-        t, _ = run(["map", ref_f, d / "all.skf", "-o", d / "out_map.aln"])
-        print(f"map (aln)          : {t:7.2f}s")
-
-        t, _ = run(["map", ref_f, d / "all.skf", "-f", "vcf", "-o", d / "out.vcf"])
-        print(f"map (vcf)          : {t:7.2f}s")
-
-        t, _ = run(["distance", d / "all.skf", "-o", d / "dists.tsv"])
-        print(f"distance           : {t:7.2f}s")
+    if args.json:
+        # the backend the subprocesses computed on (a CPU-pinned smoke run
+        # must not read as TPU numbers); resolved the same way ska.py does
+        try:
+            plat = subprocess.run(
+                [sys.executable, "-c",
+                 "import ska_tpu, jax; print(jax.devices()[0].platform)"],
+                capture_output=True, text=True, timeout=420, cwd=str(REPO),
+            ).stdout.strip() or "unknown"
+        except Exception:  # noqa: BLE001
+            plat = "unknown"
+        rec = {
+            "platform": plat,
+            "config": {"n_samples": args.n, "genome_len": args.L, "k": args.k,
+                       "snp_rate": 0.001},
+            "methodology": (
+                "end-to-end `ska.py <cmd>` subprocess wall time incl. IO and "
+                "interpreter startup on synthetic mutated genomes "
+                "(scripts/bench_cmds.py); single run per command on the "
+                "1-core TPU host, so +/-50% page-fault weather applies "
+                "(BASELINE.md)"),
+            "unit": "seconds",
+            "results": rows,
+        }
+        with open(args.json, "w") as f:
+            json.dump(rec, f, indent=1)
+        print(f"wrote {args.json}")
 
 
 if __name__ == "__main__":
