@@ -203,3 +203,52 @@ def test_aligndata_two_limb_k41(ref_in):
     # rc-identical so their distance is 0 and they join first
     assert "(test_2:" in out["newick"] or "test_2:0" in out["newick"]
     assert out["alignment"].count(">") == 3
+
+
+def test_nj_newick_float_format_contract():
+    """Documented divergence (webapi.py module docstring): branch lengths
+    render via Python %.10g formatting, NOT speedytree's Display. This
+    pins the exact serialization so it is a contract, not drift."""
+    D = np.array(
+        [
+            [0, 0.5, 0.9, 0.95],
+            [0.5, 0, 1.0, 1.05],
+            [0.9, 1.0, 0, 0.8],
+            [0.95, 1.05, 0.8, 0],
+        ]
+    )
+    assert (
+        neighbor_joining(D, list("abcd"))
+        == "(a:0.2,b:0.3,(c:0.375,d:0.425):0.325);"
+    )
+    # negative-zero lengths must serialize as plain "0"
+    from ska_tpu.webapi import _fmt_len
+
+    assert _fmt_len(-0.0) == "0"
+    assert _fmt_len(-1e-13) == "-1e-13"
+
+
+def test_aligndata_many_fastq_pairing_contract(tmp_path, ref_in):
+    """Documented divergence (webapi.py module docstring): the reference's
+    >=3-fastq pairing loop (lib.rs:1309-1384) indexes its index list with
+    popped VALUES and panics/mispairs for most inputs; we implement the
+    documented intent — greedy first-match pairing by the digit-difference
+    test. Pin that behavior on two interleaved pairs + a fasta."""
+    import shutil
+
+    fwd = os.path.join(ref_in, "test_1_fwd.fastq.gz")
+    rev = os.path.join(ref_in, "test_1_rev.fastq.gz")
+    pa1, pa2 = tmp_path / "sampA_1.fq.gz", tmp_path / "sampA_2.fq.gz"
+    pb1, pb2 = tmp_path / "sampB_1.fq.gz", tmp_path / "sampB_2.fq.gz"
+    for src, dst in ((fwd, pa1), (rev, pa2), (fwd, pb1), (rev, pb2)):
+        shutil.copy(src, dst)
+    fa = os.path.join(ref_in, "test_1.fa")
+
+    ad = AlignData(k=9)
+    out = json.loads(
+        ad.align([str(pa1), str(pb1), fa, str(pb2), str(pa2)])
+    )
+    # each pair collapses to ONE sample named by its first-seen file, in
+    # first-seen order, after the fasta samples
+    assert out["names"] == ["test_1.fa", "sampA_1.fq.gz", "sampB_1.fq.gz"]
+    assert out["alignment"].count(">") == 3
