@@ -12,6 +12,7 @@
 // arrays. Window encodes replicate python string-slice semantics at the
 // boundaries (negative start wraps, stop clips).
 
+#include <atomic>
 #include <chrono>
 #include <cstdint>
 #include <cstdio>
@@ -19,6 +20,8 @@
 #include <cstring>
 #include <new>
 #include <stdexcept>
+#include <system_error>
+#include <thread>
 #include <unordered_map>
 #include <unordered_set>
 #include <vector>
@@ -81,6 +84,25 @@ static inline K2 enc_range(const uint8_t* codes, int64_t s, int64_t e) {
 
 static const char DEC[4] = {'A', 'C', 'T', 'G'};
 
+// host thread pool size: --threads N sets SKA_THREADS (cli.py); same
+// convention as the skalo graph core's pools (csrc/skalo_core.cpp)
+static int env_threads() {
+    const char* s = getenv("SKA_THREADS");
+    int t = s ? atoi(s) : 1;
+    if (t < 1) t = 1;
+    if (t > 256) t = 256;
+    return t;
+}
+
+// positioning scratch, one per worker thread: window_votes' pipelined-pass
+// buffers (sized to one variant's windows) plus the per-group vote vectors
+struct PosScratch {
+    std::vector<uint64_t> encs;
+    std::vector<int64_t> blo, bhi;
+    std::vector<uint32_t> fwd, rev;
+    std::vector<uint8_t> rcc;
+};
+
 struct SnpsCtx {
     // kmer_samples: sorted unique full-kmer keys + mask limbs
     const uint64_t *ks_hi, *ks_lo;
@@ -116,12 +138,9 @@ struct SnpsCtx {
     int gm_B = 0;
 
     std::unordered_set<K2, K2Hash> entries_done;
-    // window_votes pipelined-pass scratch (sized to one variant's windows)
-    mutable std::vector<uint64_t> encs_scratch;
-    mutable std::vector<int64_t> blo_scratch, bhi_scratch;
-    // per-group positioning scratch
-    mutable std::vector<uint32_t> fwd_scratch, rev_scratch;
-    mutable std::vector<uint8_t> rcc_scratch;
+    // positioning scratch for the sequential paths (threaded workers own
+    // their own PosScratch)
+    mutable PosScratch seq_scratch;
     // SKALO_CORE_TIME=1: accumulated per-phase seconds
     bool timing = false;
     double t_cols = 0, t_pos = 0;
@@ -177,7 +196,7 @@ static inline uint64_t topb2(uint64_t hi, uint64_t lo, int key_bits, int B) {
 
 // window votes for one code array (positioning, k_graph <= 32 fast path)
 static void window_votes(const SnpsCtx& c, const uint8_t* codes, int64_t L,
-                         std::vector<uint32_t>& votes) {
+                         std::vector<uint32_t>& votes, PosScratch& sc) {
     int kg = c.k_graph;
     if (L < kg || c.gm_n == 0) return;
     uint64_t enc = 0;
@@ -188,9 +207,9 @@ static void window_votes(const SnpsCtx& c, const uint8_t* codes, int64_t L,
     // iterations ahead. The fused loop was one dependent miss chain per
     // window (gprof: 5.8s of the dense SNP stage's 8s CPU).
     int64_t nw = L - kg + 1;
-    auto& encs = c.encs_scratch;
-    auto& blos = c.blo_scratch;
-    auto& bhis = c.bhi_scratch;
+    auto& encs = sc.encs;
+    auto& blos = sc.blo;
+    auto& bhis = sc.bhi;
     encs.resize((size_t)nw);
     blos.resize((size_t)nw);
     bhis.resize((size_t)nw);
@@ -232,7 +251,7 @@ static void window_votes(const SnpsCtx& c, const uint8_t* codes, int64_t L,
 
 // window votes, two-limb keys (32 < k_graph <= 62)
 static void window_votes2(const SnpsCtx& c, const uint8_t* codes, int64_t L,
-                          std::vector<uint32_t>& votes) {
+                          std::vector<uint32_t>& votes, PosScratch&) {
     int kg = c.k_graph;
     if (L < kg || c.gm_n == 0) return;
     int key_bits = 2 * kg;
@@ -317,13 +336,17 @@ void* skalo_snps_new(
     return c;
 }
 
-// Process one group. codes: concatenated variant code arrays; voff: V+1
-// offsets; snps: concatenated candidate positions; soff: V+1 offsets.
-// Returns 0 on success, -1 if a full k-mer was missing from kmer_samples
-// (caller falls back to python, which raises like the reference panics).
-static int64_t process_group(
+// Columns phase of one group (order-dependent: consumes and extends the
+// entries_done dedup set, so callers must run groups in processing order).
+// codes: concatenated variant code arrays; voff: V+1 offsets; snps:
+// concatenated candidate positions; soff: V+1 offsets. Fills `found` with
+// (pos, column) pairs that survive dedup + missing-data checks. Returns 0
+// on success, -1 if a full k-mer was missing from kmer_samples (caller
+// falls back to python, which raises like the reference panics).
+static int64_t columns_phase(
     SnpsCtx& c, const uint8_t* codes, const int64_t* voff,
-    const int64_t* snps, const int64_t* soff, int64_t V
+    const int64_t* snps, const int64_t* soff, int64_t V,
+    std::vector<std::pair<int64_t, std::vector<uint8_t>>>& found
 ) {
     int kg = c.k_graph;
     auto tc0 = std::chrono::steady_clock::now();
@@ -355,7 +378,6 @@ static int64_t process_group(
     std::sort(real.begin(), real.end());
 
     std::vector<K2> kmers_to_save;
-    std::vector<std::pair<int64_t, std::vector<uint8_t>>> found;
 
     for (int64_t pos : real) {
         std::vector<uint8_t> col((size_t)c.n_samples, (uint8_t)'-');
@@ -421,65 +443,99 @@ static int64_t process_group(
     if (c.timing)
         c.t_cols += std::chrono::duration<double>(
             std::chrono::steady_clock::now() - tc0).count();
+    return 0;
+}
+
+struct PosResult {
+    bool pos_found = false;
+    int64_t position = 0;
+    bool is_forward = true;
+};
+
+// Positioning phase: a PURE function of the group's sequences (no dedup
+// state, no output state) — this is what the threaded bulk driver fans
+// out across workers. scan_variants over all variants, fwd + rc; vote
+// values are u32 by construction (reference positioning is u32
+// arithmetic) and the scratch buffers are reused across a worker's groups
+// (~25M pushes at dense scale).
+static PosResult position_group(
+    const SnpsCtx& c, const uint8_t* codes, const int64_t* voff, int64_t V,
+    PosScratch& sc
+) {
+    std::vector<uint32_t>&fwd = sc.fwd, &rev = sc.rev;
+    fwd.clear(); rev.clear();
+    std::vector<uint8_t>& rc_codes = sc.rcc;
+    auto wv = (c.k_graph <= 32) ? window_votes : window_votes2;
+    for (int64_t v = 0; v < V; v++) {
+        const uint8_t* vc = codes + voff[v];
+        int64_t L = voff[v + 1] - voff[v];
+        wv(c, vc, L, fwd, sc);
+        rc_codes.resize((size_t)L);
+        for (int64_t i = 0; i < L; i++) rc_codes[L - 1 - i] = vc[i] ^ 2;
+        wv(c, rc_codes.data(), L, rev, sc);
+    }
+    int64_t fe, fc, re, rcnt;
+    most_frequent(fwd, &fe, &fc);
+    most_frequent(rev, &re, &rcnt);
+    bool fok = fc != 0, rok = rcnt != 0;
+    PosResult pr;
+    if (fok && rok) {
+        if (fc == rcnt) pr.pos_found = false;
+        else if (fc > rcnt) { pr.pos_found = true; pr.position = fe; pr.is_forward = true; }
+        else { pr.pos_found = true; pr.position = re; pr.is_forward = false; }
+    } else if (fok) { pr.pos_found = true; pr.position = fe; pr.is_forward = true; }
+    else if (rok) { pr.pos_found = true; pr.position = re; pr.is_forward = false; }
+    return pr;
+}
+
+// Commit phase (order-dependent: snp_idx/out_pos insertion order defines
+// the output order, so callers commit groups in processing order).
+static void commit_group(
+    SnpsCtx& c, std::vector<std::pair<int64_t, std::vector<uint8_t>>>& found,
+    const PosResult& pr, int64_t seq_len
+) {
+    int kg = c.k_graph;
+    if (pr.pos_found) {
+        for (auto& pc : found) {
+            int64_t fp = pr.is_forward
+                ? ((pr.position + (pc.first - kg)) & 0xFFFFFFFFLL)
+                : ((pr.position + (seq_len - pc.first - kg - 1)) & 0xFFFFFFFFLL);
+            if (c.snp_idx.count(fp)) {
+                c.not_positioned++;
+            } else {
+                c.snp_idx.emplace(fp, c.out_pos.size());
+                c.out_pos.push_back(fp);
+                if (pr.is_forward) {
+                    c.out_cols.insert(c.out_cols.end(), pc.second.begin(), pc.second.end());
+                } else {
+                    for (uint8_t ch : pc.second) {
+                        uint8_t o = ch;
+                        if (ch == 'A') o = 'T'; else if (ch == 'T') o = 'A';
+                        else if (ch == 'C') o = 'G'; else if (ch == 'G') o = 'C';
+                        c.out_cols.push_back(o);
+                    }
+                }
+            }
+        }
+    } else {
+        c.not_positioned += (int64_t)found.size();
+    }
+}
+
+// Process one group, fused (the per-group python path and T=1 bulk path).
+static int64_t process_group(
+    SnpsCtx& c, const uint8_t* codes, const int64_t* voff,
+    const int64_t* snps, const int64_t* soff, int64_t V
+) {
+    std::vector<std::pair<int64_t, std::vector<uint8_t>>> found;
+    int64_t r = columns_phase(c, codes, voff, snps, soff, V, found);
+    if (r != 0) return r;
     if (found.empty()) return 0;
     auto tp0 = std::chrono::steady_clock::now();
 
     if (c.do_positioning) {
-        // scan_variants over all variants, fwd + rc; vote values are u32
-        // by construction (reference positioning is u32 arithmetic) and
-        // the buffers are reused across groups (~25M pushes at dense scale)
-        std::vector<uint32_t>&fwd = c.fwd_scratch, &rev = c.rev_scratch;
-        fwd.clear(); rev.clear();
-        std::vector<uint8_t>& rc_codes = c.rcc_scratch;
-        auto wv = (c.k_graph <= 32) ? window_votes : window_votes2;
-        for (int64_t v = 0; v < V; v++) {
-            const uint8_t* vc = codes + voff[v];
-            int64_t L = voff[v + 1] - voff[v];
-            wv(c, vc, L, fwd);
-            rc_codes.resize((size_t)L);
-            for (int64_t i = 0; i < L; i++) rc_codes[L - 1 - i] = vc[i] ^ 2;
-            wv(c, rc_codes.data(), L, rev);
-        }
-        int64_t fe, fc, re, rcnt;
-        most_frequent(fwd, &fe, &fc);
-        most_frequent(rev, &re, &rcnt);
-        bool fok = fc != 0, rok = rcnt != 0;
-        bool pos_found = false;
-        int64_t position = 0;
-        bool is_forward = true;
-        if (fok && rok) {
-            if (fc == rcnt) pos_found = false;
-            else if (fc > rcnt) { pos_found = true; position = fe; is_forward = true; }
-            else { pos_found = true; position = re; is_forward = false; }
-        } else if (fok) { pos_found = true; position = fe; is_forward = true; }
-        else if (rok) { pos_found = true; position = re; is_forward = false; }
-
-        if (pos_found) {
-            int64_t seq_len = voff[1] - voff[0];
-            for (auto& pc : found) {
-                int64_t fp = is_forward
-                    ? ((position + (pc.first - kg)) & 0xFFFFFFFFLL)
-                    : ((position + (seq_len - pc.first - kg - 1)) & 0xFFFFFFFFLL);
-                if (c.snp_idx.count(fp)) {
-                    c.not_positioned++;
-                } else {
-                    c.snp_idx.emplace(fp, c.out_pos.size());
-                    c.out_pos.push_back(fp);
-                    if (is_forward) {
-                        c.out_cols.insert(c.out_cols.end(), pc.second.begin(), pc.second.end());
-                    } else {
-                        for (uint8_t ch : pc.second) {
-                            uint8_t o = ch;
-                            if (ch == 'A') o = 'T'; else if (ch == 'T') o = 'A';
-                            else if (ch == 'C') o = 'G'; else if (ch == 'G') o = 'C';
-                            c.out_cols.push_back(o);
-                        }
-                    }
-                }
-            }
-        } else {
-            c.not_positioned += (int64_t)found.size();
-        }
+        PosResult pr = position_group(c, codes, voff, V, c.seq_scratch);
+        commit_group(c, found, pr, voff[1] - voff[0]);
     } else {
         for (auto& pc : found) {
             c.counter++;
@@ -518,6 +574,55 @@ int64_t skalo_snps_group(
 // processing order (ratio-sorted, indel-skipped, filtered — python keeps
 // that logic). Returns 0, or -1 if a full k-mer was missing from
 // kmer_samples.
+namespace {
+
+// Assemble one group's concatenated code arrays (and optionally its
+// candidate-SNP lists) from the traversal core's master buffers. Pure
+// function of the read-only buffers, so pass-2 workers can re-derive a
+// group's sequences without holding them across passes.
+static void assemble_group(
+    const int32_t* segs, const int64_t* segs_off, const int64_t* chain_off,
+    const uint8_t* chain_codes, const uint64_t* ent_hi, const uint64_t* ent_lo,
+    const int64_t* master_snps, const int64_t* soff,
+    const int64_t* path_idx, const int64_t* grp_off, int kg, int64_t g,
+    std::vector<uint8_t>& codes_s, std::vector<int64_t>& voff_s,
+    std::vector<int64_t>* snps_s, std::vector<int64_t>* soff_s
+) {
+    int64_t V = grp_off[g + 1] - grp_off[g];
+    codes_s.clear(); voff_s.clear();
+    voff_s.push_back(0);
+    if (snps_s) { snps_s->clear(); soff_s->clear(); soff_s->push_back(0); }
+    for (int64_t v = 0; v < V; v++) {
+        int64_t p = path_idx[grp_off[g] + v];
+        for (int j = 0; j < kg; j++) {
+            int shift = 2 * (kg - 1 - j);
+            uint8_t code = shift >= 64
+                ? (uint8_t)((ent_hi[p] >> (shift - 64)) & 3)
+                : (uint8_t)((ent_lo[p] >> shift) & 3);
+            codes_s.push_back(code);
+        }
+        for (int64_t s = segs_off[p]; s < segs_off[p + 1]; s++) {
+            int32_t sg = segs[s];
+            if (sg >= 0) {
+                codes_s.insert(codes_s.end(),
+                               chain_codes + chain_off[sg],
+                               chain_codes + chain_off[sg + 1]);
+            } else if (s > segs_off[p]) {
+                codes_s.push_back((uint8_t)(-sg - 1));
+            }
+            // s == segs_off[p]: root entry single, skipped
+        }
+        voff_s.push_back((int64_t)codes_s.size());
+        if (snps_s) {
+            for (int64_t i = soff[p]; i < soff[p + 1]; i++)
+                snps_s->push_back(master_snps[i]);
+            soff_s->push_back((int64_t)snps_s->size());
+        }
+    }
+}
+
+}  // namespace
+
 int64_t skalo_snps_run_paths(
     void* h, const int32_t* segs, const int64_t* segs_off,
     const int64_t* chain_off, const uint8_t* chain_codes,
@@ -528,42 +633,96 @@ int64_t skalo_snps_run_paths(
   try {
     SnpsCtx& c = *(SnpsCtx*)h;
     int kg = c.k_graph;
+    const int T = env_threads();
     std::vector<uint8_t> codes_s;
     std::vector<int64_t> voff_s, snps_s, soff_s;
-    for (int64_t g = 0; g < n_groups; g++) {
-        int64_t V = grp_off[g + 1] - grp_off[g];
-        codes_s.clear(); voff_s.clear(); snps_s.clear(); soff_s.clear();
-        voff_s.push_back(0);
-        soff_s.push_back(0);
-        for (int64_t v = 0; v < V; v++) {
-            int64_t p = path_idx[grp_off[g] + v];
-            for (int j = 0; j < kg; j++) {
-                int shift = 2 * (kg - 1 - j);
-                uint8_t code = shift >= 64
-                    ? (uint8_t)((ent_hi[p] >> (shift - 64)) & 3)
-                    : (uint8_t)((ent_lo[p] >> shift) & 3);
-                codes_s.push_back(code);
-            }
-            for (int64_t s = segs_off[p]; s < segs_off[p + 1]; s++) {
-                int32_t sg = segs[s];
-                if (sg >= 0) {
-                    codes_s.insert(codes_s.end(),
-                                   chain_codes + chain_off[sg],
-                                   chain_codes + chain_off[sg + 1]);
-                } else if (s > segs_off[p]) {
-                    codes_s.push_back((uint8_t)(-sg - 1));
-                }
-                // s == segs_off[p]: root entry single, skipped
-            }
-            voff_s.push_back((int64_t)codes_s.size());
-            for (int64_t i = soff[p]; i < soff[p + 1]; i++)
-                snps_s.push_back(master_snps[i]);
-            soff_s.push_back((int64_t)snps_s.size());
+
+    if (T <= 1 || !c.do_positioning || n_groups < 2) {
+        for (int64_t g = 0; g < n_groups; g++) {
+            assemble_group(segs, segs_off, chain_off, chain_codes, ent_hi,
+                           ent_lo, master_snps, soff, path_idx, grp_off, kg,
+                           g, codes_s, voff_s, &snps_s, &soff_s);
+            int64_t r = process_group(
+                c, codes_s.data(), voff_s.data(), snps_s.data(), soff_s.data(),
+                grp_off[g + 1] - grp_off[g]);
+            if (r != 0) return r;
         }
-        int64_t r = process_group(
-            c, codes_s.data(), voff_s.data(), snps_s.data(), soff_s.data(), V);
-        if (r != 0) return r;
+        return 0;
     }
+
+    // Threaded bulk mode, deterministic 3-pass split (the reference runs
+    // this stage serially, process_variants.rs:20-225; --threads here is
+    // a new capability): the dedup set makes the column pass
+    // order-dependent, but positioning is a pure function of a group's
+    // sequences — so pass 1 runs columns sequentially in group order,
+    // pass 2 fans positioning of the surviving groups across a
+    // work-stealing pool, and pass 3 commits in group order. Outputs are
+    // byte-identical at any T.
+    struct Pending {
+        int64_t g;
+        int64_t seq_len;
+        std::vector<std::pair<int64_t, std::vector<uint8_t>>> found;
+        PosResult pr;
+    };
+    std::vector<Pending> pending;
+    for (int64_t g = 0; g < n_groups; g++) {
+        assemble_group(segs, segs_off, chain_off, chain_codes, ent_hi,
+                       ent_lo, master_snps, soff, path_idx, grp_off, kg,
+                       g, codes_s, voff_s, &snps_s, &soff_s);
+        std::vector<std::pair<int64_t, std::vector<uint8_t>>> found;
+        int64_t r = columns_phase(
+            c, codes_s.data(), voff_s.data(), snps_s.data(), soff_s.data(),
+            grp_off[g + 1] - grp_off[g], found);
+        if (r != 0) return r;
+        if (!found.empty())
+            pending.push_back(
+                Pending{g, voff_s[1] - voff_s[0], std::move(found), PosResult{}});
+    }
+
+    auto tp0 = std::chrono::steady_clock::now();
+    std::atomic<size_t> next{0};
+    std::atomic<bool> oom{false};
+    auto worker = [&]() {
+        PosScratch sc;
+        std::vector<uint8_t> wcodes;
+        std::vector<int64_t> wvoff;
+        for (;;) {
+            if (oom.load(std::memory_order_relaxed)) break;
+            size_t i = next.fetch_add(1, std::memory_order_relaxed);
+            if (i >= pending.size()) break;
+            try {
+                Pending& p = pending[i];
+                assemble_group(segs, segs_off, chain_off, chain_codes,
+                               ent_hi, ent_lo, master_snps, soff, path_idx,
+                               grp_off, kg, p.g, wcodes, wvoff,
+                               nullptr, nullptr);
+                p.pr = position_group(c, wcodes.data(), wvoff.data(),
+                                      grp_off[p.g + 1] - grp_off[p.g], sc);
+            } catch (const std::bad_alloc&) {
+                oom.store(true);
+                break;
+            } catch (const std::length_error&) {
+                oom.store(true);
+                break;
+            }
+        }
+    };
+    std::vector<std::thread> pool;
+    pool.reserve((size_t)T - 1);
+    try {
+        for (int t2 = 0; t2 < T - 1; t2++) pool.emplace_back(worker);
+    } catch (const std::system_error&) {
+        // pthread_create failed (e.g. tight RLIMIT): proceed with the
+        // threads that did start — the calling thread still works
+    }
+    worker();
+    for (auto& th : pool) th.join();
+    if (oom.load()) return -2;
+
+    for (auto& p : pending) commit_group(c, p.found, p.pr, p.seq_len);
+    if (c.timing)
+        c.t_pos += std::chrono::duration<double>(
+            std::chrono::steady_clock::now() - tp0).count();
     return 0;
   } catch (const std::bad_alloc&) {
     return -2;  // OOM: caller raises MemoryError, not KeyError
