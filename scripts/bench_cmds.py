@@ -41,13 +41,19 @@ def make_genomes(d: Path, n_samples: int, length: int, seed=0, snp_rate=0.001):
     return ref_f, sample_files
 
 
-def run(cmd, timeout=None, **kw):
+def run(cmd, timeout=None, env=None, **kw):
     t0 = time.perf_counter()
+    full_env = None
+    if env:
+        import os
+        full_env = dict(os.environ)
+        full_env.update(env)
     r = subprocess.run(
         [sys.executable, str(REPO / "ska.py")] + [str(c) for c in cmd],
         check=True,
         capture_output=True,
         timeout=timeout,
+        env=full_env,
         **kw,
     )
     return time.perf_counter() - t0, r
@@ -71,9 +77,25 @@ def main():
         try:
             t, _ = run(cmd, timeout=args.cmd_timeout)
         except subprocess.TimeoutExpired:
-            print(f"{name:<19}: TIMEOUT (> {args.cmd_timeout:.0f}s)")
-            rows.append({"cmd": name, "seconds": None, "error": "timeout"})
-            return None
+            # The axon relay stalls single device dispatches for minutes
+            # at constant ~4s CPU (BASELINE.md); a timed-out device run is
+            # link weather, not code. Fall back to host mode so the
+            # artifact still carries a number, attributed per row.
+            print(f"{name:<19}: device TIMEOUT (> {args.cmd_timeout:.0f}s); "
+                  "retrying host-mode")
+            try:
+                t, _ = run(cmd, timeout=args.cmd_timeout,
+                           env={"SKA_PLATFORM": "cpu"})
+            except subprocess.TimeoutExpired:
+                print(f"{name:<19}: TIMEOUT on host too")
+                rows.append({"cmd": name, "seconds": None, "error": "timeout"})
+                return None
+            print(f"{name:<19}: {t:7.2f}s (host mode)")
+            rows.append({"cmd": name, "seconds": round(t, 2),
+                         "platform": "cpu",
+                         "note": "device run timed out (relay stall); "
+                                 "host-mode fallback"})
+            return t
         print(f"{name:<19}: {t:7.2f}s")
         rows.append({"cmd": name, "seconds": round(t, 2)})
         return t
