@@ -83,12 +83,13 @@ def _child(status_path, result_path):
         os.replace(tmp, status_path)
 
     def watchdog(fn, timeout_s):
-        """Run fn in a daemon thread; returns (value_list, err_list, alive).
+        """Run fn in a daemon thread; returns (value_list, err_list, thread).
 
         A stalled jaxlib C++ wait cannot be interrupted by signals
         (CPython only runs handlers between bytecodes), so the only safe
         recovery is to abandon the thread — and, at the parent level,
-        the whole process.
+        the whole process. The thread is returned so callers can drain
+        (join a little longer) before re-dispatching on the same stream.
         """
         box, err = [], []
 
@@ -101,7 +102,7 @@ def _child(status_path, result_path):
         th = threading.Thread(target=run, daemon=True)
         th.start()
         th.join(timeout_s)
-        return box, err, th.is_alive()
+        return box, err, th
 
     # -- phase: init -------------------------------------------------------
     set_phase("init")
@@ -117,8 +118,8 @@ def _child(status_path, result_path):
         x = jax.device_put(jnp.arange(8, dtype=jnp.int32))
         return (str(devs[0]), int(np.asarray(x.sum())))
 
-    box, err, alive = watchdog(bring_up, float(os.environ.get("SKA_BENCH_INIT_S", 420)))
-    if alive:
+    box, err, th = watchdog(bring_up, float(os.environ.get("SKA_BENCH_INIT_S", 420)))
+    if th.is_alive():
         set_phase("init", "backend bring-up stalled (relay outage?)")
         os._exit(3)  # abandon the stuck C++ wait thread
     if err:
@@ -167,7 +168,7 @@ def _child(status_path, result_path):
         for attempt in range(2):
             # scalar readback forces completion (block_until_ready is not
             # reliable through the axon relay)
-            box, err, alive = watchdog(lambda: int(np.asarray(step())[0]), 600)
+            box, err, th = watchdog(lambda: int(np.asarray(step())[0]), 600)
             if err:
                 set_phase(f"warmup:{tag}", f"{type(err[0]).__name__}: {err[0]}")
                 sys.exit(4)  # deterministic code failure, not link weather
@@ -179,6 +180,10 @@ def _child(status_path, result_path):
                 break
             print(f"[{tag}] warmup attempt {attempt + 1} stalled >600s",
                   file=sys.stderr)
+            # drain before re-dispatching: the abandoned dispatch still
+            # owns the device stream, so an immediate retry would just
+            # queue behind it even if the relay has recovered
+            th.join(300)
         else:
             return None
 
@@ -194,14 +199,14 @@ def _child(status_path, result_path):
             # per-iteration readbacks would add one relay round-trip
             # (~30-100ms) per step
             ns = [step() for _ in range(iters)]
-            box, err, alive = watchdog(
+            box, err, th = watchdog(
                 lambda: int(np.asarray(ns[-1])[0]),
                 120 if dt < float("inf") else 900,
             )
             if err:
                 set_phase(f"timed:{tag}", f"{type(err[0]).__name__}: {err[0]}")
                 sys.exit(4)
-            if alive:
+            if th.is_alive():
                 print(f"[{tag}] batch {batch} stalled; keeping best so far",
                       file=sys.stderr)
                 break
@@ -213,16 +218,25 @@ def _child(status_path, result_path):
         return windows * iters / dt
 
     k1, k2 = 31, 63
+
+    def write_result(r1, r2):
+        tmp = result_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"w1_kmers_per_sec": r1, "w2_kmers_per_sec": r2,
+                       "S": S, "L": L, "k1": k1, "k2": k2}, f)
+        os.replace(tmp, result_path)
+
     r1 = measure(k1, "w1")
     if r1 is None:
         set_phase("timed:w1", "device lost: W=1 measurement never completed")
         sys.exit(3)
-    # W=2 is best-effort: if the relay dies between phases, ship the W=1
-    # number rather than losing the round's evidence.
+    # Secure the headline immediately: W=2 is best-effort, and if the
+    # relay (or the parent's attempt timeout) kills this child mid-W=2,
+    # the parent ships whatever result file exists rather than
+    # re-paying the whole attempt.
+    write_result(r1, None)
     r2 = measure(k2, "w2", batches=2)
-    with open(result_path, "w") as f:
-        json.dump({"w1_kmers_per_sec": r1, "w2_kmers_per_sec": r2,
-                   "S": S, "L": L, "k1": k1, "k2": k2}, f)
+    write_result(r1, r2)
     set_phase("done")
     sys.exit(0)
 
@@ -307,17 +321,26 @@ def main():
         result_path = os.path.join(td, "result.json")
         while True:
             attempt += 1
-            try:
-                os.remove(result_path)
-            except FileNotFoundError:
-                pass
+            for stale in (result_path, status_path):
+                # fresh attempt = fresh files: a child that dies before
+                # its first set_phase must not inherit the previous
+                # attempt's phase/error in the report
+                try:
+                    os.remove(stale)
+                except FileNotFoundError:
+                    pass
             proc = subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__), "--child",
                  status_path, result_path],
                 cwd=HERE,
             )
             try:
-                rc = proc.wait(attempt_timeout)
+                # never run an attempt past the total budget (plus a
+                # small grace so a nearly-done attempt can finish)
+                rc = proc.wait(min(
+                    attempt_timeout,
+                    max(120.0, budget - (time.monotonic() - t_start)),
+                ))
             except subprocess.TimeoutExpired:
                 proc.kill()
                 proc.wait()
@@ -328,7 +351,10 @@ def main():
             except Exception:  # noqa: BLE001 - child died before first phase
                 last_status = {"phase": "spawn"}
 
-            if rc == 0 and os.path.exists(result_path):
+            if os.path.exists(result_path):
+                # the child writes the result as soon as W=1 is measured,
+                # so ANY result file is shippable — a child killed or
+                # failed mid-W=2 still delivers the headline number
                 with open(result_path) as f:
                     res = json.load(f)
                 out = {
@@ -347,6 +373,9 @@ def main():
                 if res["w2_kmers_per_sec"] and ref2:
                     out["w2_vs_baseline_k63"] = round(res["w2_kmers_per_sec"] / ref2, 3)
                     out["baseline_k63_kmers_per_sec"] = round(ref2)
+                if res["w2_kmers_per_sec"] is None and rc != 0:
+                    out["w2_error"] = last_status.get(
+                        "error", f"W=2 not measured (child rc={rc})")
                 out["cmds_json"] = run_cmd_bench(
                     budget - (time.monotonic() - t_start))
                 print(json.dumps(out))

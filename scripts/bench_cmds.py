@@ -74,15 +74,17 @@ def main():
     rows = []  # (name, seconds) in run order
 
     def bench(name, cmd):
+        # The axon relay stalls single device dispatches for minutes at
+        # constant ~4s CPU, or fails outright with backend-init errors
+        # (BASELINE.md); both are link weather, not code. Fall back to
+        # host mode so the artifact still carries a number, attributed
+        # per row.
         try:
             t, _ = run(cmd, timeout=args.cmd_timeout)
-        except subprocess.TimeoutExpired:
-            # The axon relay stalls single device dispatches for minutes
-            # at constant ~4s CPU (BASELINE.md); a timed-out device run is
-            # link weather, not code. Fall back to host mode so the
-            # artifact still carries a number, attributed per row.
-            print(f"{name:<19}: device TIMEOUT (> {args.cmd_timeout:.0f}s); "
-                  "retrying host-mode")
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+            why = ("timeout" if isinstance(e, subprocess.TimeoutExpired)
+                   else f"exit {e.returncode}")
+            print(f"{name:<19}: device run failed ({why}); retrying host-mode")
             try:
                 t, _ = run(cmd, timeout=args.cmd_timeout,
                            env={"SKA_PLATFORM": "cpu"})
@@ -90,11 +92,17 @@ def main():
                 print(f"{name:<19}: TIMEOUT on host too")
                 rows.append({"cmd": name, "seconds": None, "error": "timeout"})
                 return None
+            except subprocess.CalledProcessError as e2:
+                tail = (e2.stderr or b"")[-300:].decode("utf-8", "replace")
+                print(f"{name:<19}: FAILED on host too: {tail}")
+                rows.append({"cmd": name, "seconds": None,
+                             "error": f"exit {e2.returncode}: {tail}"})
+                return None
             print(f"{name:<19}: {t:7.2f}s (host mode)")
             rows.append({"cmd": name, "seconds": round(t, 2),
                          "platform": "cpu",
-                         "note": "device run timed out (relay stall); "
-                                 "host-mode fallback"})
+                         "note": f"device run failed ({why}, likely relay "
+                                 "weather); host-mode fallback"})
             return t
         print(f"{name:<19}: {t:7.2f}s")
         rows.append({"cmd": name, "seconds": round(t, 2)})

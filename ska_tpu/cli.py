@@ -95,7 +95,7 @@ def build_parser():
     b.add_argument("--min-count", type=_min_count, default=None)
     b.add_argument("--min-qual", type=int, default=DEFAULT_MINQUAL)
     b.add_argument("--qual-filter", choices=list(QUAL_FILTER_NAMES), default="strict")
-    b.add_argument("--threads", type=_threads, default=1)
+    b.add_argument("--threads", type=_threads, default=None)
 
     a = sub.add_parser("align", help="Write an unordered alignment")
     a.add_argument("input", nargs="+", help="A .skf file, or list of .fasta files")
@@ -105,7 +105,7 @@ def build_parser():
     a.add_argument("--filter", choices=filt_choices, default="no-const")
     a.add_argument("--ambig-mask", action="store_true", default=DEFAULT_AMBIGMASK)
     a.add_argument("--no-gap-only-sites", action="store_true", default=DEFAULT_CONSTGAPS)
-    a.add_argument("--threads", type=_threads, default=1)
+    a.add_argument("--threads", type=_threads, default=None)
 
     m = sub.add_parser("map", help="Write an ordered alignment using a reference sequence")
     m.add_argument("reference")
@@ -114,14 +114,14 @@ def build_parser():
     m.add_argument("-f", "--format", choices=["vcf", "aln"], default="aln")
     m.add_argument("--ambig-mask", action="store_true", default=DEFAULT_AMBIGMASK)
     m.add_argument("--repeat-mask", action="store_true", default=DEFAULT_REPEATMASK)
-    m.add_argument("--threads", type=_threads, default=1)
+    m.add_argument("--threads", type=_threads, default=None)
 
     d = sub.add_parser("distance", help="Calculate SNP distances and k-mer mismatches")
     d.add_argument("skf_file")
     d.add_argument("-o", dest="output", default=None)
     d.add_argument("-m", "--min-freq", type=_zero_to_one, default=0.0)
     d.add_argument("--allow-ambiguous", action="store_true")
-    d.add_argument("--threads", type=_threads, default=1)
+    d.add_argument("--threads", type=_threads, default=None)
 
     g = sub.add_parser("merge", help="Combine multiple split k-mer files")
     g.add_argument("skf_files", nargs="+")
@@ -161,7 +161,7 @@ def build_parser():
     lo.add_argument("-m", "--missing", type=float, default=DEFAULT_MISSING_SKALO)
     lo.add_argument("-d", "--depth", type=int, default=DEFAULT_MAX_PATHDEPTH)
     lo.add_argument("-n", "--indel-kmers", type=int, default=DEFAULT_MAX_INDEL_KMERS)
-    lo.add_argument("--threads", type=_threads, default=1)
+    lo.add_argument("--threads", type=_threads, default=None)
 
     return p
 
@@ -175,14 +175,25 @@ def _is_primary() -> bool:
     under a tight RLIMIT_AS aborts the whole process inside absl (Eigen
     pool pthread_create CHECK) instead of raising a catchable
     MemoryError — the `ska lo` OOM-guidance path must stay abort-free.
-    A pod-slice run only exists when SKA_COORDINATOR configured it
-    (init_multihost in _main), so its absence proves single-process.
+    Two multi-process shapes exist: (a) SKA_COORDINATOR-configured
+    jax.distributed runs (init_multihost in _main); (b) Cloud TPU pod
+    slices, which are multi-process WITHOUT any explicit initialize —
+    there libtpu marks each host with TPU_WORKER_ID and lists the peers
+    in TPU_WORKER_HOSTNAMES / TPU_PROCESS_ADDRESSES (the same env vars
+    jax's own cluster detection reads), so that check stays env-only
+    too.
     """
-    if not os.environ.get("SKA_COORDINATOR"):
-        return True
-    from .parallel import is_primary
+    if os.environ.get("SKA_COORDINATOR"):
+        from .parallel import is_primary
 
-    return is_primary()
+        return is_primary()
+    wid = os.environ.get("TPU_WORKER_ID")
+    if wid is not None:
+        peers = (os.environ.get("TPU_WORKER_HOSTNAMES", "")
+                 or os.environ.get("TPU_PROCESS_ADDRESSES", ""))
+        if "," in peers:  # >1 host in the slice
+            return wid.strip() in ("", "0")
+    return True
 
 
 def _ostream(output, binary=False):
@@ -249,19 +260,24 @@ def _main(argv=None):
         import jax
 
         jax.profiler.start_trace(profile_dir)
-    if getattr(args, "threads", 1) > 1:
-        # the reference sizes a rayon pool with this flag (main.rs via
-        # rayon::ThreadPoolBuilder); here the device pipeline replaces
-        # rayon for build/map/distance compute, and the host-bound native
-        # cores (skalo traversal/SNP stages, AlnWriter) read SKA_THREADS
-        # to size their own pthread pools — outputs are byte-identical at
-        # any thread count (test_skalo_core.py::test_native_thread_count_
-        # invariant)
-        os.environ.setdefault("SKA_THREADS", str(args.threads))
+    # the reference sizes a rayon pool with this flag (main.rs via
+    # rayon::ThreadPoolBuilder); here the device pipeline replaces
+    # rayon for build/map/distance compute, and the host-bound native
+    # cores (skalo traversal/SNP stages, AlnWriter) read SKA_THREADS
+    # to size their own pthread pools — outputs are byte-identical at
+    # any thread count (test_skalo_core.py::test_native_thread_count_
+    # invariant). An explicit --threads N wins over an inherited
+    # SKA_THREADS (and --threads 1 resets a lingering value); without
+    # the flag the env var stands.
+    cli_threads = getattr(args, "threads", None)
+    if cli_threads is not None:
+        os.environ["SKA_THREADS"] = str(cli_threads)
+    eff_threads = int(os.environ.get("SKA_THREADS", "1") or 1)
+    if eff_threads > 1:
         logging.getLogger("ska_tpu").info(
             "--threads %d: host-side native stages use a %d-thread pool "
             "(device compute is batched on the accelerator regardless)",
-            args.threads, args.threads,
+            eff_threads, eff_threads,
         )
     if cmd != "build" and not _is_primary():
         # only `build` distributes over the pod mesh; every other command

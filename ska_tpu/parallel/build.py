@@ -276,6 +276,9 @@ def distributed_build_multi(calls, k, rc, mesh, min_count=0):
       seqs/valid/qual/rec_last: (S_c, L_c) host arrays
       sids: (S_c,) int32 GLOBAL cohort column of each row
       is_reads/use_mq: bool pipeline config for the group
+    The host arrays are CONSUMED (set to None) as each group is staged
+    to the devices, so peak host memory is one sub-batch, not the
+    cohort.
     n_samples (the output width) is 1 + max sid across calls.
 
     Each call's local pipeline runs as its own jitted dispatch (shapes
@@ -323,6 +326,12 @@ def distributed_build_multi(calls, k, rc, mesh, min_count=0):
             k, rc, W, bool(c["is_reads"]), bool(c["use_mq"]), int(min_count),
             holder,
         )
+        # the staged host copies are device-resident now (_put
+        # materializes the shards synchronously) — drop them so peak
+        # host memory stays one sub-batch (SKA_MAX_HOST_BATCH_BYTES),
+        # not the whole cohort held alive through `calls`
+        c["seqs"] = c["valid"] = c["qual"] = c["rec_last"] = None
+        del seqs_np, valid_np, qual_np, rl_np
         keyv_parts.append(kv)
         sid_parts.append(sv)
         set_parts.append(tv)

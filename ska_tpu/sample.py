@@ -469,6 +469,7 @@ def build_samples_distributed(
             var = np.asarray(SET_TO_ASCII)[sets_np][:, None]
             out.append(([i], [input_files[i][0]], keys_np, var,
                         np.ones(len(keys_np), np.int64)))
+            prepared[i] = None  # consumed; free the raw batch
     # bound transient host staging memory per LOCAL dispatch (~4 bytes
     # per base across seq + three masks); oversubscribed groups split
     # into extra local dispatches — still one global merge
@@ -492,6 +493,7 @@ def build_samples_distributed(
                 vs[row, :L] = valid
                 qo[row, :L] = qual_ok
                 rl[row, :L] = b.rec_last
+                prepared[i] = None  # staged; free the raw batch
             calls.append(dict(
                 seqs=seqs, valid=vs, qual=qo, rec_last=rl,
                 sids=np.arange(

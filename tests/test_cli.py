@@ -122,7 +122,11 @@ def test_cli_threads_pool_notice_and_progress(tmp_path, ref_in, capsys, caplog, 
     import logging as _logging
     import os as _os
 
-    monkeypatch.delenv("SKA_THREADS", raising=False)
+    # setenv (not delenv) so monkeypatch snapshots the var and restores
+    # the pre-test state at teardown even though the CLI overwrites the
+    # value — delenv on an absent var records nothing and the CLI's
+    # os.environ write would leak T=4 into every later test
+    monkeypatch.setenv("SKA_THREADS", "")
     out = str(tmp_path / "thr")
     caplog.set_level(_logging.INFO, logger="ska_tpu")
     _run(
@@ -133,6 +137,45 @@ def test_cli_threads_pool_notice_and_progress(tmp_path, ref_in, capsys, caplog, 
     _logging.getLogger().handlers.clear()  # undo basicConfig for later tests
     assert any("4-thread pool" in r.message for r in caplog.records)
     assert _os.environ.get("SKA_THREADS") == "4"
+
+
+def test_cli_threads_flag_beats_env(tmp_path, ref_in, capsys, monkeypatch):
+    """An explicit --threads N overrides an inherited SKA_THREADS (and
+    --threads 1 resets a lingering value); without the flag the env var
+    stands — the log must report the EFFECTIVE pool size either way."""
+    import os as _os
+
+    out = str(tmp_path / "prec")
+    monkeypatch.setenv("SKA_THREADS", "4")
+    _run(
+        ["build", "--threads", "1", "-o", out, "-k", "17",
+         f"{ref_in}/test_1.fa"],
+        capsys,
+    )
+    assert _os.environ.get("SKA_THREADS") == "1"
+
+    monkeypatch.setenv("SKA_THREADS", "2")
+    _run(["nk", out + ".skf"], capsys)  # no --threads flag: env stands
+    assert _os.environ.get("SKA_THREADS") == "2"
+
+
+def test_is_primary_tpu_pod_env(monkeypatch):
+    """Cloud TPU pod slices are multi-process WITHOUT explicit
+    jax.distributed init; _is_primary must detect a secondary host from
+    libtpu's env (TPU_WORKER_ID + peer list) without touching the
+    backend, so only host 0 writes output files."""
+    from ska_tpu.cli import _is_primary
+
+    monkeypatch.delenv("SKA_COORDINATOR", raising=False)
+    monkeypatch.setenv("TPU_WORKER_ID", "1")
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1")
+    assert not _is_primary()
+    monkeypatch.setenv("TPU_WORKER_ID", "0")
+    assert _is_primary()
+    # single-host TPU VM: TPU_WORKER_ID=0 with no peer list
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES")
+    monkeypatch.setenv("TPU_WORKER_ID", "1")  # garbage without peers
+    assert _is_primary()
 
 
 def test_cli_profile_trace(tmp_path, ref_in, capsys, monkeypatch):
