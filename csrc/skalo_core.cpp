@@ -22,6 +22,8 @@
 #include <system_error>
 #include <thread>
 #include <chrono>
+
+#include "host_pool.h"
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -472,16 +474,6 @@ static bool find_extremities(Core& c) {
     return !c.start_order.empty();
 }
 
-// host thread pool size: --threads N sets SKA_THREADS (cli.py); the
-// reference sizes a rayon pool the same way (read_graph.rs:37-40)
-static int env_threads() {
-    const char* s = getenv("SKA_THREADS");
-    int t = s ? atoi(s) : 1;
-    if (t < 1) t = 1;
-    if (t > 256) t = 256;
-    return t;
-}
-
 // compaction.rs:10-117 (walks first, then rewiring; order-independent)
 static void compact(Core& c) {
     const size_t nN = c.node_key.size();
@@ -569,36 +561,23 @@ static void compact(Core& c) {
             if (chain_ids.size() > 1) slots[i] = build_chain(chain_ids);
         }
     } else {
-        std::atomic<size_t> next{0};
-        std::atomic<bool> oom{false};
-        auto worker = [&]() {
-            try {
-                std::vector<int32_t> vis(nN, 0);
-                std::vector<int32_t> chain_ids;
-                for (;;) {
-                    if (oom.load(std::memory_order_relaxed)) break;
-                    size_t i = next.fetch_add(1, std::memory_order_relaxed);
-                    if (i >= nC) break;
-                    walk_one(cand[i], vis.data(), (int32_t)i + 1, chain_ids);
-                    if (chain_ids.size() > 1) slots[i] = build_chain(chain_ids);
-                }
-            } catch (const std::bad_alloc&) {
-                oom.store(true);
-            } catch (const std::length_error&) {
-                oom.store(true);
-            }
+        struct WState {
+            std::vector<int32_t> vis;
+            std::vector<int32_t> chain_ids;
         };
-        std::vector<std::thread> pool;
-        pool.reserve((size_t)T - 1);
-        try {
-            for (int t2 = 0; t2 < T - 1; t2++) pool.emplace_back(worker);
-        } catch (const std::system_error&) {
-            // pthread_create failed (e.g. tight RLIMIT): the calling
-            // thread still drains the queue
-        }
-        worker();
-        for (auto& th : pool) th.join();
-        if (oom.load()) throw std::bad_alloc();
+        pool_for_each(
+            nC, T,
+            [&]() {
+                WState s;
+                s.vis.assign(nN, 0);
+                return s;
+            },
+            [&](WState& s, size_t i) {
+                // epoch (i + 1) is unique per ITEM, so a shared
+                // per-worker vis array never aliases across walks
+                walk_one(cand[i], s.vis.data(), (int32_t)i + 1, s.chain_ids);
+                if (s.chain_ids.size() > 1) slots[i] = build_chain(s.chain_ids);
+            });
     }
 
     for (size_t i = 0; i < nC; i++) {
@@ -886,40 +865,19 @@ static void traverse(Core& c) {
     // never touch shared output state, and the sequential concatenation
     // below preserves entry order exactly
     std::vector<std::unique_ptr<Result>> per(nE);
-    std::atomic<size_t> next{0};
-    std::atomic<bool> oom{false};
-    auto worker = [&]() {
-        std::vector<PNode> arena;
-        arena.reserve(1 << 16);
-        for (;;) {
-            if (oom.load(std::memory_order_relaxed)) break;
-            size_t i = next.fetch_add(1, std::memory_order_relaxed);
-            if (i >= nE) break;
-            try {
-                Result tmp;
-                traverse_entry(c, c.start_order[i], arena, tmp);
-                if (!tmp.path_len.empty())
-                    per[i].reset(new Result(std::move(tmp)));
-            } catch (const std::bad_alloc&) {
-                oom.store(true);
-                break;
-            } catch (const std::length_error&) {
-                oom.store(true);
-                break;
-            }
-        }
-    };
-    std::vector<std::thread> pool;
-    pool.reserve((size_t)T - 1);
-    try {
-        for (int t2 = 0; t2 < T - 1; t2++) pool.emplace_back(worker);
-    } catch (const std::system_error&) {
-        // pthread_create failed (e.g. tight RLIMIT): proceed with the
-        // threads that did start — the calling thread still works
-    }
-    worker();
-    for (auto& th : pool) th.join();
-    if (oom.load()) throw std::bad_alloc();
+    pool_for_each(
+        nE, T,
+        [&]() {
+            std::vector<PNode> arena;
+            arena.reserve(1 << 16);
+            return arena;
+        },
+        [&](std::vector<PNode>& arena, size_t i) {
+            Result tmp;
+            traverse_entry(c, c.start_order[i], arena, tmp);
+            if (!tmp.path_len.empty())
+                per[i].reset(new Result(std::move(tmp)));
+        });
 
     Result& R = c.res;
     for (size_t i = 0; i < nE; i++) {

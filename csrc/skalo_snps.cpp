@@ -22,6 +22,8 @@
 #include <stdexcept>
 #include <system_error>
 #include <thread>
+
+#include "host_pool.h"
 #include <unordered_map>
 #include <unordered_set>
 #include <vector>
@@ -83,16 +85,6 @@ static inline K2 enc_range(const uint8_t* codes, int64_t s, int64_t e) {
 }
 
 static const char DEC[4] = {'A', 'C', 'T', 'G'};
-
-// host thread pool size: --threads N sets SKA_THREADS (cli.py); same
-// convention as the skalo graph core's pools (csrc/skalo_core.cpp)
-static int env_threads() {
-    const char* s = getenv("SKA_THREADS");
-    int t = s ? atoi(s) : 1;
-    if (t < 1) t = 1;
-    if (t > 256) t = 256;
-    return t;
-}
 
 // positioning scratch, one per worker thread: window_votes' pipelined-pass
 // buffers (sized to one variant's windows) plus the per-group vote vectors
@@ -680,44 +672,23 @@ int64_t skalo_snps_run_paths(
     }
 
     auto tp0 = std::chrono::steady_clock::now();
-    std::atomic<size_t> next{0};
-    std::atomic<bool> oom{false};
-    auto worker = [&]() {
+    struct WState {
         PosScratch sc;
         std::vector<uint8_t> wcodes;
         std::vector<int64_t> wvoff;
-        for (;;) {
-            if (oom.load(std::memory_order_relaxed)) break;
-            size_t i = next.fetch_add(1, std::memory_order_relaxed);
-            if (i >= pending.size()) break;
-            try {
-                Pending& p = pending[i];
-                assemble_group(segs, segs_off, chain_off, chain_codes,
-                               ent_hi, ent_lo, master_snps, soff, path_idx,
-                               grp_off, kg, p.g, wcodes, wvoff,
-                               nullptr, nullptr);
-                p.pr = position_group(c, wcodes.data(), wvoff.data(),
-                                      grp_off[p.g + 1] - grp_off[p.g], sc);
-            } catch (const std::bad_alloc&) {
-                oom.store(true);
-                break;
-            } catch (const std::length_error&) {
-                oom.store(true);
-                break;
-            }
-        }
     };
-    std::vector<std::thread> pool;
-    pool.reserve((size_t)T - 1);
-    try {
-        for (int t2 = 0; t2 < T - 1; t2++) pool.emplace_back(worker);
-    } catch (const std::system_error&) {
-        // pthread_create failed (e.g. tight RLIMIT): proceed with the
-        // threads that did start — the calling thread still works
-    }
-    worker();
-    for (auto& th : pool) th.join();
-    if (oom.load()) return -2;
+    pool_for_each(
+        pending.size(), T,
+        [&]() { return WState{}; },
+        [&](WState& w, size_t i) {
+            Pending& p = pending[i];
+            assemble_group(segs, segs_off, chain_off, chain_codes,
+                           ent_hi, ent_lo, master_snps, soff, path_idx,
+                           grp_off, kg, p.g, w.wcodes, w.wvoff,
+                           nullptr, nullptr);
+            p.pr = position_group(c, w.wcodes.data(), w.wvoff.data(),
+                                  grp_off[p.g + 1] - grp_off[p.g], w.sc);
+        });
 
     for (auto& p : pending) commit_group(c, p.found, p.pr, p.seq_len);
     if (c.timing)
