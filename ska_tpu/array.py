@@ -263,10 +263,15 @@ def _np_member(keys: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
     if sorted_set.ndim == 1:
         sorted_set = sorted_set[:, None]
     n, W = keys.shape
+    if len(sorted_set) == 0:
+        # guard BEFORE indexing: clip(idx, 0, -1) would fancy-index row
+        # -1 of a 0-row array and raise, so an empty set must short-
+        # circuit to the all-False mask it logically is
+        return np.zeros(n, dtype=bool)
     if W == 1:
         idx = np.searchsorted(sorted_set[:, 0], keys[:, 0])
         idx = np.clip(idx, 0, len(sorted_set) - 1)
-        return (sorted_set[idx, 0] == keys[:, 0]) & (len(sorted_set) > 0)
+        return sorted_set[idx, 0] == keys[:, 0]
     # two-limb: combine into python-object free comparison via structured sort
     comb_set = _combine128(sorted_set)
     comb_q = _combine128(keys)

@@ -114,21 +114,50 @@ class CoverageHistogram:
 # --- mixture model (coverage.rs:287-363) ---------------------------------------
 
 
+# IEEE shims mirroring Rust f64 semantics: the reference's soft bound is
+# INCLUSIVE (0.0..=1.0, coverage.rs:316), so a line-search probe landing
+# exactly on w0 == 0.0 or 1.0 evaluates ln(0) — which Rust returns as
+# -inf and the optimizer walks away from, while python's math.log/exp
+# and float division raise. A boundary iterate must degrade the
+# objective, not crash the fit.
+
+def _ln(x):
+    if x > 0.0:
+        return math.log(x)
+    return float("-inf") if x == 0.0 else float("nan")
+
+
+def _exp(x):
+    try:
+        return math.exp(x)  # exp(-inf) = 0.0, exp(nan) = nan
+    except OverflowError:
+        return float("inf")  # Rust: exp(huge/ +inf) = +inf
+
+
+def _div(n, d):
+    try:
+        return n / d
+    except ZeroDivisionError:
+        if n == 0.0 or math.isnan(n):
+            return float("nan")
+        return math.copysign(float("inf"), n) * math.copysign(1.0, d)
+
+
 def _lse(a, b):
     m = max(a, b)
-    return m + math.log(math.exp(a - m) + math.exp(b - m))
+    return m + _ln(_exp(a - m) + _exp(b - m))
 
 
 def _ln_dpois(x, lam):
-    return x * math.log(lam) - math.lgamma(x + 1.0) - lam
+    return x * _ln(lam) - math.lgamma(x + 1.0) - lam
 
 
 def _a(w0, i):
-    return math.log(w0) + _ln_dpois(i, 1.0)
+    return _ln(w0) + _ln_dpois(i, 1.0)
 
 
 def _b(w0, c, i):
-    return math.log(1.0 - w0) + _ln_dpois(i, c)
+    return _ln(1.0 - w0) + _ln_dpois(i, c)
 
 
 def _log_likelihood(pars, counts):
@@ -150,9 +179,9 @@ def _grad_ll(pars, counts):
         x = i + 1.0
         av = _a(w0, x)
         bv = _b(w0, c, x)
-        dlda = 1.0 / (1.0 + math.exp(bv - av))
-        dldb = 1.0 / (1.0 + math.exp(av - bv))
-        gw += cnt * (dlda / w0 - dldb / (1.0 - w0))
+        dlda = 1.0 / (1.0 + _exp(bv - av))
+        dldb = 1.0 / (1.0 + _exp(av - bv))
+        gw += cnt * (_div(dlda, w0) - _div(dldb, 1.0 - w0))
         gc += cnt * (dldb * (x / c - 1.0))
     return np.array([gw, gc])
 

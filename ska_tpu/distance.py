@@ -17,7 +17,7 @@ import numpy as np
 
 from .encoding import ASCII_TO_SET, BASE_PROB, SET_TO_ASCII
 
-_CHUNK = 16384
+_CHUNK = 16384  # nominal chunk rows; comments in class_gram reference it
 
 
 @dataclass
@@ -116,8 +116,12 @@ def _dedupe_rows(compact: np.ndarray):
     return compact[order[starts]], counts
 
 
-def class_gram(variants: np.ndarray) -> np.ndarray:
+def class_gram(variants: np.ndarray, on_host=None) -> np.ndarray:
     """Exact int64 co-occurrence Gram over 16 classes. variants: (S, n) uint8.
+
+    on_host: None = pick the kernel from the backend (dedup + weighted
+    f32/f64 sgemm on CPU, undeduped int8 MXU Gram otherwise); tests pass
+    an explicit value to exercise both paths on one backend.
 
     The one-hot width is compacted to the classes actually present
     (typically 5-6 of 16: '-', A, C, G, T and the odd ambiguity code),
@@ -148,7 +152,8 @@ def class_gram(variants: np.ndarray) -> np.ndarray:
     # K == width only survives the bump when class 0 ('-', zero weight in
     # every coefficient table) is present to serve as the pad
     pad_class = K if K < width else int(lut[0])
-    on_host = jax.default_backend() == "cpu"
+    if on_host is None:
+        on_host = jax.default_backend() == "cpu"
     weights = None
     if on_host:
         # Related genomes repeat the same variant row constantly (measured
@@ -161,7 +166,13 @@ def class_gram(variants: np.ndarray) -> np.ndarray:
     # bound one-hot scratch to ~256MB (host sized for the f64 worst case
     # of the weighted kernel) and keep f32 sums exact (< 2^24)
     elt = 8 if on_host else 1
-    chunk = max(_CHUNK, min(1 << 24, (1 << 28) // max(elt * width * n, 1)))
+    # floor at 1024 rows (not _CHUNK): at large sample counts the _CHUNK
+    # floor used to override the scratch bound — e.g. 1024 samples at
+    # width 8 wants chunk 4096 but got 16384, a ~1GB one-hot against the
+    # ~256MB promise. Unchanged whenever the bound already allows
+    # >= _CHUNK rows; power-of-two bucketing keeps the compile cache
+    # effective either way
+    chunk = max(1 << 10, min(1 << 24, (1 << 28) // max(elt * width * n, 1)))
     chunk = 1 << int(np.floor(np.log2(chunk)))
     Gc = np.zeros((n * width, n * width), dtype=np.int64)
     n_chunks = -(-S // chunk)
@@ -192,6 +203,18 @@ def class_gram(variants: np.ndarray) -> np.ndarray:
             bar.update()
     if bar:
         bar.finish()
+    if not on_host and K == width:
+        # The undeduped path's tail padding reused class 0 ('-') as the
+        # pad (no discarded slot when K == width), so every padding row
+        # added exactly 1 to [i, pad, j, pad] for all site pairs —
+        # subtract that contribution so the Gram stays exact (the
+        # weighted host path pads with weight 0 instead). Distances were
+        # right either way (gap-gap coefficients are zero), but
+        # class_gram's own contract is exact counts.
+        total_pad = n_chunks * chunk - S
+        if total_pad:
+            Gv = Gc.reshape(n, width, n, width)
+            Gv[:, pad_class, :, pad_class] -= total_pad
     # scatter compact-class counts back to 16-class coordinates
     G = np.zeros((n, 16, n, 16), dtype=np.int64)
     Gc4 = Gc.reshape(n, width, n, width)[:, :K, :, :K]

@@ -147,8 +147,11 @@ def _check_width(k: int):
 
     The reference panics for k >= 64 with the off-by-one message "k values
     larger than 64 not supported" (lib.rs:986); we keep its boundary
-    (k == 64 rejected) but state it accurately. No lower bound is imposed,
-    matching the reference's wasm path (the CLI validator is stricter).
+    (k == 64 rejected) but state it accurately. No further validation
+    here — but the pipeline underneath enforces odd 5..=63 in BOTH
+    implementations: the reference's SkaDict::new panics "Invalid k-mer
+    length" (ska_dict.rs:342-344) exactly where our build path raises
+    ValueError, so e.g. SkaData(ref, k=8) fails at first use either way.
     """
     if not (k < 64):
         raise ValueError(f"k must be smaller than 64 (got {k})")
@@ -173,7 +176,12 @@ class SkaData:
         self.rc = True
         # rc=True, ambig_mask=False, repeat_mask=False fixed, lib.rs:946-948
         self.reference = RefSka(k, ref_file, True, False, False)
-        self.reference_string = ["".join(map(chr, s)) for s in self.reference.seq]
+        # bulk byte decode (latin-1 = 1:1 byte->char like chr), not a
+        # per-character python loop over multi-Mb chromosomes
+        self.reference_string = [
+            np.asarray(s, dtype=np.uint8).tobytes().decode("latin-1")
+            for s in self.reference.seq
+        ]
         self.n_maps = 0
 
     def map(
@@ -205,7 +213,7 @@ class SkaData:
             cur += len(chrom)
         results["Mapped sequences"] = chunks
         results["Number of variants"] = int(len(self.reference.mapped_pos))
-        mapped = sum(1 for c in whole if c != "-")
+        mapped = len(whole) - whole.count("-")  # O(n) in C, not a char loop
         results["Coverage"] = mapped / len(whole) if whole else 0.0
         return json.dumps(results)
 
@@ -241,6 +249,11 @@ class AlignData:
         self.k = k
         self.file_names: List[str] = []
         self._inputs: List[Tuple[str, str, Optional[str]]] = []
+        # built sample dicts, aligned with _inputs: the reference builds
+        # each added file once and accumulates the dicts
+        # (lib.rs:1205-1384 get_queries), so repeated align() calls must
+        # not re-read and re-build previously added samples
+        self._built: List[SampleDict] = []
 
     def _add(self, f1: str, f2: Optional[str] = None):
         name = os.path.basename(f1)
@@ -285,9 +298,15 @@ class AlignData:
 
         from .merge import merge_samples
 
-        samples = build_samples(
-            self._inputs, self.k, True, _NOFILTER_QUAL, proportion_reads
-        )
+        if len(self._built) < len(self._inputs):
+            # build only this call's new files (proportion_reads applies
+            # to them alone, as in the reference where each align() call
+            # builds just the files it was handed)
+            self._built.extend(build_samples(
+                self._inputs[len(self._built):], self.k, True,
+                _NOFILTER_QUAL, proportion_reads,
+            ))
+        samples = self._built
         arr = merge_samples(samples)
         import io as _io
 

@@ -182,4 +182,10 @@ def test_class_gram_width_bucket_edges():
         v = alpha[rng.integers(0, len(alpha), size=(S, n))]
         # ensure every class of the alphabet appears so K is exact
         v[: len(alpha), 0] = alpha
-        assert np.array_equal(class_gram(v), brute(v)), (bytes(alpha), S, n)
+        # both kernels: the dedup+weighted host path (zero-weight pads)
+        # and the undeduped accelerator path, whose K==width tail pads
+        # reuse class 0 and must be subtracted back out of the Gram
+        assert np.array_equal(class_gram(v, on_host=True), brute(v)), (
+            bytes(alpha), S, n)
+        assert np.array_equal(class_gram(v, on_host=False), brute(v)), (
+            bytes(alpha), S, n)

@@ -176,6 +176,23 @@ def test_fit_histogram_unit():
     assert lines[8].endswith("Error") and lines[9].endswith("Coverage")
 
 
+def test_mixture_boundary_iterates_dont_crash():
+    """The reference's soft bound is INCLUSIVE (0.0..=1.0,
+    coverage.rs:316): a BFGS line-search probe landing exactly on
+    w0 == 0 or 1 evaluates ln(0)/x/0, which Rust degrades to -inf/inf
+    and the optimizer walks away from — python must not raise there."""
+    import math
+
+    from ska_tpu.coverage import _grad_ll, _log_likelihood
+
+    counts = np.array([100.0, 80.0, 60.0, 500.0, 700.0, 300.0])
+    for w0 in (0.0, 1.0):
+        ll = _log_likelihood(np.array([w0, 20.0]), counts)
+        assert not math.isnan(ll)  # finite or -inf, never an exception
+        g = _grad_ll(np.array([w0, 20.0]), counts)
+        assert g.shape == (2,)  # inf/nan entries allowed, raising is not
+
+
 def test_chunked_build_matches_single_dispatch(monkeypatch):
     """Forcing a tiny per-dispatch cap must not change the sample dict:
     FASTA contigs split mid-record (k-1 overlap slices) and FASTQ reads

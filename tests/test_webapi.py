@@ -152,6 +152,56 @@ def test_aligndata_three_fastas(ref_in):
     assert nwk.endswith(";")
 
 
+def test_aligndata_json_key_orders_pin_reference(ref_in):
+    """The reference's two align() return paths insert keys in DIFFERENT
+    orders — (newick, alignment, names) when there are too few sequences
+    (lib.rs:1394-1402) vs (newick, names, alignment) for a real alignment
+    (lib.rs:1436-1443). That inconsistency is the reference's own; we
+    replicate it key-for-key, and this test pins both orders so neither
+    path drifts."""
+    short = AlignData(k=9).align([os.path.join(ref_in, "test_1.fa")])
+    assert list(json.loads(short)) == ["newick", "alignment", "names"]
+    full = AlignData(k=9).align([
+        os.path.join(ref_in, "test_1.fa"),
+        os.path.join(ref_in, "test_2.fa"),
+        os.path.join(ref_in, "test_2_rc.fa"),
+    ])
+    assert list(json.loads(full)) == ["newick", "names", "alignment"]
+
+
+def test_aligndata_incremental_build_cache(ref_in, monkeypatch):
+    """Repeated align() calls must build only the newly added files: the
+    reference builds each file once when handed to align() and
+    accumulates the dicts (lib.rs:1205-1384, get_queries). A second call
+    re-building the whole input list would make the interactive API
+    O(total) per call."""
+    import ska_tpu.webapi as W
+
+    built_batches = []
+    real = W.build_samples
+
+    def counting(inputs, *a, **kw):
+        built_batches.append([name for name, _, _ in inputs])
+        return real(inputs, *a, **kw)
+
+    monkeypatch.setattr(W, "build_samples", counting)
+    ad = AlignData(k=9)
+    out1 = json.loads(ad.align([
+        os.path.join(ref_in, "test_1.fa"),
+        os.path.join(ref_in, "test_2.fa"),
+        os.path.join(ref_in, "test_2_rc.fa"),
+    ]))
+    out2 = json.loads(ad.align([os.path.join(ref_in, "test_ref.fa")]))
+    assert built_batches == [
+        ["test_1.fa", "test_2.fa", "test_2_rc.fa"],
+        ["test_ref.fa"],
+    ]
+    assert out2["names"] == [
+        "test_1.fa", "test_2.fa", "test_2_rc.fa", "test_ref.fa"
+    ]
+    assert out1["newick"].endswith(";") and out2["newick"].endswith(";")
+
+
 def test_aligndata_fastq_pairing(tmp_path, ref_in):
     # copy fixtures under pairable names: differ at the digit only
     import shutil
