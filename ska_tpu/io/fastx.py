@@ -122,8 +122,14 @@ def build_batch(seqs, quals=None) -> SeqBatch:
         ends = offs + lengths - 1
         rec_last[ends[lengths > 0]] = True
     if has_qual:
+        # records WITHOUT quality in a mixed batch (e.g. a FASTA mate in
+        # a FASTQ pair) fill with 0xFF — out of band for PHRED+33
+        # (printable ASCII only) — which _masks treats as always-passing,
+        # matching the reference's `qual: None => true` per-record rule
+        # (split_kmer.rs:66-71); a zero fill would fail every quality
+        # check and silently drop the record's k-mers under strict
         quals_b = [
-            bytes(q) if q is not None else b"\x00" * len(s)
+            bytes(q) if q is not None else b"\xff" * len(s)
             for q, s in zip(quals, seqs_b)
         ]
         qual = np.frombuffer(b"\x00".join(quals_b), dtype=np.uint8)

@@ -17,7 +17,7 @@ from .ops import keys as K
 from .sample import SampleDict
 
 
-def merge_samples(samples: List[SampleDict], ska_version: str = None) -> SkaArray:
+def merge_samples(samples: List[SampleDict]) -> SkaArray:
     """Merge per-sample dictionaries into an array (rows sorted by key).
 
     Equivalent to MergeSkaDict::append/merge + MergeSkaArray::new
@@ -91,6 +91,8 @@ def extend_arrays(arrays: List[SkaArray]) -> SkaArray:
     files keep the file's hashmap row order (io/skf.py preserves it), so
     any unsorted input is per-array sorted first; the numpy lexsort below
     is the no-toolchain fallback."""
+    if not arrays:
+        raise ValueError("No .skf files to merge")
     k = arrays[0].k
     rc = arrays[0].rc
     for a in arrays[1:]:

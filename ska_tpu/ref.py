@@ -7,9 +7,8 @@ those keys in the sample array's sorted key tensor — replacing the
 per-k-mer hashmap lookups of RefSka::map (ska_ref.rs:508-533).
 """
 
-import io as _io
 import os
-from typing import List, Optional
+from typing import List
 
 import jax.numpy as jnp
 import numpy as np
@@ -24,11 +23,6 @@ from .ops import keys as K
 _GAP = ord("-")
 
 
-def _bucket(n: int) -> int:
-    b = 1024
-    while b < n:
-        b *= 2
-    return b
 
 
 class RefSka:
@@ -51,20 +45,88 @@ class RefSka:
         poss = []
         chroms = []
         rcs = []
-        from .sample import _max_chunk_bases
+        # one shared power-of-two bucketing (and dispatch cap) with the
+        # sample-build path, so the two paths' jit shape buckets never
+        # desynchronize; lazy import breaks the module cycle
+        from .sample import _bucket, _max_chunk_bases
 
         cap = _max_chunk_bases()
+
+        def dispatch(seq_np, valid_np, rl_np, pos0):
+            """One padded extraction. pos0 = (starts, base_pos, cids):
+            record start offsets in the flat array, each record's
+            position-0 coordinate within its chromosome, and its chrom
+            id — step functions recovered per emitted window via
+            searchsorted."""
+            Lp = _bucket(len(seq_np) + k + 1)
+            seqp = np.zeros(Lp, np.uint8)
+            seqp[: len(seq_np)] = seq_np
+            validp = np.zeros(Lp, bool)
+            validp[: len(valid_np)] = valid_np
+            rlp = np.zeros(Lp, bool)
+            rlp[: len(rl_np)] = rl_np
+            res = X.extract_windows(
+                jnp.asarray(seqp), jnp.asarray(validp), jnp.asarray(rlp), k, rc, W
+            )
+            idx = np.nonzero(np.asarray(res["emit"]))[0]
+            starts, base_pos, cids = pos0
+            r = np.searchsorted(starts, idx, side="right") - 1
+            kmers.append(np.asarray(res["key"])[idx])
+            poss.append(idx.astype(np.int64) - starts[r] + base_pos[r] + h)
+            chroms.append(cids[r].astype(np.int32))
+            rcs.append(np.asarray(res["is_rc"])[idx])
+
+        # Small chromosomes batch into ONE flat multi-record dispatch
+        # (records separated by 0 bytes, rec_last marking each record's
+        # final base — exactly the sample path's SeqBatch layout), so a
+        # draft assembly with hundreds of contigs pays ~one dispatch, not
+        # one per contig. Oversized chromosomes fall back to k-1-overlap
+        # slicing. Dispatches run in chromosome order, so the positional
+        # arrays concatenate already (chrom, pos)-sorted.
+        flat_parts = []  # (chrom_id, np.uint8 sequence)
+        flat_bases = 0
+
+        def flush_flat():
+            nonlocal flat_bases
+            if not flat_parts:
+                return
+            seq_np = np.frombuffer(
+                b"\x00".join(bytes(s) for _, s in flat_parts), dtype=np.uint8
+            )
+            starts, cids = [], []
+            cur = 0
+            rl = np.zeros(len(seq_np), bool)
+            for ci2, s2 in flat_parts:
+                starts.append(cur)
+                cids.append(ci2)
+                if len(s2):
+                    rl[cur + len(s2) - 1] = True
+                cur += len(s2) + 1
+            valid = ((seq_np & 0xF) != 14) & (seq_np != 0)
+            dispatch(
+                seq_np, valid, rl,
+                (np.asarray(starts, np.int64),
+                 np.zeros(len(starts), np.int64),
+                 np.asarray(cids, np.int64)),
+            )
+            flat_parts.clear()
+            flat_bases = 0
+
         for ci, s in enumerate(self.seq):
             L = len(s)
+            if L + k + 1 <= cap:
+                if flat_parts and flat_bases + L + 1 + k + 1 > cap:
+                    flush_flat()
+                flat_parts.append((ci, s))
+                flat_bases += L + 1
+                continue
+            flush_flat()
             # chromosomes beyond one device dispatch extract in k-1-overlap
             # slices: slice [a, b+k-1) owns exactly the window starts in
             # [a, b), so positions concatenate without loss or duplication
             step = min(L + 1, max(cap - (k - 1), 1))
-            Lp = _bucket(min(L, step + k - 1) + k + 1 + 8)
             a = 0
-            first_pass = True
-            while a < L or (first_pass and L == 0):
-                first_pass = False
+            while a < L:
                 b = min(a + step, L)
                 # the chromosome-final window's emission consults the
                 # previous base (roll-only rule); never start a chunk
@@ -73,22 +135,19 @@ class RefSka:
                     b += 1
                 end = min(b + k - 1, L)
                 n = end - a
-                seq = np.zeros(Lp, np.uint8)
-                seq[:n] = s[a:end]
+                seq = s[a:end]
                 valid = ((seq & 0xF) != 14) & (seq != 0)
-                rec_last = np.zeros(Lp, bool)
+                rec_last = np.zeros(n, bool)
                 if end == L and L:
                     rec_last[n - 1] = True
-                res = X.extract_windows(
-                    jnp.asarray(seq), jnp.asarray(valid), jnp.asarray(rec_last), k, rc, W
+                dispatch(
+                    seq, valid, rec_last,
+                    (np.zeros(1, np.int64),
+                     np.asarray([a], np.int64),
+                     np.asarray([ci], np.int64)),
                 )
-                emit = np.asarray(res["emit"])
-                idx = np.nonzero(emit)[0]
-                kmers.append(np.asarray(res["key"])[idx])
-                poss.append(idx.astype(np.int64) + a + h)  # middle-base position
-                chroms.append(np.full(len(idx), ci, dtype=np.int32))
-                rcs.append(np.asarray(res["is_rc"])[idx])
                 a = b
+        flush_flat()
 
         self.kmers = np.concatenate(kmers) if kmers else np.zeros((0, W), np.uint64)
         self.pos = np.concatenate(poss) if poss else np.zeros(0, np.int64)
@@ -154,12 +213,22 @@ class RefSka:
             raise ValueError(f"K-mer sizes do not match ref:{self.k} skf:{arr.k}")
         self.mapped_names = list(arr.names)
 
+        if arr.ksize == 0:
+            # guard BEFORE the fancy index (row 0 of a 0-row array would
+            # raise); an all-weeded .skf maps nothing, and the writers
+            # then report the reference's clean "No split k-mers mapped
+            # to reference" (ska_ref.rs:557,674)
+            self.mapped_variants = np.zeros((0, len(arr.names)), np.uint8)
+            self.mapped_chrom = self.chrom[:0]
+            self.mapped_pos = self.pos[:0]
+            return
+
         sorted_keys, perm = arr.sorted_view()
         idx = np.asarray(
             K.searchsorted_via_sort(jnp.asarray(sorted_keys), jnp.asarray(self.kmers))
         )
-        idx_c = np.clip(idx, 0, max(arr.ksize - 1, 0))
-        found = np.all(sorted_keys[idx_c] == self.kmers, axis=-1) & (arr.ksize > 0)
+        idx_c = np.clip(idx, 0, arr.ksize - 1)
+        found = np.all(sorted_keys[idx_c] == self.kmers, axis=-1)
 
         hit = np.nonzero(found)[0]
         rows = arr.variants[perm[idx_c[hit]]]

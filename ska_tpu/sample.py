@@ -8,13 +8,12 @@ extract -> (count filter for reads) -> sort -> segmented union.
 
 import os
 from dataclasses import dataclass
-from functools import lru_cache
 from typing import List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
-from .constants import QUAL_MIDDLE, QUAL_NOFILTER, QUAL_STRICT, check_k
+from .constants import QUAL_MIDDLE, QUAL_STRICT, check_k
 from .io import fastx
 from .ops import extract as X
 from .ops import keys as K
@@ -53,10 +52,10 @@ def _bucket(n: int) -> int:
     return b
 
 
-def _subsample_reads(ff: fastx.FastxFile, proportion_reads, start_index=0):
-    """Keep every step-th record, step = round(1/proportion)
-    (reference src/ska_dict.rs:125-141). start_index continues the counter
-    across the file pair? No: the reference resets iter_reads per file."""
+def _subsample_reads(ff: fastx.FastxFile, proportion_reads):
+    """Keep every step-th record, step = round(1/proportion); the counter
+    restarts per file, as the reference resets iter_reads per file
+    (src/ska_dict.rs:125-141)."""
     if proportion_reads is None:
         return ff
     # Rust f64::round = half away from zero (ska_dict.rs:128)
@@ -77,7 +76,12 @@ def _masks(batch: fastx.SeqBatch, qual: QualOpts, is_reads: bool):
     seq = batch.seq
     base_ok = ((seq & 0xF) != 14) & (seq != 0)
     if batch.has_qual:
-        qual_ok = (batch.qual.astype(np.int16) - 33) > qual.min_qual
+        # 0xFF marks a record with no quality scores in a mixed batch
+        # (fastx.build_batch): always passes, like the reference's
+        # `qual: None => true` (split_kmer.rs:66-71)
+        qual_ok = ((batch.qual.astype(np.int16) - 33) > qual.min_qual) | (
+            batch.qual == 0xFF
+        )
     else:
         qual_ok = np.ones(len(seq), dtype=bool)
     if is_reads and batch.has_qual and qual.qual_filter == QUAL_STRICT:

@@ -176,6 +176,32 @@ def test_fit_histogram_unit():
     assert lines[8].endswith("Error") and lines[9].endswith("Coverage")
 
 
+def test_mixed_fastq_fasta_pair_keeps_fasta_kmers(tmp_path):
+    """A file pair may mix a FASTQ with a quality-less mate (FASTA): the
+    reference applies quality PER RECORD and passes records without
+    scores unconditionally (split_kmer.rs:66-71), so under the strict
+    filter the mate's k-mers must survive — a zero-filled quality batch
+    would silently drop every one of them."""
+    from ska_tpu.sample import build_sample
+
+    rng = np.random.default_rng(7)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    sa = rng.choice(bases, 400).tobytes()
+    sb = rng.choice(bases, 400).tobytes()
+    fq = tmp_path / "a.fastq"
+    fq.write_bytes(b"@r1\n" + sa + b"\n+\n" + b"I" * 400 + b"\n")
+    fa = tmp_path / "b.fa"
+    fa.write_bytes(b">c1\n" + sb + b"\n")
+
+    q = QualOpts(min_count=1, min_qual=20, qual_filter=QUAL_STRICT)
+    both = build_sample("s", 17, (str(fq), str(fa)), True, q, None)
+    fa_alone = build_sample("s", 17, (str(fa), None), True, q, None)
+
+    keys_both = {tuple(row) for row in both.keys}
+    keys_fa = {tuple(row) for row in fa_alone.keys}
+    assert keys_fa and keys_fa <= keys_both
+
+
 def test_mixture_boundary_iterates_dont_crash():
     """The reference's soft bound is INCLUSIVE (0.0..=1.0,
     coverage.rs:316): a BFGS line-search probe landing exactly on
