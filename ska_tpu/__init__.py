@@ -43,6 +43,54 @@ if _cache_dir:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+# SKA_DISPATCH_STATS=1: count jit dispatches (each is one relay round
+# trip on remote-attached devices) and backend compiles, printed as one
+# stderr line at exit — `SKA_DISPATCH_STATS {"dispatches": N, ...}`.
+# bench tooling (scripts/bench_cmds.py) parses it so per-command dispatch
+# counts are artifact-visible. Wrapping jax.jit here (before any ska_tpu
+# module imports it) covers every jitted entry point in the package.
+if os.environ.get("SKA_DISPATCH_STATS"):
+    import atexit as _atexit
+    import functools as _functools
+    import json as _json
+    import sys as _sys
+
+    _dispatch_stats = {"jit_dispatches": 0, "backend_compiles": 0}
+    _orig_jit = jax.jit
+
+    def _counting_jit(fun=None, **kw):
+        def wrap(f):
+            jitted = _orig_jit(f, **kw)
+
+            @_functools.wraps(f)
+            def call(*a, **k):
+                _dispatch_stats["jit_dispatches"] += 1
+                return jitted(*a, **k)
+
+            call.lower = jitted.lower
+            return call
+
+        return wrap if fun is None else wrap(fun)
+
+    jax.jit = _counting_jit
+    try:  # compile counts ride jax's own monitoring events (best effort)
+        from jax._src import monitoring as _monitoring
+
+        def _on_duration(event, duration, **kw):  # noqa: ARG001
+            if "compile" in event:
+                _dispatch_stats["backend_compiles"] += 1
+
+        _monitoring.register_event_duration_secs_listener(_on_duration)
+    except Exception:  # noqa: BLE001 - stats are diagnostics only
+        pass
+
+    _atexit.register(
+        lambda: print(
+            "SKA_DISPATCH_STATS " + _json.dumps(_dispatch_stats),
+            file=_sys.stderr,
+        )
+    )
+
 __version__ = "0.5.2"  # capability parity with reference v0.5.2
 
 from . import encoding  # noqa: E402,F401

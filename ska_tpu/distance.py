@@ -17,7 +17,12 @@ import numpy as np
 
 from .encoding import ASCII_TO_SET, BASE_PROB, SET_TO_ASCII
 
-_CHUNK = 16384  # nominal chunk rows; comments in class_gram reference it
+# Accelerator-path dedup ceiling: below this many (pre-dedup) sites the
+# weighted f32 Gram's integer sums are exact (< 2^24), so deduplicated
+# rows + Precision.HIGHEST is both exact and far cheaper to transfer.
+# At or above it the undeduped int8 MXU Gram takes over (exact at any
+# scale). Module-level so tests can monkeypatch it to force either path.
+DEDUP_MAX_SITES = 1 << 24
 
 
 @dataclass
@@ -57,13 +62,12 @@ def _class_tables(filt_ambig: bool):
 
 @partial(jax.jit, static_argnames=("n", "width"))
 def _gram_chunk(classes_chunk, n: int, width: int = 16):
-    """classes_chunk: (C, n) int32 in [0, width). Returns (n*width, n*width)
+    """classes_chunk: (C, n) int8 in [0, width). Returns (n*width, n*width)
     int32 Gram. int8 one-hot feeds the MXU natively (accelerator path;
-    the host path uses _gram_chunk_weighted over deduplicated rows —
-    XLA CPU lowers int8 matmul to naive loops, measured 6.7x slower
-    than sgemm)."""
+    the weighted kernel over deduplicated rows is preferred whenever its
+    f32/f64 sums stay exact — see class_gram)."""
     C = classes_chunk.shape[0]
-    onehot = jax.nn.one_hot(classes_chunk, width, dtype=jnp.int8)  # (C, n, width)
+    onehot = jax.nn.one_hot(classes_chunk.astype(jnp.int32), width, dtype=jnp.int8)
     X = onehot.reshape(C, n * width)
     return jax.lax.dot_general(
         X, X, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
@@ -76,16 +80,23 @@ def _gram_chunk_weighted(classes_chunk, weights, n: int, width: int, f64: bool):
 
     f32 keeps integer sums exact up to 2^24; chunks whose weight total
     exceeds that use f64 (exact to 2^53; x64 is enabled package-wide).
+    Precision.HIGHEST is required: the TPU MXU's default f32 matmul
+    multiplies in bfloat16, which cannot represent the integer weights
+    (8-bit mantissa) — measured wrong counts at 4x4Mb until pinned.
+    HIGHEST decomposes each f32 operand into bf16 limbs covering the
+    full 24-bit mantissa, so integer products and sums below 2^24 stay
+    exact (verified on-device against the int64 oracle in tests).
     """
     C = classes_chunk.shape[0]
     dt = jnp.float64 if f64 else jnp.float32
-    onehot = jax.nn.one_hot(classes_chunk, width, dtype=dt)  # (C, n, width)
+    onehot = jax.nn.one_hot(classes_chunk.astype(jnp.int32), width, dtype=dt)
     X = onehot.reshape(C, n * width)
     return jax.lax.dot_general(
         X * weights[:, None].astype(dt),
         X,
         (((0,), (0,)), ((), ())),
         preferred_element_type=dt,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -120,8 +131,9 @@ def class_gram(variants: np.ndarray, on_host=None) -> np.ndarray:
     """Exact int64 co-occurrence Gram over 16 classes. variants: (S, n) uint8.
 
     on_host: None = pick the kernel from the backend (dedup + weighted
-    f32/f64 sgemm on CPU, undeduped int8 MXU Gram otherwise); tests pass
-    an explicit value to exercise both paths on one backend.
+    f32/f64 sgemm on CPU; dedup + weighted f32 on accelerators while the
+    site count keeps f32 sums exact, undeduped int8 MXU Gram past that);
+    tests pass an explicit value to exercise both paths on one backend.
 
     The one-hot width is compacted to the classes actually present
     (typically 5-6 of 16: '-', A, C, G, T and the odd ambiguity code),
@@ -145,34 +157,41 @@ def class_gram(variants: np.ndarray, on_host=None) -> np.ndarray:
     width = next(w for w in (4, 8, 16) if w >= K)
     if K == width and 0 not in present:
         width = 16 if width == 8 else 8
-    lut = np.zeros(16, np.int32)
-    lut[present] = np.arange(K, dtype=np.int32)
-    compact = lut[classes]
+    lut = np.zeros(16, np.int8)
+    lut[present] = np.arange(K, dtype=np.int8)
+    compact = lut[classes].astype(np.int8)
     # tail padding: prefer a discarded slot (sliced off at scatter-back);
     # K == width only survives the bump when class 0 ('-', zero weight in
     # every coefficient table) is present to serve as the pad
     pad_class = K if K < width else int(lut[0])
     if on_host is None:
         on_host = jax.default_backend() == "cpu"
+    # Related genomes repeat the same variant row constantly (measured
+    # 11.4x dedup at 1.15M rows x 128 samples), and distance runs after a
+    # NoConst filter so the site count is modest anyway. Deduping on the
+    # host shrinks BOTH the matmul rows and — decisive through the 25MB/s
+    # axon relay — the host->device transfer, so the accelerator path
+    # dedupes too whenever the weighted kernel's float sums stay exact:
+    # f32 partial sums are exact integers below 2^24, so any dataset with
+    # < 16.7M sites qualifies (f64 on the TPU is emulated/unsupported, so
+    # past that the undeduped int8 MXU Gram — exact by construction —
+    # takes over there; the host keeps using f64).
     weights = None
-    if on_host:
-        # Related genomes repeat the same variant row constantly (measured
-        # 11.4x dedup at 1.15M rows x 128 samples); host sgemm time scales
-        # with rows, so dedupe + weighted Gram wins there. The TPU path
-        # keeps the undeduped int8 one-hot: it feeds the MXU natively and
-        # finishes in well under a second at bacterial scale.
+    if on_host or S < DEDUP_MAX_SITES:
         compact, weights = _dedupe_rows(compact)
         S = len(compact)
     # bound one-hot scratch to ~256MB (host sized for the f64 worst case
     # of the weighted kernel) and keep f32 sums exact (< 2^24)
-    elt = 8 if on_host else 1
-    # floor at 1024 rows (not _CHUNK): at large sample counts the _CHUNK
-    # floor used to override the scratch bound — e.g. 1024 samples at
-    # width 8 wants chunk 4096 but got 16384, a ~1GB one-hot against the
-    # ~256MB promise. Unchanged whenever the bound already allows
-    # >= _CHUNK rows; power-of-two bucketing keeps the compile cache
-    # effective either way
+    elt = 8 if on_host else (4 if weights is not None else 1)
+    # floor at 1024 rows: a fixed 16K floor used to override the scratch
+    # bound at large sample counts — e.g. 1024 samples at width 8 wants
+    # chunk 4096, and 16384 would be a ~1GB one-hot against the ~256MB
+    # promise. Power-of-two bucketing keeps the compile cache effective
     chunk = max(1 << 10, min(1 << 24, (1 << 28) // max(elt * width * n, 1)))
+    # ... but never a chunk bigger than the pow2 bucket that holds the
+    # data: the r3 device bench padded ~48K real rows out to the full
+    # 8.4M-row scratch-bound chunk, a 134MB relay transfer of padding
+    chunk = min(chunk, max(1 << 10, 1 << int(np.ceil(np.log2(max(S, 1))))))
     chunk = 1 << int(np.floor(np.log2(chunk)))
     Gc = np.zeros((n * width, n * width), dtype=np.int64)
     n_chunks = -(-S // chunk)
@@ -185,12 +204,14 @@ def class_gram(variants: np.ndarray, on_host=None) -> np.ndarray:
         c = compact[s0 : s0 + chunk]
         npad = chunk - len(c)
         if npad:
-            c = np.concatenate([c, np.full((npad, n), pad_class, np.int32)])
-        if on_host:
+            c = np.concatenate([c, np.full((npad, n), pad_class, np.int8)])
+        if weights is not None:
             w = weights[s0 : s0 + chunk]
             if npad:
                 w = np.concatenate([w, np.zeros(npad, w.dtype)])
-            f64 = int(w.sum()) >= (1 << 24)  # keep f32 sums exactly integral
+            # keep f32 sums exactly integral; the accelerator path only
+            # dedupes below 2^24 total sites so f64 stays host-only
+            f64 = bool(on_host and int(w.sum()) >= (1 << 24))
             Gc += np.asarray(
                 _gram_chunk_weighted(jnp.asarray(c), jnp.asarray(w), n, width, f64),
                 dtype=np.int64,
@@ -203,7 +224,7 @@ def class_gram(variants: np.ndarray, on_host=None) -> np.ndarray:
             bar.update()
     if bar:
         bar.finish()
-    if not on_host and K == width:
+    if weights is None and K == width:
         # The undeduped path's tail padding reused class 0 ('-') as the
         # pad (no discarded slot when K == width), so every padding row
         # added exactly 1 to [i, pad, j, pad] for all site pairs —

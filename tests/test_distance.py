@@ -176,16 +176,52 @@ def test_class_gram_width_bucket_edges():
                     G[i * 16 + row[i], j * 16 + row[j]] += 1
         return G
 
+    import ska_tpu.distance as dist_mod
+
     acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
     eight = np.frombuffer(b"-ACGTRYS", dtype=np.uint8)
     for alpha, S, n in [(acgt, 77, 3), (eight, 130, 5), (acgt, 16384 + 3, 2)]:
         v = alpha[rng.integers(0, len(alpha), size=(S, n))]
         # ensure every class of the alphabet appears so K is exact
         v[: len(alpha), 0] = alpha
-        # both kernels: the dedup+weighted host path (zero-weight pads)
-        # and the undeduped accelerator path, whose K==width tail pads
-        # reuse class 0 and must be subtracted back out of the Gram
+        # all three kernels: the dedup+weighted host path (zero-weight
+        # pads), the dedup+weighted accelerator path, and — by forcing
+        # the dedup ceiling to 0 — the undeduped accelerator path, whose
+        # K==width tail pads reuse class 0 and must be subtracted back
+        # out of the Gram
         assert np.array_equal(class_gram(v, on_host=True), brute(v)), (
             bytes(alpha), S, n)
         assert np.array_equal(class_gram(v, on_host=False), brute(v)), (
             bytes(alpha), S, n)
+        ceiling = dist_mod.DEDUP_MAX_SITES
+        try:
+            dist_mod.DEDUP_MAX_SITES = 0
+            assert np.array_equal(class_gram(v, on_host=False), brute(v)), (
+                "undeduped", bytes(alpha), S, n)
+        finally:
+            dist_mod.DEDUP_MAX_SITES = ceiling
+
+
+def test_weighted_gram_integer_exactness():
+    """The weighted f32 Gram must be exact for integer weights with chunk
+    totals just under 2^24 — on the TPU MXU this requires
+    Precision.HIGHEST (default f32 matmul multiplies in bfloat16 and was
+    measured to corrupt counts at 4x4Mb genome scale)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ska_tpu.distance import _gram_chunk_weighted
+
+    rng = np.random.default_rng(3)
+    C, n, width = 1024, 4, 8
+    classes = rng.integers(0, width, size=(C, n)).astype(np.int8)
+    w = (rng.integers(1, 32767, size=C).astype(np.int64)) | 1  # odd
+    w[0] = (1 << 24) - 1 - int(w[1:].sum())
+    assert w[0] > 0 and int(w.sum()) == (1 << 24) - 1
+    G = np.asarray(
+        _gram_chunk_weighted(jnp.asarray(classes), jnp.asarray(w), n, width, False),
+        np.int64,
+    )
+    onehot = np.eye(width, dtype=np.int64)[classes].reshape(C, n * width)
+    oracle = (onehot * w[:, None]).T @ onehot
+    assert np.array_equal(G, oracle)
