@@ -43,10 +43,13 @@ def measure_reference_proxy(k=31):
     or (estimate, 'estimated') if anything fails."""
     exe = os.path.join(HERE, "csrc", "ref_baseline")
     src = os.path.join(HERE, "csrc", "ref_baseline.cpp")
+    src2 = os.path.join(HERE, "csrc", "skanative.cpp")
     try:
-        if not os.path.exists(exe) or os.path.getmtime(src) > os.path.getmtime(exe):
+        if not os.path.exists(exe) or max(
+            os.path.getmtime(src), os.path.getmtime(src2)
+        ) > os.path.getmtime(exe):
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-std=c++17", "-o", exe, src],
+                ["g++", "-O3", "-march=native", "-std=c++17", "-o", exe, src, src2],
                 check=True, capture_output=True,
             )
         best = 0.0
@@ -219,12 +222,54 @@ def _child(status_path, result_path):
 
     k1, k2 = 31, 63
 
-    def write_result(r1, r2):
+    def write_result(r1, r2, oracle_ok=None, oracle_note=None):
         tmp = result_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"w1_kmers_per_sec": r1, "w2_kmers_per_sec": r2,
-                       "S": S, "L": L, "k1": k1, "k2": k2}, f)
+                       "S": S, "L": L, "k1": k1, "k2": k2,
+                       "oracle_ok": oracle_ok, "oracle_note": oracle_note}, f)
         os.replace(tmp, result_path)
+
+    def run_oracle():
+        """On-chip correctness certificate (driver-verified, not
+        self-reported): build the k=9 reference fixtures and `ska map`
+        them on the DEFAULT backend (the real chip under the driver),
+        byte-comparing stdout to the reference golden
+        (tests/test_results_correct/map_aln_k9.stdout, produced by
+        reference tests/map.rs:33-43). Returns (ok, note)."""
+        fixtures = os.environ.get(
+            "SKA_ORACLE_FIXTURES", "/root/reference/tests")
+        fin = os.path.join(fixtures, "test_files_in")
+        golden = os.path.join(
+            fixtures, "test_results_correct", "map_aln_k9.stdout")
+        if not os.path.exists(golden):
+            return None, f"fixtures unavailable at {fixtures}"
+        try:
+            with tempfile.TemporaryDirectory() as otd:
+                skf = os.path.join(otd, "merged_k9")
+                subprocess.run(
+                    [sys.executable, os.path.join(HERE, "ska.py"), "build",
+                     "-o", skf, "-k", "9",
+                     os.path.join(fin, "test_1.fa"),
+                     os.path.join(fin, "test_2.fa")],
+                    check=True, capture_output=True, timeout=420, cwd=HERE,
+                )
+                out = subprocess.run(
+                    [sys.executable, os.path.join(HERE, "ska.py"), "map",
+                     os.path.join(fin, "test_ref.fa"), skf + ".skf"],
+                    check=True, capture_output=True, timeout=420, cwd=HERE,
+                ).stdout
+            with open(golden, "rb") as f:
+                want = f.read()
+            if out == want:
+                return True, "build k=9 + map byte-equal to map_aln_k9.stdout"
+            return False, (f"map output differs from golden "
+                           f"({len(out)} vs {len(want)} bytes)")
+        except subprocess.TimeoutExpired:
+            return None, "oracle CLI run stalled (relay weather)"
+        except subprocess.CalledProcessError as e:
+            tail = (e.stderr or b"")[-200:].decode("utf-8", "replace")
+            return False, f"oracle CLI failed: {tail}"
 
     r1 = measure(k1, "w1")
     if r1 is None:
@@ -237,6 +282,9 @@ def _child(status_path, result_path):
     write_result(r1, None)
     r2 = measure(k2, "w2", batches=2)
     write_result(r1, r2)
+    set_phase("oracle")
+    ok, note = run_oracle()
+    write_result(r1, r2, ok, note)
     set_phase("done")
     sys.exit(0)
 
@@ -253,7 +301,7 @@ def run_cmd_bench(remaining_budget_s):
     """
     if os.environ.get("SKA_BENCH_CMDS", "1") == "0":
         return None
-    budget = min(float(os.environ.get("SKA_BENCH_CMDS_BUDGET_S", 1200)),
+    budget = min(float(os.environ.get("SKA_BENCH_CMDS_BUDGET_S", 1500)),
                  remaining_budget_s - 60)
     if budget < 300:
         print(f"cmd bench skipped: only {budget:.0f}s budget left",
@@ -269,17 +317,20 @@ def run_cmd_bench(remaining_budget_s):
             except ValueError:
                 pass
     out_name = f"BENCH_CMDS_r{n:02d}.json"
+    # ~19 runs (6 cmds x warm-up + device + host); bench_cmds.py rewrites
+    # the JSON after every command, so a budget kill still leaves the rows
+    # measured so far on disk
     try:
         subprocess.run(
             [sys.executable, os.path.join(HERE, "scripts", "bench_cmds.py"),
              "--json", os.path.join(HERE, out_name),
-             "--cmd-timeout", str(max(120.0, budget / 7))],
+             "--cmd-timeout", str(max(150.0, budget / 10))],
             timeout=budget, check=True, cwd=HERE,
             stdout=sys.stderr, stderr=subprocess.STDOUT,
         )
     except Exception as e:  # noqa: BLE001 - artifact is best-effort
         print(f"cmd bench failed: {e}", file=sys.stderr)
-        return None
+        return os.path.exists(os.path.join(HERE, out_name)) and out_name or None
     return out_name
 
 
@@ -373,6 +424,11 @@ def main():
                 if res["w2_kmers_per_sec"] and ref2:
                     out["w2_vs_baseline_k63"] = round(res["w2_kmers_per_sec"] / ref2, 3)
                     out["baseline_k63_kmers_per_sec"] = round(ref2)
+                # on-chip correctness certificate (build k=9 fixtures +
+                # map vs the reference golden, run on the default backend)
+                out["oracle_ok"] = res.get("oracle_ok")
+                if res.get("oracle_note"):
+                    out["oracle_note"] = res["oracle_note"]
                 if res["w2_kmers_per_sec"] is None and rc != 0:
                     out["w2_error"] = last_status.get(
                         "error", f"W=2 not measured (child rc={rc})")

@@ -39,23 +39,12 @@ def build(
     SKA_DISTRIBUTED=1 (force on, e.g. for the virtual CPU mesh), =0
     (force off); default auto = on for multi-chip accelerator backends.
     """
-    import os
-
     import numpy as np
 
+    from .parallel import use_distributed
     from .sample import build_samples_merged
 
-    flag = os.environ.get("SKA_DISTRIBUTED", "auto")
-    use_dist = False
-    if flag != "0":
-        import jax
-
-        n_dev = len(jax.devices())
-        plat = jax.devices()[0].platform
-        use_dist = flag == "1" and n_dev > 1 or (
-            flag == "auto" and n_dev > 1 and plat != "cpu"
-        )
-    if use_dist:
+    if use_distributed():
         from .sample import build_samples_distributed
 
         batches = build_samples_distributed(input_files, k, rc, qual, proportion_reads)

@@ -146,6 +146,18 @@ def class_gram(variants: np.ndarray, on_host=None) -> np.ndarray:
     matters more than minimal padding.
     """
     S, n = variants.shape
+    if on_host is None:
+        from .parallel import use_distributed
+
+        if use_distributed():
+            # site-sharded Gram + psum over the device mesh (goes beyond
+            # the single-node reference; parallel/postbuild.py). Its
+            # past-the-ceiling fallback calls back with on_host=False,
+            # which skips this gate.
+            from .parallel import build_mesh
+            from .parallel.postbuild import distributed_class_gram
+
+            return distributed_class_gram(variants, build_mesh())
     classes = ASCII_TO_SET[variants].astype(np.int32)
     # one linear pass (np.unique would sort all S*n elements)
     present = np.flatnonzero(np.bincount(classes.ravel(), minlength=16)).astype(

@@ -17,3 +17,21 @@ from .build import (  # noqa: F401
     dryrun_step,
 )
 from .multihost import init_multihost, is_primary  # noqa: F401
+
+
+def use_distributed() -> bool:
+    """Shared mesh-path policy: SKA_DISTRIBUTED=1 forces on with >1
+    device (e.g. the virtual CPU mesh), =0 forces off, default auto =
+    on for multi-chip accelerator backends (same gate api.build uses)."""
+    import os
+
+    flag = os.environ.get("SKA_DISTRIBUTED", "auto")
+    if flag == "0":
+        return False
+    import jax
+
+    n_dev = len(jax.devices())
+    plat = jax.devices()[0].platform
+    return flag == "1" and n_dev > 1 or (
+        flag == "auto" and n_dev > 1 and plat != "cpu"
+    )

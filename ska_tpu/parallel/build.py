@@ -478,4 +478,17 @@ def dryrun_step(n_devices: int, k: int = 17, L: int = 512, per_dev_samples: int 
     ]
     keys4, var4, _, n4 = distributed_build_multi(calls, k, True, mesh)
     assert n4 > 0 and var4.shape == (n4, 2 * n_samples)
+
+    # distributed post-build modes over the same mesh (postbuild.py):
+    # key-range-sharded map lookup and site-sharded distance Gram
+    from .postbuild import distributed_class_gram, distributed_lookup
+
+    queries = np.concatenate([keys[::3], keys[:4] ^ np.uint64(0x5A5A)])
+    found, rows = distributed_lookup(keys, queries, mesh)
+    n_hits = len(keys[::3])
+    assert found[:n_hits].all()
+    assert np.array_equal(keys[rows[:n_hits]], keys[::3])
+    G = distributed_class_gram(variants, mesh)
+    # every site contributes one class co-occurrence per (i, j) pair
+    assert int(G.sum()) == variants.shape[0] * variants.shape[1] ** 2
     return n_rows

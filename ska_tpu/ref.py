@@ -224,14 +224,29 @@ class RefSka:
             return
 
         sorted_keys, perm = arr.sorted_view()
-        idx = np.asarray(
-            K.searchsorted_via_sort(jnp.asarray(sorted_keys), jnp.asarray(self.kmers))
-        )
-        idx_c = np.clip(idx, 0, arr.ksize - 1)
-        found = np.all(sorted_keys[idx_c] == self.kmers, axis=-1)
+        from .parallel import use_distributed
 
-        hit = np.nonzero(found)[0]
-        rows = arr.variants[perm[idx_c[hit]]]
+        if use_distributed():
+            # key-range-sharded lookup over the device mesh (goes beyond
+            # the single-node reference; parallel/postbuild.py)
+            from .parallel import build_mesh
+            from .parallel.postbuild import distributed_lookup
+
+            found, rows_idx = distributed_lookup(
+                sorted_keys, self.kmers, build_mesh()
+            )
+            hit = np.nonzero(found)[0]
+            rows = arr.variants[perm[rows_idx[hit]]]
+        else:
+            idx = np.asarray(
+                K.searchsorted_via_sort(
+                    jnp.asarray(sorted_keys), jnp.asarray(self.kmers)
+                )
+            )
+            idx_c = np.clip(idx, 0, arr.ksize - 1)
+            found = np.all(sorted_keys[idx_c] == self.kmers, axis=-1)
+            hit = np.nonzero(found)[0]
+            rows = arr.variants[perm[idx_c[hit]]]
         # reverse-strand hits translate through RC_IUPAC (ska_ref.rs:520-526)
         hit_rc = self.krc[hit]
         rows = np.where(hit_rc[:, None], RC_IUPAC[rows], rows)

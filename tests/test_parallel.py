@@ -346,3 +346,161 @@ def test_distributed_build_int64_scatter_branch(monkeypatch):
     np.testing.assert_array_equal(keys, arr.keys)
     np.testing.assert_array_equal(variants, arr.variants)
     np.testing.assert_array_equal(counts, arr.counts)
+
+
+# ---------------------------------------------------------------------------
+# distributed post-build modes (map lookup + distance Gram)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("W,n_dev", [(1, 8), (2, 8), (1, 3), (1, 1)])
+def test_distributed_lookup_matches_serial(W, n_dev):
+    """Key-range-sharded lookup == serial searchsorted + equality check,
+    with hits, misses, duplicates, and out-of-range queries."""
+    from ska_tpu.parallel.postbuild import distributed_lookup
+
+    rng = np.random.default_rng(42 + W + n_dev)
+    R, Q = 1000, 700
+    keys = rng.integers(0, 1 << 60, size=(R + 200, W), dtype=np.uint64)
+    keys = np.unique(keys, axis=0)[:R]
+    # queries: half real keys (hits incl. duplicates), half random (mostly
+    # misses), plus boundary cases
+    qs = np.concatenate(
+        [
+            keys[rng.integers(0, len(keys), size=Q // 2)],
+            rng.integers(0, 1 << 60, size=(Q - Q // 2, W), dtype=np.uint64),
+            keys[:1],                      # global min
+            keys[-1:],                     # global max
+            np.zeros((1, W), np.uint64),   # below all
+            np.full((1, W), (1 << 60) - 1, np.uint64),  # above most
+        ]
+    )
+    mesh = build_mesh(n_dev)
+    found, rows = distributed_lookup(keys, qs, mesh)
+
+    # serial oracle
+    from ska_tpu.array import _np_member
+    import ska_tpu.ops.keys as K
+
+    if W == 1:
+        idx = np.searchsorted(keys[:, 0], qs[:, 0])
+    else:
+        comb = np.ascontiguousarray(keys.astype(">u8")).view("S16").ravel()
+        qc = np.ascontiguousarray(qs.astype(">u8")).view("S16").ravel()
+        idx = np.searchsorted(comb, qc)
+    idx_c = np.clip(idx, 0, len(keys) - 1)
+    oracle_found = np.all(keys[idx_c] == qs, axis=-1)
+    assert np.array_equal(found, oracle_found)
+    assert np.array_equal(rows[found], idx_c[oracle_found])
+
+
+def test_distributed_lookup_capacity_escalation(monkeypatch):
+    """All queries landing in one device's key range must escalate the
+    all_to_all capacity, not drop answers."""
+    from ska_tpu.parallel import postbuild
+
+    rng = np.random.default_rng(7)
+    keys = np.sort(rng.integers(0, 1 << 60, size=512, dtype=np.uint64))
+    keys = np.unique(keys)[:, None]
+    # every query inside the FIRST device's range -> bucket skew
+    qs = keys[: len(keys) // 8][rng.integers(0, len(keys) // 8, size=400)]
+    mesh = build_mesh(8)
+    found, rows = postbuild.distributed_lookup(keys, qs, mesh)
+    assert found.all()
+    assert np.array_equal(keys[rows], qs)
+
+
+@pytest.mark.parametrize("n,alpha", [(4, b"-ACGT"), (6, b"-ACGTRYSN")])
+def test_distributed_class_gram_matches_serial(n, alpha):
+    from ska_tpu.distance import class_gram
+    from ska_tpu.parallel.postbuild import distributed_class_gram
+
+    rng = np.random.default_rng(5 + n)
+    letters = np.frombuffer(alpha, np.uint8)
+    variants = letters[rng.integers(0, len(letters), size=(5000, n))]
+    mesh = build_mesh(8)
+    G_dist = distributed_class_gram(variants, mesh)
+    G_serial = class_gram(variants, on_host=True)
+    assert np.array_equal(G_dist, G_serial)
+
+
+def test_distributed_map_pipeline_equality(tmp_path):
+    """End-to-end: RefSka.map rows via distributed lookup == serial map
+    (same mapped variants in the same positional order)."""
+    from ska_tpu.api import build
+    from ska_tpu.parallel.postbuild import distributed_lookup
+    from ska_tpu.ref import RefSka
+    from ska_tpu.sample import QualOpts
+    import ska_tpu.ops.keys as K
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    ref = rng.choice(bases, size=5000)
+    files = []
+    for i in range(3):
+        g = ref.copy()
+        pos = rng.choice(len(g), size=50, replace=False)
+        g[pos] = bases[(np.searchsorted(bases, g[pos]) + 1) % 4]
+        p = tmp_path / f"s{i}.fa"
+        p.write_bytes(b">s%d\n" % i + g.tobytes() + b"\n")
+        files.append((f"s{i}", str(p), None))
+    ref_f = tmp_path / "ref.fa"
+    ref_f.write_bytes(b">ref\n" + ref.tobytes() + b"\n")
+
+    qual = QualOpts(min_count=0, min_qual=0, qual_filter="strict")
+    arr = build(files, 17, True, qual)
+    ska_ref = RefSka(17, str(ref_f), True, False, False)
+
+    sorted_keys, perm = arr.sorted_view()
+    # serial
+    idx = np.asarray(
+        K.searchsorted_via_sort(jnp.asarray(sorted_keys), jnp.asarray(ska_ref.kmers))
+    )
+    idx_c = np.clip(idx, 0, arr.ksize - 1)
+    s_found = np.all(sorted_keys[idx_c] == ska_ref.kmers, axis=-1)
+    # distributed
+    mesh = build_mesh(8)
+    d_found, d_rows = distributed_lookup(sorted_keys, ska_ref.kmers, mesh)
+    assert np.array_equal(d_found, s_found)
+    assert np.array_equal(d_rows[d_found], idx_c[s_found])
+
+
+def test_distributed_modes_end_to_end_equality(tmp_path, monkeypatch):
+    """`ska map` and `ska distance` outputs are byte-identical with the
+    mesh path forced on (SKA_DISTRIBUTED=1, 8-device virtual mesh) vs
+    forced off."""
+    import io
+
+    from ska_tpu import api
+    from ska_tpu.sample import QualOpts
+
+    rng = np.random.default_rng(23)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    ref = rng.choice(bases, size=8000)
+    files = []
+    for i in range(4):
+        g = ref.copy()
+        pos = rng.choice(len(g), size=80, replace=False)
+        g[pos] = bases[(np.searchsorted(bases, g[pos]) + 1 + i % 3) % 4]
+        p = tmp_path / f"s{i}.fa"
+        p.write_bytes(b">s%d\n" % i + g.tobytes() + b"\n")
+        files.append((f"s{i}", str(p), None))
+    ref_f = tmp_path / "ref.fa"
+    ref_f.write_bytes(b">ref\n" + ref.tobytes() + b"\n")
+    qual = QualOpts(min_count=0, min_qual=0, qual_filter="strict")
+
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("SKA_DISTRIBUTED", flag)
+        arr = api.build(files, 31, True, qual)
+        m = io.BytesIO()
+        api.map_mode(arr.copy_like(), str(ref_f), m, fmt="aln")
+        v = io.StringIO()
+        api.map_mode(arr.copy_like(), str(ref_f), v, fmt="vcf")
+        d = io.StringIO()
+        api.distance_mode(arr.copy_like(), d, min_freq=0.0, filt_ambig=True)
+        outs[flag] = (m.getvalue(), v.getvalue(), d.getvalue())
+    assert outs["0"][0] == outs["1"][0], "map aln differs"
+    assert outs["0"][1] == outs["1"][1], "map vcf differs"
+    assert outs["0"][2] == outs["1"][2], "distance differs"
