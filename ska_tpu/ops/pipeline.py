@@ -300,6 +300,61 @@ def merged_build_pipeline(
     return ukeys, variants, counts, n_rows
 
 
+def device_masks(seqs, quals, rec_ends, min_qual: int, strict_valid: bool,
+                 has_qual: bool):
+    """Compute the validity/quality/record-end masks ON DEVICE from raw
+    bytes (sample.py:_masks semantics), so the host ships 1 byte/base
+    (FASTA) or 2 (FASTQ) instead of 4 — decisive through a ~25MB/s
+    remote-attached link, and a 4x staging-memcpy cut on PCIe hosts.
+
+    seqs (S, L) uint8 (0 = padding), quals (S, L) uint8 or (S, 1) dummy
+    when has_qual=False (0xFF = record without scores, always passes:
+    split_kmer.rs:66-71), rec_ends (S, E) int32 record-final positions
+    (>= L = padding). Returns (valid, qual_ok, rec_last) (S, L) bool.
+    """
+    S, L = seqs.shape
+    base_ok = ((seqs & jnp.uint8(0xF)) != 14) & (seqs != 0)
+    if has_qual:
+        qual_ok = (
+            (quals.astype(jnp.int16) - 33) > jnp.int16(min_qual)
+        ) | (quals == 0xFF)
+    else:
+        qual_ok = jnp.ones_like(base_ok)
+    valid = base_ok & qual_ok if strict_valid else base_ok
+    row = jnp.broadcast_to(
+        jnp.arange(S, dtype=jnp.int32)[:, None], rec_ends.shape
+    )
+    rec_last = (
+        jnp.zeros((S, L + 1), bool)
+        .at[row, jnp.minimum(rec_ends, L)]
+        .set(True)[:, :L]
+    )
+    return valid, qual_ok, rec_last
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "rc", "W", "is_reads", "use_mid_qual", "min_count",
+        "min_qual", "strict_valid", "has_qual",
+    ),
+)
+def merged_build_from_raw(
+    seqs, quals, rec_ends,
+    k: int, rc: bool, W: int, is_reads: bool, use_mid_qual: bool,
+    min_count: int, min_qual: int, strict_valid: bool, has_qual: bool,
+):
+    """merged_build_pipeline fed by raw bytes: masks are derived on
+    device (device_masks) inside the same dispatch."""
+    valid, qual_ok, rec_last = device_masks(
+        seqs, quals, rec_ends, min_qual, strict_valid, has_qual
+    )
+    return merged_build_pipeline.__wrapped__(
+        seqs, valid, qual_ok, rec_last, k, rc, W, is_reads, use_mid_qual,
+        min_count,
+    )
+
+
 def unpack_host(sp_np, union_np, end_np, W):
     """Host-side compaction of the pipeline output into (keys (n, W), sets)."""
     sp_np = np.asarray(sp_np)

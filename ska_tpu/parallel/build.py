@@ -92,6 +92,22 @@ def _local_triples(
     return keyv[None], sid[None], setv[None]
 
 
+def _local_triples_raw(
+    seqs, quals, rec_ends, sids,
+    k, rc, W, is_reads, use_mq, min_count, min_qual, strict_valid, has_qual,
+):
+    """Raw-bytes variant of _local_triples: masks are derived on device
+    (ops.pipeline.device_masks) inside the shard, so the host ships 1-2
+    bytes/base instead of 4."""
+    valid, qual_ok, rec_last = PIPE.device_masks(
+        seqs, quals, rec_ends, min_qual, strict_valid, has_qual
+    )
+    return _local_triples(
+        seqs, valid, qual_ok, rec_last, sids,
+        k, rc, W, is_reads, use_mq, min_count,
+    )
+
+
 def _merge_shard(keyv_parts, sid_parts, set_parts, n_dev, n_samples, C_pair):
     """Inside shard_map: one global key-range exchange + bucket merge over
     the concatenation of every group's device-local triples."""
@@ -230,6 +246,33 @@ def _jit_local(
     return fn(seqs, valid, qual_ok, rec_last, sids)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "rc", "W", "is_reads", "use_mq", "min_count", "min_qual",
+        "strict_valid", "has_qual", "mesh_holder",
+    ),
+)
+def _jit_local_raw(
+    seqs, quals, rec_ends, sids,
+    k, rc, W, is_reads, use_mq, min_count, min_qual, strict_valid, has_qual,
+    mesh_holder,
+):
+    mesh = mesh_holder.mesh
+    fn = jax.shard_map(
+        partial(
+            _local_triples_raw,
+            k=k, rc=rc, W=W,
+            is_reads=is_reads, use_mq=use_mq, min_count=min_count,
+            min_qual=min_qual, strict_valid=strict_valid, has_qual=has_qual,
+        ),
+        mesh=mesh,
+        in_specs=(P("samples"), P("samples"), P("samples"), P("samples")),
+        out_specs=(P("samples"), P("samples"), P("samples")),
+    )
+    return fn(seqs, quals, rec_ends, sids)
+
+
 @partial(jax.jit, static_argnames=("n_samples", "C_pair", "mesh_holder"))
 def _jit_merge(keyv_parts, sid_parts, set_parts, n_samples, C_pair, mesh_holder):
     mesh = mesh_holder.mesh
@@ -272,8 +315,14 @@ def distributed_build_multi(calls, k, rc, mesh, min_count=0):
     """Full distributed build+merge of a mixed-shape cohort in ONE
     key-range exchange.
 
-    calls: list of dicts, one per (length bucket, FASTQ config) group:
-      seqs/valid/qual/rec_last: (S_c, L_c) host arrays
+    calls: list of dicts, one per (length bucket, FASTQ config) group.
+    Two staging shapes are accepted:
+      legacy masks — seqs/valid/qual/rec_last: (S_c, L_c) host arrays
+      raw bytes    — key "quals" present: seqs (S_c, L_c) uint8,
+        quals (S_c, L_c) or (S_c, 1) uint8, rec_ends (S_c, E) int32,
+        plus min_qual/strict_valid/has_qual config; masks are derived
+        on device (1-2 bytes/base cross the link instead of 4)
+    plus in both shapes:
       sids: (S_c,) int32 GLOBAL cohort column of each row
       is_reads/use_mq: bool pipeline config for the group
     The host arrays are CONSUMED (set to None) as each group is staged
@@ -309,29 +358,51 @@ def distributed_build_multi(calls, k, rc, mesh, min_count=0):
         seqs_np = np.asarray(c["seqs"])
         S_in, L = seqs_np.shape
         S_pad = -(-S_in // D) * D
-        valid_np = np.asarray(c["valid"])
-        qual_np = np.asarray(c["qual"])
-        rl_np = np.asarray(c["rec_last"])
+        raw = "quals" in c
         sids_np = np.asarray(c["sids"], dtype=np.int32)
+        if raw:
+            quals_np = np.asarray(c["quals"])
+            ends_np = np.asarray(c["rec_ends"], dtype=np.int32)
+        else:
+            valid_np = np.asarray(c["valid"])
+            qual_np = np.asarray(c["qual"])
+            rl_np = np.asarray(c["rec_last"])
         if S_pad != S_in:
             padrow = ((0, S_pad - S_in), (0, 0))
-            seqs_np = np.pad(seqs_np, padrow)
-            valid_np = np.pad(valid_np, padrow)  # all-invalid: no triples
-            qual_np = np.pad(qual_np, padrow)
-            rl_np = np.pad(rl_np, padrow)
+            seqs_np = np.pad(seqs_np, padrow)  # zero bytes: no triples
             sids_np = np.pad(sids_np, (0, S_pad - S_in))
-        kv, sv, tv = _jit_local(
-            _put(seqs_np), _put(valid_np), _put(qual_np), _put(rl_np),
-            _put(sids_np),
-            k, rc, W, bool(c["is_reads"]), bool(c["use_mq"]), int(min_count),
-            holder,
-        )
-        # the staged host copies are device-resident now (_put
-        # materializes the shards synchronously) — drop them so peak
-        # host memory stays one sub-batch (SKA_MAX_HOST_BATCH_BYTES),
-        # not the whole cohort held alive through `calls`
-        c["seqs"] = c["valid"] = c["qual"] = c["rec_last"] = None
-        del seqs_np, valid_np, qual_np, rl_np
+            if raw:
+                quals_np = np.pad(quals_np, padrow)
+                ends_np = np.pad(
+                    ends_np, padrow, constant_values=L  # >= L: padding
+                )
+            else:
+                valid_np = np.pad(valid_np, padrow)  # all-invalid
+                qual_np = np.pad(qual_np, padrow)
+                rl_np = np.pad(rl_np, padrow)
+        if raw:
+            kv, sv, tv = _jit_local_raw(
+                _put(seqs_np), _put(quals_np), _put(ends_np), _put(sids_np),
+                k, rc, W, bool(c["is_reads"]), bool(c["use_mq"]),
+                int(min_count), int(c.get("min_qual", 0)),
+                bool(c.get("strict_valid", False)),
+                bool(c.get("has_qual", False)), holder,
+            )
+            c["seqs"] = c["quals"] = c["rec_ends"] = None
+            del seqs_np, quals_np, ends_np
+        else:
+            kv, sv, tv = _jit_local(
+                _put(seqs_np), _put(valid_np), _put(qual_np), _put(rl_np),
+                _put(sids_np),
+                k, rc, W, bool(c["is_reads"]), bool(c["use_mq"]),
+                int(min_count), holder,
+            )
+            # the staged host copies are device-resident now (_put
+            # materializes the shards synchronously) — drop them so peak
+            # host memory stays one sub-batch (SKA_MAX_HOST_BATCH_BYTES),
+            # not the whole cohort held alive through `calls`
+            c["seqs"] = c["valid"] = c["qual"] = c["rec_last"] = None
+            del seqs_np, valid_np, qual_np, rl_np
         keyv_parts.append(kv)
         sid_parts.append(sv)
         set_parts.append(tv)

@@ -52,6 +52,15 @@ def _bucket(n: int) -> int:
     return b
 
 
+def _bucket_min(n: int, lo: int) -> int:
+    """Power-of-two bucket with a custom floor (record-end arrays are
+    tiny for FASTA, read-count sized for FASTQ)."""
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
 def _subsample_reads(ff: fastx.FastxFile, proportion_reads):
     """Keep every step-th record, step = round(1/proportion); the counter
     restarts per file, as the reference resets iter_reads per file
@@ -241,7 +250,7 @@ def build_samples_merged(
             and batch.has_qual
             and qual.qual_filter in (QUAL_MIDDLE, QUAL_STRICT)
         )
-        key = (Lp, is_reads, use_mq)
+        key = (Lp, is_reads, use_mq, bool(batch.has_qual))
         groups.setdefault(key, []).append(i)
 
     from .progress import Bar
@@ -263,40 +272,51 @@ def build_samples_merged(
             counts_np = np.ones(len(keys_np), np.int64)
             out.append(([i], [input_files[i][0]], keys_np, var, counts_np))
             bar.update(1)
-    for (Lp, is_reads, use_mq), idxs in groups.items():
+    for (Lp, is_reads, use_mq, has_qual), idxs in groups.items():
         eff_batch = max_batch or _auto_max_batch(Lp)
         for c0 in range(0, len(idxs), eff_batch):
             chunk = idxs[c0 : c0 + eff_batch]
             # pad the batch axis to a power of two: jit shapes must not
             # depend on the dataset (remote XLA compiles cost ~20s each);
-            # pad rows are all-invalid and produce no k-mers
+            # pad rows are all-zero bytes and produce no k-mers
             S = 1
             while S < len(chunk):
                 S *= 2
+            # ship RAW bytes only — masks are derived on device
+            # (ops.pipeline.device_masks): 1 byte/base (FASTA) or 2
+            # (FASTQ) crosses the link instead of 4
             seqs = np.zeros((S, Lp), np.uint8)
-            vs = np.zeros((S, Lp), bool)
-            qo = np.zeros((S, Lp), bool)
-            rl = np.zeros((S, Lp), bool)
+            quals_arr = np.zeros((S, Lp if has_qual else 1), np.uint8)
+            Eb = _bucket_min(
+                max(int(prepared[i][0].rec_last.sum()) for i in chunk), 16
+            )
+            rec_ends = np.full((S, Eb), Lp, np.int32)
             for row, i in enumerate(chunk):
                 b = prepared[i][0]
                 L = len(b.seq)
                 seqs[row, :L] = b.seq
-                valid, qual_ok = _masks(b, qual, is_reads)
-                vs[row, :L] = valid
-                qo[row, :L] = qual_ok
-                rl[row, :L] = b.rec_last
-            ukeys, variants, counts, n_rows = P.merged_build_pipeline(
+                if has_qual:
+                    quals_arr[row, :L] = b.qual
+                ends = np.flatnonzero(b.rec_last).astype(np.int32)
+                rec_ends[row, : len(ends)] = ends
+            strict_valid = bool(
+                is_reads and has_qual and qual.qual_filter == QUAL_STRICT
+            )
+            ukeys, variants, counts, n_rows = P.merged_build_from_raw(
                 jnp.asarray(seqs),
-                jnp.asarray(vs),
-                jnp.asarray(qo),
-                jnp.asarray(rl),
+                jnp.asarray(quals_arr),
+                jnp.asarray(rec_ends),
                 k, rc, W, is_reads, use_mq, int(qual.min_count),
+                int(qual.min_qual), strict_valid, has_qual,
             )
             n = int(np.asarray(n_rows))
             names = [input_files[i][0] for i in chunk]
             keys_np = np.asarray(ukeys[:n])
             var_np = np.asarray(variants[:n])[:, : len(chunk)]  # drop pad cols
-            counts_np = np.asarray(counts[:n]).astype(np.int64)
+            # recount on host (one vectorized pass) instead of pulling the
+            # device counts column across the link
+            counts_np = (var_np != ord("-")).sum(axis=1).astype(np.int64)
+            del counts
             # a sample with zero k-mers panics in the reference
             # (ska_dict.rs:374-376)
             present = (
@@ -457,7 +477,9 @@ def build_samples_distributed(
         # and materialize the whole group on the host at once — one
         # near-cap sample among N small ones costs N x cap bytes
         Lp = _bucket(len(batch.seq) + k + 1)
-        groups.setdefault((Lp, is_reads, use_mq), []).append(i)
+        groups.setdefault(
+            (Lp, is_reads, use_mq, bool(batch.has_qual)), []
+        ).append(i)
 
     out = []
     if big:
@@ -474,36 +496,45 @@ def build_samples_distributed(
             out.append(([i], [input_files[i][0]], keys_np, var,
                         np.ones(len(keys_np), np.int64)))
             prepared[i] = None  # consumed; free the raw batch
-    # bound transient host staging memory per LOCAL dispatch (~4 bytes
-    # per base across seq + three masks); oversubscribed groups split
-    # into extra local dispatches — still one global merge
+    # bound transient host staging memory per LOCAL dispatch (~1-2 bytes
+    # per base: raw seq + qual bytes only, masks derive on device);
+    # oversubscribed groups split into extra local dispatches — still
+    # one global merge
     cap_bytes = int(os.environ.get("SKA_MAX_HOST_BATCH_BYTES", 4 << 30))
     calls = []
     call_idxs = []  # original input index per cohort column
-    for (Lp, is_reads, use_mq), gidxs in groups.items():
-        per = max(1, cap_bytes // (Lp * 4))
+    for (Lp, is_reads, use_mq, has_qual), gidxs in groups.items():
+        per = max(1, cap_bytes // (Lp * (2 if has_qual else 1)))
         for c0 in range(0, len(gidxs), per):
             idxs = gidxs[c0 : c0 + per]
             S = len(idxs)
             seqs = np.zeros((S, Lp), np.uint8)
-            vs = np.zeros((S, Lp), bool)
-            qo = np.zeros((S, Lp), bool)
-            rl = np.zeros((S, Lp), bool)
+            quals_arr = np.zeros((S, Lp if has_qual else 1), np.uint8)
+            Eb = _bucket_min(
+                max(int(prepared[i][0].rec_last.sum()) for i in idxs), 16
+            )
+            rec_ends = np.full((S, Eb), Lp, np.int32)
             for row, i in enumerate(idxs):
                 b = prepared[i][0]
                 L = len(b.seq)
                 seqs[row, :L] = b.seq
-                valid, qual_ok = _masks(b, qual, is_reads)
-                vs[row, :L] = valid
-                qo[row, :L] = qual_ok
-                rl[row, :L] = b.rec_last
+                if has_qual:
+                    quals_arr[row, :L] = b.qual
+                ends = np.flatnonzero(b.rec_last).astype(np.int32)
+                rec_ends[row, : len(ends)] = ends
                 prepared[i] = None  # staged; free the raw batch
             calls.append(dict(
-                seqs=seqs, valid=vs, qual=qo, rec_last=rl,
+                seqs=seqs, quals=quals_arr, rec_ends=rec_ends,
                 sids=np.arange(
                     len(call_idxs), len(call_idxs) + S, dtype=np.int32
                 ),
                 is_reads=is_reads, use_mq=use_mq,
+                min_qual=int(qual.min_qual),
+                strict_valid=bool(
+                    is_reads and has_qual
+                    and qual.qual_filter == QUAL_STRICT
+                ),
+                has_qual=has_qual,
             ))
             call_idxs.extend(idxs)
     if calls:
