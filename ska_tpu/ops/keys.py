@@ -111,15 +111,83 @@ def equal(a, b):
     return jnp.all(a == b, axis=-1)
 
 
+def lax_sort_fast(ops, num_keys: int, dimension: int = -1,
+                  is_stable: bool = True):
+    """Drop-in jax.lax.sort with a cheaper multi-key path.
+
+    Measured on TPU v5e (32 x 4M uint64 rows): a 1-key sort carrying a
+    payload costs the SAME as a bare 1-operand sort (0.43s), while a
+    2-key sort costs 1.71x (0.74s) — the lexicographic comparator, not
+    data movement, is the cost. So multi-key sorts run as: stable sort
+    by the FIRST key with everything else as payload, then ONE
+    violation check (an adjacent pair with equal first keys whose
+    remaining keys descend), and only if it fires a lax.cond re-sorts
+    with the full comparator. Ties in the leading 64 bits of packed
+    split k-mer keys need >= 30 identical leading flank bases, so real
+    data almost never pays the fallback; when it does, output is still
+    exact. Both paths produce the unique stable lexicographic order, so
+    results are bit-identical either way.
+
+    Do NOT call under vmap: vmapped cond executes both branches. Batched
+    callers sort 2-D operands with dimension=-1 instead (one shared flag
+    for the whole batch).
+
+    is_stable=False shaves a further ~19% (measured 0.74s -> 0.60s for
+    the full 2-key sort, 0.69 -> 0.55 for the 1-key pass) but is only
+    sound when (a) payload operands attached to EQUAL full keys are
+    interchangeable (e.g. identical by construction, or consumed by a
+    commutative reduction), and (b) ties in the first key are rare or
+    carry equal remaining keys — an unstable first pass scrambles tied
+    runs, so common first-key ties with ordered later keys would fire
+    the fallback every time (use the stable default there).
+    """
+    if num_keys == 1:
+        return jax.lax.sort(
+            ops, num_keys=1, dimension=dimension, is_stable=is_stable
+        )
+    fast = jax.lax.sort(ops, num_keys=1, dimension=dimension, is_stable=is_stable)
+
+    def roll_pair(x):
+        # adjacent (i, i+1) views along `dimension`
+        sl_a = [slice(None)] * x.ndim
+        sl_b = [slice(None)] * x.ndim
+        sl_a[dimension] = slice(None, -1)
+        sl_b[dimension] = slice(1, None)
+        return x[tuple(sl_a)], x[tuple(sl_b)]
+
+    # violation: equal keys[0..j-1] and keys[j] strictly descending
+    eq_prefix = None
+    viol = None
+    for j in range(num_keys):
+        a, b = roll_pair(fast[j])
+        if j == 0:
+            eq_prefix = a == b
+            continue
+        desc = eq_prefix & (a > b)
+        viol = desc if viol is None else (viol | desc)
+        eq_prefix = eq_prefix & (a == b)
+    flag = jnp.any(viol)
+
+    return jax.lax.cond(
+        flag,
+        lambda: jax.lax.sort(
+            ops, num_keys=num_keys, dimension=dimension, is_stable=is_stable
+        ),
+        lambda: fast,
+    )
+
+
 def sort_with(keys, payloads, extra_keys=()):
     """Sort rows by key limbs (then extra_keys) carrying payloads.
 
     keys: (N, W); extra_keys: tuple of (N,) arrays appended to the sort key;
     payloads: tuple of (N,) arrays. Returns (sorted_keys, sorted_extras, sorted_payloads).
+    Uses the lax_sort_fast single-key fast path — callers must not be
+    under vmap (jit/shard_map contexts are fine).
     """
     W = keys.shape[-1]
     ops = tuple(keys[:, i] for i in range(W)) + tuple(extra_keys) + tuple(payloads)
-    res = jax.lax.sort(ops, num_keys=W + len(extra_keys))
+    res = lax_sort_fast(ops, num_keys=W + len(extra_keys))
     skeys = jnp.stack(res[:W], axis=-1)
     nex = len(extra_keys)
     return skeys, res[W : W + nex], res[W + nex :]

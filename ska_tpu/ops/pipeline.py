@@ -27,10 +27,11 @@ _SENT = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 def _pack_key_set(keys, sets, W):
-    """(key << 4) | set in W uint64 limbs (key bits < 64*W - 4)."""
+    """(key << 4) | set in W uint64 limbs (key bits < 64*W - 4).
+    Works on (..., W) keys with matching (...) sets."""
     if W == 1:
-        return ((keys[:, 0] << U64(4)) | sets.astype(U64))[:, None]
-    hi, lo = keys[:, 0], keys[:, 1]
+        return ((keys[..., 0] << U64(4)) | sets.astype(U64))[..., None]
+    hi, lo = keys[..., 0], keys[..., 1]
     nhi = (hi << U64(4)) | (lo >> U64(60))
     nlo = (lo << U64(4)) | sets.astype(U64)
     return jnp.stack([nhi, nlo], axis=-1)
@@ -49,6 +50,19 @@ def _seg_union(vals, ssi):
     d = 1
     while d < L:
         shifted = jnp.concatenate([jnp.zeros(d, v.dtype), v[:-d]])
+        v = jnp.where((i32 - d) >= ssi, v | shifted, v)
+        d <<= 1
+    return v
+
+
+def _seg_union_rows(vals, ssi):
+    """Row-wise _seg_union over (S, L) values (segments never cross rows)."""
+    S, L = vals.shape
+    i32 = jnp.arange(L, dtype=jnp.int32)[None]
+    v = vals
+    d = 1
+    while d < L:
+        shifted = jnp.concatenate([jnp.zeros((S, d), v.dtype), v[:, :-d]], axis=1)
         v = jnp.where((i32 - d) >= ssi, v | shifted, v)
         d <<= 1
     return v
@@ -105,7 +119,7 @@ def sample_pipeline(
         ops = tuple(wkeys[:, i] for i in range(W)) + (pos,) + tuple(
             packed[:, i] for i in range(W)
         ) + (emit,)
-        sres = jax.lax.sort(ops, num_keys=W + 1)
+        sres = K.lax_sort_fast(ops, num_keys=W + 1)
         swk = jnp.stack(sres[:W], axis=-1)
         spacked = jnp.stack(sres[W + 1 : W + 1 + W], axis=-1)
         semit = sres[W + 1 + W]
@@ -122,8 +136,11 @@ def sample_pipeline(
     else:
         packed = jnp.where(emit[:, None], packed, jnp.full_like(packed, _SENT))
 
-    # dedup + union
-    sres = jax.lax.sort(tuple(packed[:, i] for i in range(W)), num_keys=W)
+    # dedup + union: unstable is sound (operands are the packed values
+    # themselves — equal rows are interchangeable) and ~19% cheaper
+    sres = K.lax_sort_fast(
+        tuple(packed[:, i] for i in range(W)), num_keys=W, is_stable=False
+    )
     sp = jnp.stack(sres, axis=-1)
     kp = K.shr(sp, 4)  # key part only (drop the set bits)
     first = jnp.concatenate([jnp.ones(1, bool), jnp.any(kp[1:] != kp[:-1], axis=-1)])
@@ -151,12 +168,79 @@ def batched_pipeline(
     use_mid_qual: bool,
     min_count: int,
 ):
-    """vmap of sample_pipeline over a leading samples axis: one dispatch
-    for a whole batch of genomes (row-wise sorts amortize overhead)."""
-    fn = lambda s, v, q, r: sample_pipeline.__wrapped__(
-        s, v, q, r, k, rc, W, is_reads, use_mid_qual, min_count
+    """sample_pipeline over a leading samples axis: one dispatch for a
+    whole batch of genomes. Implemented with 2-D row-wise sorts
+    (dimension=-1), NOT vmap: K.lax_sort_fast's rare-tie fallback is a
+    lax.cond, and a vmapped cond would execute both branches for the
+    whole batch. Only the extraction kernel is vmapped (no control
+    flow inside). Output contract identical to vmap(sample_pipeline)."""
+    S, L = seqs.shape
+    h = (k - 1) // 2
+    want_whole = bool(is_reads and min_count > 1)
+    res = jax.vmap(
+        lambda s, v, r: X.extract_windows.__wrapped__(s, v, r, k, rc, W, want_whole)
+    )(seqs, valid, rec_last)
+    emit = res["emit"]
+
+    if is_reads and use_mid_qual:
+        mid_ok = jnp.concatenate(
+            [qual_ok[:, h:], jnp.zeros((S, h), bool)], axis=1
+        )
+        emit = emit & mid_ok
+
+    mid = res["mid"]
+    sets = (
+        jnp.left_shift(jnp.uint8(1), mid)
+        | jnp.where(res["pal"], jnp.left_shift(jnp.uint8(1), mid ^ 2), 0)
+    ).astype(jnp.uint8)
+    packed = _pack_key_set(res["key"], sets, W)  # (S, L, W)
+    i32row = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None], (S, L))
+
+    if want_whole:
+        # per-occurrence min-count rank filter over whole k-mers
+        # (bloom_filter.rs:116-148 semantics; see ops/segment.py docs)
+        wkeys = jnp.where(
+            emit[..., None], res["whole"], jnp.full_like(res["whole"], _SENT)
+        )
+        ops = tuple(wkeys[..., i] for i in range(W)) + (i32row,) + tuple(
+            packed[..., i] for i in range(W)
+        ) + (emit,)
+        sres = K.lax_sort_fast(ops, num_keys=W + 1, dimension=-1)
+        swk = jnp.stack(sres[:W], axis=-1)
+        spacked = jnp.stack(sres[W + 1 : W + 1 + W], axis=-1)
+        semit = sres[W + 1 + W]
+        first = jnp.concatenate(
+            [jnp.ones((S, 1), bool), jnp.any(swk[:, 1:] != swk[:, :-1], axis=-1)],
+            axis=1,
+        )
+        ssi = jax.lax.cummax(jnp.where(first, i32row, -1), axis=1)
+        rank = i32row - ssi + 1
+        if min_count == 2:
+            ok = rank >= 2
+        else:
+            ok = rank == min_count
+        keep = ok & semit
+        packed = jnp.where(keep[..., None], spacked, jnp.full_like(spacked, _SENT))
+    else:
+        packed = jnp.where(emit[..., None], packed, jnp.full_like(packed, _SENT))
+
+    # dedup + union (row-wise): unstable is sound (operands are the
+    # packed values themselves) and ~19% cheaper
+    sres = K.lax_sort_fast(
+        tuple(packed[..., i] for i in range(W)), num_keys=W, dimension=-1,
+        is_stable=False,
     )
-    return jax.vmap(fn)(seqs, valid, qual_ok, rec_last)
+    sp = jnp.stack(sres, axis=-1)
+    kp = K.shr(sp, 4)  # key part only (drop the set bits)
+    first = jnp.concatenate(
+        [jnp.ones((S, 1), bool), jnp.any(kp[:, 1:] != kp[:, :-1], axis=-1)], axis=1
+    )
+    ssi = jax.lax.cummax(jnp.where(first, i32row, -1), axis=1)
+    union = _seg_union_rows((sp[..., W - 1] & U64(15)).astype(jnp.uint8), ssi)
+    is_end = jnp.concatenate([first[:, 1:], jnp.ones((S, 1), bool)], axis=1)
+    nonsent = jnp.any(sp != U64(_SENT), axis=-1)
+    n_unique = jnp.sum((first & nonsent).astype(jnp.int32), axis=1)
+    return sp, union, is_end, n_unique
 
 
 @partial(
@@ -223,7 +307,7 @@ def merged_build_pipeline(
         ops = tuple(wkeys[..., i] for i in range(W)) + (pos,) + tuple(
             keys[..., i] for i in range(W)
         ) + (sets, emit)
-        sres = jax.lax.sort(ops, num_keys=W + 1, dimension=-1)
+        sres = K.lax_sort_fast(ops, num_keys=W + 1, dimension=-1)
         swk = jnp.stack(sres[:W], axis=-1)
         keys = jnp.stack(sres[W + 1 : W + 1 + W], axis=-1)
         sets = sres[W + 1 + W]
@@ -249,8 +333,14 @@ def merged_build_pipeline(
     kf = jnp.where(emit.reshape(N)[:, None], kf, jnp.full_like(kf, _SENT))
     sf = jnp.where(emit.reshape(N), sets.reshape(N), 0)
 
+    # (key, sample id) sort. Plain UNSTABLE full sort: equal keys across
+    # samples are routine, so a single-key fast path would scramble sid
+    # under is_stable=False and fire its fallback every time; and the
+    # sets payload of equal (key, sid) rows feeds a commutative OR, so
+    # instability cannot change any output byte. Measured ~19% cheaper
+    # than the stable sort.
     ops = tuple(kf[:, i] for i in range(W)) + (sid, sf)
-    gres = jax.lax.sort(ops, num_keys=W + 1, dimension=-1)
+    gres = jax.lax.sort(ops, num_keys=W + 1, dimension=-1, is_stable=False)
     gk = jnp.stack(gres[:W], axis=-1)
     gsid, gsets = gres[W], gres[W + 1]
 
@@ -407,10 +497,12 @@ def chunk_count_pipeline(seq, valid, qual_ok, rec_last, k, rc, W, use_mid_qual):
     )
     packed = jnp.where(emit[:, None], packed, jnp.full_like(packed, _SENT))
 
+    # unstable is sound: the packed split pair is a pure function of the
+    # whole k-mer, so payloads of equal keys are identical by construction
     ops = tuple(wkeys[:, i] for i in range(W)) + tuple(
         packed[:, i] for i in range(W)
     )
-    sres = jax.lax.sort(ops, num_keys=W)
+    sres = K.lax_sort_fast(ops, num_keys=W, is_stable=False)
     swk = jnp.stack(sres[:W], axis=-1)
     spacked = jnp.stack(sres[W : 2 * W], axis=-1)
 
