@@ -9,8 +9,10 @@ backtracking scheme on the analytic gradient (coverage.rs:310-345).
 """
 
 import math
+from functools import partial
 from typing import List
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -24,6 +26,20 @@ MAX_COUNT = 1000
 MIN_FREQ = 50
 INIT_W0 = 0.8
 INIT_C = 20.0
+
+
+@partial(jax.jit, static_argnames=("k", "rc", "W"))
+def _hist_from_raw(seq, rec_ends, k, rc, W):
+    """One dispatch: device masks + extraction + count histogram from
+    raw sequence bytes (quality ignored, coverage.rs:102)."""
+    from .ops import pipeline as P
+
+    valid, _, rec_last = P.device_masks(
+        seq[None], jnp.zeros((1, 1), jnp.uint8), rec_ends[None], 0,
+        False, False,
+    )
+    res = X.extract_windows.__wrapped__(seq, valid[0], rec_last[0], k, rc, W)
+    return S.count_histogram.__wrapped__(res["key"], res["emit"], MAX_COUNT)
 
 
 def _bucket(n: int) -> int:
@@ -66,13 +82,14 @@ class CoverageHistogram:
             Lp = _bucket(L + k + 1)
             seq = np.zeros(Lp, np.uint8)
             seq[:L] = batch.seq
-            valid = ((seq & 0xF) != 14) & (seq != 0)
-            rec_last = np.zeros(Lp, bool)
-            rec_last[:L] = batch.rec_last
-            res = X.extract_windows(
-                jnp.asarray(seq), jnp.asarray(valid), jnp.asarray(rec_last), k, rc, W
+            ends = np.flatnonzero(batch.rec_last).astype(np.int32)
+            from .sample import _bucket_min
+
+            rec_ends = np.full(_bucket_min(len(ends), 16), Lp, np.int32)
+            rec_ends[: len(ends)] = ends
+            hist = _hist_from_raw(
+                jnp.asarray(seq), jnp.asarray(rec_ends), k, rc, W
             )
-            hist = S.count_histogram(res["key"], res["emit"], MAX_COUNT)
             self.counts = np.asarray(hist, dtype=np.int64)
 
     def fit_histogram(self) -> int:
@@ -264,6 +281,8 @@ def _chunked_hist(batch, k, rc, W, cap):
     from .ops import pipeline as P
     from .sample import _chunk_views
 
+    from .sample import _bucket_min
+
     Lp = _bucket(cap + k + 1)
     valid_full = ((batch.seq & 0xF) != 14) & (batch.seq != 0)
     kparts, cparts = [], []
@@ -271,11 +290,11 @@ def _chunked_hist(batch, k, rc, W, cap):
         n = end - a
         seq = np.zeros(Lp, np.uint8)
         seq[:n] = batch.seq[a:end]
-        valid = ((seq & 0xF) != 14) & (seq != 0)
-        rec_last = np.zeros(Lp, bool)
-        rec_last[:n] = batch.rec_last[a:end]
-        skeys, is_start, counts = P.chunk_key_counts(
-            jnp.asarray(seq), jnp.asarray(valid), jnp.asarray(rec_last), k, rc, W
+        ends = np.flatnonzero(batch.rec_last[a:end]).astype(np.int32)
+        rec_ends = np.full(_bucket_min(len(ends), 16), Lp, np.int32)
+        rec_ends[: len(ends)] = ends
+        skeys, is_start, counts = P.chunk_key_counts_from_raw(
+            jnp.asarray(seq), jnp.asarray(rec_ends), k, rc, W
         )
         sel = np.asarray(is_start)
         kparts.append(np.asarray(skeys)[sel])

@@ -445,6 +445,71 @@ def merged_build_from_raw(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "rc", "W", "is_reads", "use_mid_qual", "min_count",
+        "min_qual", "strict_valid", "has_qual",
+    ),
+)
+def sample_from_raw(
+    seq, quals, rec_ends,
+    k: int, rc: bool, W: int, is_reads: bool, use_mid_qual: bool,
+    min_count: int, min_qual: int, strict_valid: bool, has_qual: bool,
+):
+    """sample_pipeline fed by raw bytes (device_masks in-dispatch)."""
+    valid, qual_ok, rec_last = device_masks(
+        seq[None], quals[None], rec_ends[None], min_qual, strict_valid,
+        has_qual,
+    )
+    return sample_pipeline.__wrapped__(
+        seq, valid[0], qual_ok[0], rec_last[0],
+        k, rc, W, is_reads, use_mid_qual, min_count,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "rc", "W", "is_reads", "use_mid_qual", "min_count",
+        "min_qual", "strict_valid", "has_qual",
+    ),
+)
+def batched_from_raw(
+    seqs, quals, rec_ends,
+    k: int, rc: bool, W: int, is_reads: bool, use_mid_qual: bool,
+    min_count: int, min_qual: int, strict_valid: bool, has_qual: bool,
+):
+    """batched_pipeline fed by raw bytes (device_masks in-dispatch)."""
+    valid, qual_ok, rec_last = device_masks(
+        seqs, quals, rec_ends, min_qual, strict_valid, has_qual
+    )
+    return batched_pipeline.__wrapped__(
+        seqs, valid, qual_ok, rec_last,
+        k, rc, W, is_reads, use_mid_qual, min_count,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "rc", "W", "use_mid_qual", "min_qual",
+                     "strict_valid", "has_qual"),
+)
+def chunk_count_from_raw(
+    seq, quals, rec_ends,
+    k: int, rc: bool, W: int, use_mid_qual: bool,
+    min_qual: int, strict_valid: bool, has_qual: bool,
+):
+    """chunk_count_pipeline fed by raw bytes (device_masks in-dispatch)."""
+    valid, qual_ok, rec_last = device_masks(
+        seq[None], quals[None], rec_ends[None], min_qual, strict_valid,
+        has_qual,
+    )
+    return chunk_count_pipeline.__wrapped__(
+        seq, valid[0], qual_ok[0], rec_last[0], k, rc, W, use_mid_qual
+    )
+
+
 def unpack_host(sp_np, union_np, end_np, W):
     """Host-side compaction of the pipeline output into (keys (n, W), sets)."""
     sp_np = np.asarray(sp_np)
@@ -533,6 +598,18 @@ def unpack_chunk_counts(swk, is_start, counts, spacked, W):
         np.asarray(counts)[sel].astype(np.int64),
         np.asarray(spacked)[sel],
     )
+
+
+@partial(jax.jit, static_argnames=("k", "rc", "W"))
+def chunk_key_counts_from_raw(seq, rec_ends, k, rc, W):
+    """chunk_key_counts fed by raw sequence bytes (`ska cov` ignores
+    quality, coverage.rs:102): validity and record ends derive on device,
+    so only 1 byte/base crosses the link."""
+    valid, _, rec_last = device_masks(
+        seq[None], jnp.zeros((1, 1), jnp.uint8), rec_ends[None], 0, False,
+        False,
+    )
+    return chunk_key_counts.__wrapped__(seq, valid[0], rec_last[0], k, rc, W)
 
 
 @partial(jax.jit, static_argnames=("k", "rc", "W"))

@@ -174,11 +174,11 @@ def build_samples(
             and batch.has_qual
             and qual.qual_filter in (QUAL_MIDDLE, QUAL_STRICT)
         )
-        key = (Lp, is_reads, use_mq)
+        key = (Lp, is_reads, use_mq, bool(batch.has_qual))
         groups.setdefault(key, []).append(i)
 
     results: List[Optional[SampleDict]] = [None] * len(prepared)
-    for (Lp, is_reads, use_mq), idxs in groups.items():
+    for (Lp, is_reads, use_mq, _hq), idxs in groups.items():
         for c0 in range(0, len(idxs), max_batch):
             chunk = idxs[c0 : c0 + max_batch]
             keys_list = _run_batch(
@@ -331,39 +331,52 @@ def build_samples_merged(
     return out
 
 
+def _stage_raw(batches, Lp):
+    """Host staging for the raw-bytes device path: seq (+qual) bytes and
+    record-end indices only — masks derive on device
+    (ops.pipeline.device_masks)."""
+    S = len(batches)
+    has_qual = all(bool(b.has_qual) for b in batches)
+    seqs = np.zeros((S, Lp), np.uint8)
+    quals_arr = np.zeros((S, Lp if has_qual else 1), np.uint8)
+    Eb = _bucket_min(max(int(b.rec_last.sum()) for b in batches), 16)
+    rec_ends = np.full((S, Eb), Lp, np.int32)
+    for i, b in enumerate(batches):
+        L = len(b.seq)
+        seqs[i, :L] = b.seq
+        if has_qual:
+            quals_arr[i, :L] = b.qual
+        ends = np.flatnonzero(b.rec_last).astype(np.int32)
+        rec_ends[i, : len(ends)] = ends
+    return seqs, quals_arr, rec_ends, has_qual
+
+
 def _run_batch(batches, Lp, k, rc, qual, is_reads, use_mq):
     from .ops import pipeline as P
 
     W = K.width_for_k(k)
     S = len(batches)
-    seqs = np.zeros((S, Lp), np.uint8)
-    vs = np.zeros((S, Lp), bool)
-    qo = np.zeros((S, Lp), bool)
-    rl = np.zeros((S, Lp), bool)
-    for i, b in enumerate(batches):
-        L = len(b.seq)
-        seqs[i, :L] = b.seq
-        valid, qual_ok = _masks(b, qual, is_reads)
-        vs[i, :L] = valid
-        qo[i, :L] = qual_ok
-        rl[i, :L] = b.rec_last
+    seqs, quals_arr, rec_ends, has_qual = _stage_raw(batches, Lp)
+    strict_valid = bool(
+        is_reads and has_qual and qual.qual_filter == QUAL_STRICT
+    )
 
     if S == 1:
-        sp, union, is_end, n = P.sample_pipeline(
+        sp, union, is_end, n = P.sample_from_raw(
             jnp.asarray(seqs[0]),
-            jnp.asarray(vs[0]),
-            jnp.asarray(qo[0]),
-            jnp.asarray(rl[0]),
+            jnp.asarray(quals_arr[0]),
+            jnp.asarray(rec_ends[0]),
             k, rc, W, is_reads, use_mq, int(qual.min_count),
+            int(qual.min_qual), strict_valid, has_qual,
         )
         return [P.unpack_host(sp, union, is_end, W)]
 
-    sp, union, is_end, n = P.batched_pipeline(
+    sp, union, is_end, n = P.batched_from_raw(
         jnp.asarray(seqs),
-        jnp.asarray(vs),
-        jnp.asarray(qo),
-        jnp.asarray(rl),
+        jnp.asarray(quals_arr),
+        jnp.asarray(rec_ends),
         k, rc, W, is_reads, use_mq, int(qual.min_count),
+        int(qual.min_qual), strict_valid, has_qual,
     )
     sp_np, union_np, end_np = np.asarray(sp), np.asarray(union), np.asarray(is_end)
     return [
@@ -393,30 +406,19 @@ def dict_from_batch(
         return dict_from_batch_chunked(batch, k, rc, qual, is_reads, cap)
     Lp = _bucket(L + k + 1)
 
-    valid, qual_ok = _masks(batch, qual, is_reads)
-    seq = np.zeros(Lp, np.uint8)
-    seq[:L] = batch.seq
-    v = np.zeros(Lp, bool)
-    v[:L] = valid
-    qo = np.zeros(Lp, bool)
-    qo[:L] = qual_ok
-    rl = np.zeros(Lp, bool)
-    rl[:L] = batch.rec_last
-
+    seqs, quals_arr, rec_ends, has_qual = _stage_raw([batch], Lp)
     use_mid_qual = bool(
-        is_reads and batch.has_qual and qual.qual_filter in (QUAL_MIDDLE, QUAL_STRICT)
+        is_reads and has_qual and qual.qual_filter in (QUAL_MIDDLE, QUAL_STRICT)
     )
-    sp, union, is_end, n = P.sample_pipeline(
-        jnp.asarray(seq),
-        jnp.asarray(v),
-        jnp.asarray(qo),
-        jnp.asarray(rl),
-        k,
-        rc,
-        W,
-        is_reads,
-        use_mid_qual,
-        int(qual.min_count),
+    strict_valid = bool(
+        is_reads and has_qual and qual.qual_filter == QUAL_STRICT
+    )
+    sp, union, is_end, n = P.sample_from_raw(
+        jnp.asarray(seqs[0]),
+        jnp.asarray(quals_arr[0]),
+        jnp.asarray(rec_ends[0]),
+        k, rc, W, is_reads, use_mid_qual, int(qual.min_count),
+        int(qual.min_qual), strict_valid, has_qual,
     )
     keys_np, sets_np = P.unpack_host(sp, union, is_end, W)
     assert len(keys_np) == int(n)
@@ -610,31 +612,39 @@ def dict_from_batch_chunked(
     want_count = bool(is_reads and qual.min_count > 1)
     Lp = _bucket(cap + k + 1)
 
+    has_qual = bool(batch.has_qual)
+    strict_valid = bool(
+        is_reads and has_qual and qual.qual_filter == QUAL_STRICT
+    )
     kparts, sparts = [], []
     wparts, cparts, pparts = [], [], []
     for a, b, end in _chunk_views(batch, k, cap, valid_full):
         n = end - a
+        # raw-bytes staging: masks derive on device (device_masks); the
+        # host-side valid_full above is only the chunk-boundary oracle
         seq = np.zeros(Lp, np.uint8)
         seq[:n] = batch.seq[a:end]
-        v = np.zeros(Lp, bool)
-        v[:n] = valid_full[a:end]
-        qo = np.zeros(Lp, bool)
-        qo[:n] = qual_full[a:end]
-        rl = np.zeros(Lp, bool)
-        rl[:n] = batch.rec_last[a:end]
+        qch = np.zeros(Lp if has_qual else 1, np.uint8)
+        if has_qual:
+            qch[:n] = batch.qual[a:end]
+        ends = np.flatnonzero(batch.rec_last[a:end]).astype(np.int32)
+        rec_ends = np.full(_bucket_min(len(ends), 16), Lp, np.int32)
+        rec_ends[: len(ends)] = ends
         if want_count:
-            swk, is_start, counts, spacked, nu = P.chunk_count_pipeline(
-                jnp.asarray(seq), jnp.asarray(v), jnp.asarray(qo),
-                jnp.asarray(rl), k, rc, W, use_mq,
+            swk, is_start, counts, spacked, nu = P.chunk_count_from_raw(
+                jnp.asarray(seq), jnp.asarray(qch), jnp.asarray(rec_ends),
+                k, rc, W, use_mq,
+                int(qual.min_qual), strict_valid, has_qual,
             )
             wk, cnt, pk = P.unpack_chunk_counts(swk, is_start, counts, spacked, W)
             wparts.append(wk)
             cparts.append(cnt)
             pparts.append(pk)
         else:
-            sp, union, is_end, n_ = P.sample_pipeline(
-                jnp.asarray(seq), jnp.asarray(v), jnp.asarray(qo),
-                jnp.asarray(rl), k, rc, W, is_reads, use_mq, 0,
+            sp, union, is_end, n_ = P.sample_from_raw(
+                jnp.asarray(seq), jnp.asarray(qch), jnp.asarray(rec_ends),
+                k, rc, W, is_reads, use_mq, 0,
+                int(qual.min_qual), strict_valid, has_qual,
             )
             kk, ss = P.unpack_host(sp, union, is_end, W)
             kparts.append(kk)
