@@ -268,8 +268,14 @@ def _child(status_path, result_path):
         except subprocess.TimeoutExpired:
             return None, "oracle CLI run stalled (relay weather)"
         except subprocess.CalledProcessError as e:
-            tail = (e.stderr or b"")[-200:].decode("utf-8", "replace")
-            return False, f"oracle CLI failed: {tail}"
+            tail = (e.stderr or b"")[-300:].decode("utf-8", "replace")
+            # backend-init failures are link weather (same classifier as
+            # the child's bring-up), not a correctness verdict — only a
+            # command that RAN and produced wrong/failed output may
+            # report oracle_ok=false
+            if "nable to initialize backend" in tail or "UNAVAILABLE" in tail:
+                return None, f"oracle backend unavailable: {tail[-120:]}"
+            return False, f"oracle CLI failed: {tail[-200:]}"
 
     r1 = measure(k1, "w1")
     if r1 is None:

@@ -24,6 +24,12 @@ from .encoding import ASCII_TO_SET, BASE_PROB, SET_TO_ASCII
 # scale). Module-level so tests can monkeypatch it to force either path.
 DEDUP_MAX_SITES = 1 << 24
 
+# One-hot scratch budget per Gram dispatch (bytes); both the serial
+# chunking and the mesh path's per-device chunking derive their chunk
+# row counts from it. Module-level so tests can shrink it to drive the
+# multi-chunk loops with small data.
+GRAM_SCRATCH_BYTES = 1 << 28
+
 
 @dataclass
 class VariantDist:
@@ -127,6 +133,47 @@ def _dedupe_rows(compact: np.ndarray):
     return compact[order[starts]], counts
 
 
+def compact_classes(variants: np.ndarray):
+    """Shared class-compaction for the Gram kernels: map the 16 IUPAC
+    classes to the ones actually present (typically 5-6), pick the
+    one-hot width bucket, and choose the tail-pad class.
+
+    Returns (compact (S, n) int8, present int8[K], K, width, pad_class).
+    Both the serial path (class_gram) and the mesh path
+    (parallel.postbuild.distributed_class_gram) call this, so their
+    byte-equality contract cannot drift.
+    """
+    classes = ASCII_TO_SET[variants].astype(np.int8)
+    # one linear pass (np.unique would sort all S*n elements)
+    present = np.flatnonzero(
+        np.bincount(classes.ravel().astype(np.int64), minlength=16)
+    ).astype(np.int8)
+    K = len(present)
+    # pad width to a shape bucket; keep one slot > K free for tail padding
+    # unless class 0 ('-', zero weight in every coefficient table) exists
+    width = next(w for w in (4, 8, 16) if w >= K)
+    if K == width and 0 not in present:
+        width = 16 if width == 8 else 8
+    lut = np.zeros(16, np.int8)
+    lut[present] = np.arange(K, dtype=np.int8)
+    compact = lut[classes].astype(np.int8)
+    # tail padding: prefer a discarded slot (sliced off at scatter-back);
+    # K == width only survives the bump when class 0 ('-', zero weight in
+    # every coefficient table) is present to serve as the pad
+    pad_class = K if K < width else int(lut[0])
+    return compact, present, K, width, pad_class
+
+
+def scatter_gram_16(Gc: np.ndarray, present: np.ndarray, K: int, width: int,
+                    n: int) -> np.ndarray:
+    """Scatter compact-class Gram counts back to 16-class coordinates."""
+    G = np.zeros((n, 16, n, 16), dtype=np.int64)
+    Gc4 = Gc.reshape(n, width, n, width)[:, :K, :, :K]
+    pres = present.astype(np.int64)
+    G[np.ix_(np.arange(n), pres, np.arange(n), pres)] = Gc4
+    return G.reshape(n * 16, n * 16)
+
+
 def class_gram(variants: np.ndarray, on_host=None) -> np.ndarray:
     """Exact int64 co-occurrence Gram over 16 classes. variants: (S, n) uint8.
 
@@ -158,24 +205,7 @@ def class_gram(variants: np.ndarray, on_host=None) -> np.ndarray:
             from .parallel.postbuild import distributed_class_gram
 
             return distributed_class_gram(variants, build_mesh())
-    classes = ASCII_TO_SET[variants].astype(np.int32)
-    # one linear pass (np.unique would sort all S*n elements)
-    present = np.flatnonzero(np.bincount(classes.ravel(), minlength=16)).astype(
-        np.int32
-    )
-    K = len(present)
-    # pad width to a shape bucket; keep one slot > K free for tail padding
-    # unless class 0 ('-', zero weight in every coefficient table) exists
-    width = next(w for w in (4, 8, 16) if w >= K)
-    if K == width and 0 not in present:
-        width = 16 if width == 8 else 8
-    lut = np.zeros(16, np.int8)
-    lut[present] = np.arange(K, dtype=np.int8)
-    compact = lut[classes].astype(np.int8)
-    # tail padding: prefer a discarded slot (sliced off at scatter-back);
-    # K == width only survives the bump when class 0 ('-', zero weight in
-    # every coefficient table) is present to serve as the pad
-    pad_class = K if K < width else int(lut[0])
+    compact, present, K, width, pad_class = compact_classes(variants)
     if on_host is None:
         on_host = jax.default_backend() == "cpu"
     # Related genomes repeat the same variant row constantly (measured
@@ -199,7 +229,9 @@ def class_gram(variants: np.ndarray, on_host=None) -> np.ndarray:
     # bound at large sample counts — e.g. 1024 samples at width 8 wants
     # chunk 4096, and 16384 would be a ~1GB one-hot against the ~256MB
     # promise. Power-of-two bucketing keeps the compile cache effective
-    chunk = max(1 << 10, min(1 << 24, (1 << 28) // max(elt * width * n, 1)))
+    chunk = max(
+        1 << 10, min(1 << 24, GRAM_SCRATCH_BYTES // max(elt * width * n, 1))
+    )
     # ... but never a chunk bigger than the pow2 bucket that holds the
     # data: the r3 device bench padded ~48K real rows out to the full
     # 8.4M-row scratch-bound chunk, a 134MB relay transfer of padding
@@ -248,11 +280,7 @@ def class_gram(variants: np.ndarray, on_host=None) -> np.ndarray:
         if total_pad:
             Gv = Gc.reshape(n, width, n, width)
             Gv[:, pad_class, :, pad_class] -= total_pad
-    # scatter compact-class counts back to 16-class coordinates
-    G = np.zeros((n, 16, n, 16), dtype=np.int64)
-    Gc4 = Gc.reshape(n, width, n, width)[:, :K, :, :K]
-    G[np.ix_(np.arange(n), present, np.arange(n), present)] = Gc4
-    return G.reshape(n * 16, n * 16)
+    return scatter_gram_16(Gc, present, K, width, n)
 
 
 def pairwise_stats(variants: np.ndarray, constant: float, filt_ambig: bool):

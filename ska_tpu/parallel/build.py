@@ -8,11 +8,13 @@ Replaces the reference's rayon binary-tree hashmap merge
 
 LOCAL stage — one dispatch per (padded-length bucket, FASTQ config)
 group of samples; each device runs the FULL per-sample pipeline for its
-shard (vmap of ops.pipeline.sample_pipeline: extraction, FASTQ quality
-gates, min-count rank filter, per-sample sort + segmented IUPAC union) —
-identical semantics to the serial path — and emits device-resident
-(key, global sample id, set) triples. Triples of every group stay on
-device: mixed-length cohorts never round-trip through the host.
+shard (ops.pipeline.batched_pipeline: extraction, FASTQ quality gates,
+min-count rank filter, per-sample 2-D row-wise sort + segmented IUPAC
+union — NOT a vmap: lax_sort_fast's rare-tie fallback is a lax.cond
+that vmap would degrade to both-branches execution) — identical
+semantics to the serial path — and emits device-resident (key, global
+sample id, set) triples. Triples of every group stay on device:
+mixed-length cohorts never round-trip through the host.
 
 MERGE stage — ONE dispatch for the whole cohort regardless of how many
 length buckets it spans (the reference's one global merge,

@@ -253,39 +253,44 @@ def _jit_gram(classes_sh, weights_sh, n, width, mesh_holder):
 
 def distributed_class_gram(variants: np.ndarray, mesh) -> np.ndarray:
     """Site-sharded exact 16-class co-occurrence Gram over the mesh.
-    Byte-equal to distance.class_gram; falls back to the serial kernel
-    past the f32 exactness ceiling (distance.DEDUP_MAX_SITES)."""
-    from ..distance import DEDUP_MAX_SITES, _dedupe_rows
-    from ..encoding import ASCII_TO_SET
+    Byte-equal to distance.class_gram (shared compaction helpers); falls
+    back to the serial kernel past the f32 exactness ceiling
+    (distance.DEDUP_MAX_SITES)."""
+    from ..distance import (
+        DEDUP_MAX_SITES,
+        _dedupe_rows,
+        compact_classes,
+        scatter_gram_16,
+    )
 
     S, n = variants.shape
     if S >= DEDUP_MAX_SITES:
-        # explicit on_host=False skips class_gram's distributed gate
-        # (which would recurse back here)
+        # serial kernel picks its exact path per backend; the explicit
+        # on_host skips class_gram's distributed gate (which would
+        # recurse back here)
         from ..distance import class_gram
 
-        return class_gram(variants, on_host=False)
+        return class_gram(
+            variants, on_host=jax.default_backend() == "cpu"
+        )
 
-    classes = ASCII_TO_SET[variants].astype(np.int8)
-    present = np.flatnonzero(
-        np.bincount(classes.ravel().astype(np.int64), minlength=16)
-    ).astype(np.int8)
-    Kp = len(present)
-    width = next(w for w in (4, 8, 16) if w >= Kp)
-    if Kp == width and 0 not in present:
-        width = 16 if width == 8 else 8
-    lut = np.zeros(16, np.int8)
-    lut[present] = np.arange(Kp, dtype=np.int8)
-    compact, weights = _dedupe_rows(lut[classes].astype(np.int8))
+    compact, present, Kp, width, pad_class = compact_classes(variants)
+    compact, weights = _dedupe_rows(compact)
     Su = len(compact)
-    pad_class = Kp if Kp < width else int(lut[0])
+
+    from .. import distance as _dist
 
     D = int(mesh.devices.size)
+    # the serial kernel bounds one-hot scratch to ~256MB per dispatch
+    # (distance.class_gram, GRAM_SCRATCH_BYTES); apply the same bound
+    # PER DEVICE here — a single unchunked dispatch at Sb ~ millions of
+    # rows would materialize a multi-GB f32 one-hot and OOM the chip
+    chunk = max(
+        1 << 10,
+        min(1 << 24, _dist.GRAM_SCRATCH_BYTES // max(4 * width * n, 1)),
+    )
     Sb = max(_pow2(max(-(-Su // D), 1)), 1)
-    c_pad = np.full((D * Sb, n), pad_class, np.int8)
-    c_pad[:Su] = compact
-    w_pad = np.zeros(D * Sb, np.int64)
-    w_pad[:Su] = weights  # zero-weight pads contribute nothing
+    Sb = min(Sb, chunk)
 
     holder = _MeshHolder(mesh)
     sharding = NamedSharding(mesh, P("samples"))
@@ -295,12 +300,16 @@ def distributed_class_gram(variants: np.ndarray, mesh) -> np.ndarray:
             x.shape, sharding, lambda idx: x[idx]
         )
 
-    G_sh = _jit_gram(_put(c_pad), _put(w_pad), int(n), int(width), holder)
-    # every shard row holds the identical psum result; take the first
-    Gc = np.asarray(G_sh[0]).astype(np.int64)
+    Gc = np.zeros((n * width, n * width), dtype=np.int64)
+    step = D * Sb
+    for s0 in range(0, max(Su, 1), step):
+        c_pad = np.full((step, n), pad_class, np.int8)
+        w_pad = np.zeros(step, np.int64)  # zero-weight pads are inert
+        blk = compact[s0 : s0 + step]
+        c_pad[: len(blk)] = blk
+        w_pad[: len(blk)] = weights[s0 : s0 + step]
+        G_sh = _jit_gram(_put(c_pad), _put(w_pad), int(n), int(width), holder)
+        # every shard row holds the identical psum result; take the first
+        Gc += np.asarray(G_sh[0]).astype(np.int64)
 
-    G = np.zeros((n, 16, n, 16), dtype=np.int64)
-    Gc4 = Gc.reshape(n, width, n, width)[:, :Kp, :, :Kp]
-    pres64 = present.astype(np.int64)
-    G[np.ix_(np.arange(n), pres64, np.arange(n), pres64)] = Gc4
-    return G.reshape(n * 16, n * 16)
+    return scatter_gram_16(Gc, present, Kp, width, n)

@@ -149,7 +149,8 @@ def build_samples(
     max_batch: int = 8,
 ) -> List[SampleDict]:
     """Build many samples, batching same-shape pipelines into single
-    device dispatches (jax.vmap over the samples axis).
+    device dispatches (2-D row-wise pipelines over the samples axis;
+    see ops.pipeline.batched_pipeline on why this is not a vmap).
 
     Replaces the reference's rayon sample parallelism
     (merge_ska_dict.rs:354-417) with device batching; host parsing runs

@@ -504,3 +504,25 @@ def test_distributed_modes_end_to_end_equality(tmp_path, monkeypatch):
     assert outs["0"][0] == outs["1"][0], "map aln differs"
     assert outs["0"][1] == outs["1"][1], "map vcf differs"
     assert outs["0"][2] == outs["1"][2], "distance differs"
+
+
+def test_distributed_class_gram_multi_chunk(monkeypatch):
+    """Shrinking the shared scratch budget must drive the mesh Gram's
+    per-device chunk loop (several sharded dispatches summed on host)
+    without changing a single count."""
+    import ska_tpu.distance as dist_mod
+    from ska_tpu.distance import class_gram
+    from ska_tpu.parallel.postbuild import distributed_class_gram
+
+    rng = np.random.default_rng(9)
+    letters = np.frombuffer(b"-ACGTN", np.uint8)
+    # 10 samples: random rows stay (nearly) unique, so dedup cannot
+    # collapse the input below the shrunken per-device chunk bound —
+    # the loop genuinely runs several sharded dispatches
+    variants = letters[rng.integers(0, len(letters), size=(60000, 10))]
+    mesh = build_mesh(8)
+    G_one = distributed_class_gram(variants, mesh)
+    monkeypatch.setattr(dist_mod, "GRAM_SCRATCH_BYTES", 1 << 16)
+    G_many = distributed_class_gram(variants, mesh)
+    assert np.array_equal(G_one, G_many)
+    assert np.array_equal(G_many, class_gram(variants, on_host=True))
