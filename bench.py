@@ -330,7 +330,8 @@ def run_cmd_bench(remaining_budget_s):
         subprocess.run(
             [sys.executable, os.path.join(HERE, "scripts", "bench_cmds.py"),
              "--json", os.path.join(HERE, out_name),
-             "--cmd-timeout", str(max(150.0, budget / 10))],
+             "--cmd-timeout", str(max(150.0, budget / 10)),
+             "--budget", str(budget)],
             timeout=budget, check=True, cwd=HERE,
             stdout=sys.stderr, stderr=subprocess.STDOUT,
         )

@@ -126,7 +126,17 @@ def main():
                          "stall single device dispatches for minutes)")
     ap.add_argument("--no-warm", action="store_true",
                     help="skip the untimed device warm-up runs")
+    ap.add_argument("--budget", type=float, default=None,
+                    help="total wall budget in seconds; when less than "
+                         "~40%% remains, warm-ups are skipped so every "
+                         "command still gets its timed device+host rows")
     args = ap.parse_args()
+    t_start = time.perf_counter()
+
+    def behind_schedule():
+        if args.budget is None:
+            return False
+        return time.perf_counter() - t_start > 0.6 * args.budget
 
     rows = []  # one dict per command, run order
 
@@ -176,9 +186,12 @@ def main():
         row = {"cmd": name}
         notes = []
 
-        # 1) device warm-up (untimed: compiles + page cache)
+        # 1) device warm-up (untimed: compiles + page cache); skipped
+        #    when the budget is running out — timed rows beat warm ones
         warm_ok = True
-        if not args.no_warm:
+        if behind_schedule():
+            row["note_warmup"] = "skipped (budget)"
+        elif not args.no_warm:
             t, _, err = attempt(name, cmd, None, args.cmd_timeout, "device warm-up")
             if err:
                 warm_ok = False
