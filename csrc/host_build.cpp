@@ -1,0 +1,297 @@
+// Native host-mode `ska build` engine (FASTA path).
+//
+// The framework's product path is the TPU pipeline; host mode
+// (SKA_PLATFORM=cpu) is the availability fallback, and running the
+// sort-based XLA program on a 1-core CPU loses to the reference's
+// hashmap design (BASELINE.md's end-to-end honesty table). This engine
+// gives the fallback the same data-structure class the reference uses —
+// rolling extraction + swisstable/ahash-style flat maps — while
+// producing output BYTE-IDENTICAL to the device pipeline:
+//
+//   * emission rule incl. the build-vs-roll "last window of a record"
+//     quirk (reference split_kmer.rs:78-140 build requires idx+k < L;
+//     rolls may reach the final base) — records are delimited by one
+//     0x00 byte in the flat batch (ska_tpu/io/fastx.py build_batch)
+//   * per-base validity: reject N/n ((c & 0xF) == 14) and the 0x00
+//     separator (bit_encoding.rs:52-54 + batch padding convention)
+//   * canonical min(fwd, rc) on the SPLIT key, middle code flipped on
+//     rc (split_kmer.rs:281-295); 2-bit code = (c >> 1) & 3
+//   * palindrome W/S sets: key == rc(key) => set gains bit (mid ^ 2)
+//     (ska_dict.rs:85-113; encoding.py SET_TO_ASCII "-ACMTWYHGRSVKDBN")
+//   * per-(key, sample) IUPAC union = OR of 4-bit sets; zeros -> '-'
+//   * global row order: keys sorted ascending (lex over (hi, lo) for
+//     k > 31), exactly the device merge's order
+//
+// FASTQ inputs (quality gates, min-count rank filter) keep the existing
+// paths; the caller only routes FASTA cohorts here.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <new>
+#include <vector>
+
+namespace {
+
+static inline uint64_t hb_mix(uint64_t x) {
+    const unsigned __int128 m =
+        (unsigned __int128)(x ^ 0x243f6a8885a308d3ull) * 0x13198a2e03707344ull;
+    return (uint64_t)m ^ (uint64_t)(m >> 64);
+}
+
+typedef unsigned __int128 u128;
+
+static inline uint64_t key_hash(uint64_t k) { return hb_mix(k); }
+static inline uint64_t key_hash(u128 k) {
+    return hb_mix((uint64_t)k ^ hb_mix((uint64_t)(k >> 64)));
+}
+
+// key -> uint32 payload open-addressing map (0.75 load factor)
+template <class K>
+struct Map {
+    std::vector<K> keys;
+    std::vector<uint32_t> vals;
+    std::vector<uint8_t> used;
+    size_t mask = 0, count = 0, limit = 0;
+    bool oom = false;
+
+    explicit Map(size_t cap0 = 1 << 12) { rehash(cap0); }
+
+    void rehash(size_t cap) {
+        std::vector<K> ok;
+        std::vector<uint32_t> ov;
+        std::vector<uint8_t> ou;
+        ok.swap(keys);
+        ov.swap(vals);
+        ou.swap(used);
+        try {
+            keys.assign(cap, K());
+            vals.assign(cap, 0);
+            used.assign(cap, 0);
+        } catch (const std::bad_alloc&) {
+            oom = true;
+            return;
+        }
+        mask = cap - 1;
+        limit = cap - cap / 4;
+        count = 0;
+        for (size_t i = 0; i < ou.size(); i++)
+            if (ou[i]) {
+                size_t j = key_hash(ok[i]) & mask;
+                while (used[j]) j = (j + 1) & mask;
+                used[j] = 1;
+                keys[j] = ok[i];
+                vals[j] = ov[i];
+                count++;
+            }
+    }
+
+    // pointer to payload slot; *fresh set when newly inserted (payload 0)
+    uint32_t* slot(K k, bool* fresh) {
+        if (count >= limit) {
+            rehash((mask + 1) * 2);
+            if (oom) return nullptr;
+        }
+        size_t i = key_hash(k) & mask;
+        while (used[i]) {
+            if (keys[i] == k) {
+                *fresh = false;
+                return &vals[i];
+            }
+            i = (i + 1) & mask;
+        }
+        used[i] = 1;
+        keys[i] = k;
+        count++;
+        *fresh = true;
+        vals[i] = 0;
+        return &vals[i];
+    }
+};
+
+// SET_TO_ASCII with bit order A=1, C=2, T=4, G=8 (2-bit code = bit index;
+// encoding.py: b"-ACMTWYHGRSVKDBN")
+static const char SET_ASCII[17] = "-ACMTWYHGRSVKDBN";
+
+struct Result {
+    int W = 1;
+    long long n_rows = 0;
+    int n_samples = 0;
+    std::vector<uint64_t> keys;     // n_rows * W limbs (hi, lo)
+    std::vector<uint8_t> variants;  // n_rows * n_samples ASCII
+    std::vector<int64_t> counts;    // n_rows
+};
+
+static Result* g_result = nullptr;
+
+// Rolling scan of one flat record-batch (0x00 separators); emits
+// (canonical split key, 4-bit set) per window via cb. O(1) registers per
+// base: incremental forward AND reverse-complement whole-window state
+// (split_kmer.rs:159-217), split keys derived by dropping the middle
+// 2-bit group.
+template <class K, class F>
+static void scan(const uint8_t* seq, long long L, int k, bool rc_on, F&& cb) {
+    const int h = (k - 1) / 2;
+    const K one = 1;
+    const K kmask = (2 * k >= (int)sizeof(K) * 8)
+                        ? (K)~(K)0
+                        : ((one << (unsigned)(2 * k)) - 1);
+    const K lowmask = (one << (unsigned)(2 * h)) - 1;
+    K fwd = 0, rcw = 0;
+    long long have = 0;
+    for (long long i = 0; i < L; i++) {
+        uint8_t c = seq[i];
+        if (c == 0 || (c & 0xF) == 14) {  // separator / N: reset
+            have = 0;
+            fwd = 0;
+            rcw = 0;
+            continue;
+        }
+        K code = (K)((c >> 1) & 3);
+        fwd = ((fwd << 2) | code) & kmask;
+        rcw = (rcw >> 2) | ((code ^ (K)2) << (unsigned)(2 * (k - 1)));
+        if (++have < k) continue;
+        // build-vs-roll rule: a freshly built window (have == k) is only
+        // emitted when it is NOT the record's final window
+        if (have == k) {
+            bool rec_last = (i + 1 == L) || seq[i + 1] == 0;
+            if (rec_last) continue;
+        }
+        K fkey = ((fwd >> (unsigned)(2 * (h + 1))) << (unsigned)(2 * h)) |
+                 (fwd & lowmask);
+        uint8_t fmid = (uint8_t)((fwd >> (unsigned)(2 * h)) & 3);
+        if (rc_on) {
+            K rkey = ((rcw >> (unsigned)(2 * (h + 1))) << (unsigned)(2 * h)) |
+                     (rcw & lowmask);
+            if (rkey < fkey) {
+                cb(rkey, (uint8_t)(1u << (fmid ^ 2)));
+            } else if (rkey == fkey) {  // palindrome: W/S set
+                cb(fkey, (uint8_t)((1u << fmid) | (1u << (fmid ^ 2))));
+            } else {
+                cb(fkey, (uint8_t)(1u << fmid));
+            }
+        } else {
+            cb(fkey, (uint8_t)(1u << fmid));
+        }
+    }
+}
+
+template <class K>
+static long long build_impl(int n_samples, const uint8_t** seqs,
+                            const long long* lens, int k, bool rc, int W) {
+    Map<K> merged;
+    std::vector<uint8_t> store;  // rows x n_samples, '-' filled
+    const size_t S = (size_t)n_samples;
+
+    for (int s = 0; s < n_samples; s++) {
+        // per-sample dict: key -> 4-bit set union (ska_dict.rs:76-113)
+        Map<K> dict(1 << 16);
+        bool oom = false;
+        scan<K>(seqs[s], lens[s], k, rc, [&](K key, uint8_t set) {
+            bool fresh;
+            uint32_t* v = dict.slot(key, &fresh);
+            if (!v) { oom = true; return; }
+            *v |= set;
+        });
+        if (oom || dict.oom) return -2;
+        // append into the merged map (merge_ska_dict.rs:77-109)
+        for (size_t i = 0; i <= dict.mask && dict.count; i++) {
+            if (!dict.used[i]) continue;
+            bool fresh;
+            uint32_t* rowp = merged.slot(dict.keys[i], &fresh);
+            if (!rowp) return -2;
+            if (fresh) {
+                *rowp = (uint32_t)(store.size() / S);
+                try {
+                    store.resize(store.size() + S, '-');
+                } catch (const std::bad_alloc&) {
+                    return -2;
+                }
+            }
+            store[(size_t)(*rowp) * S + s] =
+                (uint8_t)SET_ASCII[dict.vals[i] & 15];
+        }
+        if (merged.oom) return -2;
+    }
+
+    const long long R = (long long)(store.size() / (S ? S : 1));
+    // global order: sort rows by key ascending (the device merge's order)
+    std::vector<std::pair<K, uint32_t>> order;
+    try {
+        order.reserve(R);
+    } catch (const std::bad_alloc&) {
+        return -2;
+    }
+    for (size_t i = 0; i <= merged.mask && merged.count; i++)
+        if (merged.used[i]) order.emplace_back(merged.keys[i], merged.vals[i]);
+    std::sort(order.begin(), order.end(),
+              [](const auto& a, const auto& b) { return a.first < b.first; });
+
+    Result* res = new (std::nothrow) Result();
+    if (!res) return -2;
+    res->W = W;
+    res->n_rows = R;
+    res->n_samples = n_samples;
+    try {
+        res->keys.resize((size_t)R * W);
+        res->variants.resize((size_t)R * S);
+        res->counts.resize(R);
+    } catch (const std::bad_alloc&) {
+        delete res;
+        return -2;
+    }
+    for (long long r = 0; r < R; r++) {
+        K key = order[r].first;
+        if (W == 1) {
+            res->keys[r] = (uint64_t)key;
+        } else {
+            res->keys[2 * r] = (uint64_t)((u128)key >> 64);
+            res->keys[2 * r + 1] = (uint64_t)key;
+        }
+        const uint8_t* src = store.data() + (size_t)order[r].second * S;
+        uint8_t* dst = res->variants.data() + (size_t)r * S;
+        memcpy(dst, src, S);
+        int64_t cnt = 0;
+        for (size_t j = 0; j < S; j++) cnt += dst[j] != '-';
+        res->counts[r] = cnt;
+    }
+    delete g_result;
+    g_result = res;
+    return R;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Build + merge a FASTA cohort natively. seqs[i]/lens[i]: sample i's flat
+// record batch (0x00 separators). Returns n_rows, or -2 on allocation
+// failure. Results are retained until the next call / release; copy out
+// with the accessors below.
+long long ska_host_build(int n_samples, const uint8_t** seqs,
+                         const long long* lens, int k, int rc) {
+    if (n_samples <= 0 || k < 5 || k > 63 || (k & 1) == 0) return -1;
+    if (k <= 31) return build_impl<uint64_t>(n_samples, seqs, lens, k, rc != 0, 1);
+    return build_impl<u128>(n_samples, seqs, lens, k, rc != 0, 2);
+}
+
+void ska_host_build_keys(uint64_t* out) {
+    if (g_result)
+        memcpy(out, g_result->keys.data(),
+               g_result->keys.size() * sizeof(uint64_t));
+}
+void ska_host_build_variants(uint8_t* out) {
+    if (g_result)
+        memcpy(out, g_result->variants.data(), g_result->variants.size());
+}
+void ska_host_build_counts(int64_t* out) {
+    if (g_result)
+        memcpy(out, g_result->counts.data(),
+               g_result->counts.size() * sizeof(int64_t));
+}
+void ska_host_build_release() {
+    delete g_result;
+    g_result = nullptr;
+}
+
+}  // extern "C"

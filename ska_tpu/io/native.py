@@ -19,6 +19,7 @@ _SRCS = [
     os.path.join(_CSRC, "skalo_core.cpp"),
     os.path.join(_CSRC, "skalo_snps.cpp"),
     os.path.join(_CSRC, "merge_batches.cpp"),
+    os.path.join(_CSRC, "host_build.cpp"),
 ]
 
 
@@ -272,6 +273,49 @@ _lib.ska_merge_batches.argtypes = [
     _u64p, ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
     ctypes.c_longlong,
 ]
+
+
+_lib.ska_host_build.restype = ctypes.c_longlong
+_lib.ska_host_build.argtypes = [
+    ctypes.c_int,
+    ctypes.POINTER(ctypes.c_void_p),  # NOT c_char_p: batches contain 0x00
+    ctypes.POINTER(ctypes.c_longlong),
+    ctypes.c_int,
+    ctypes.c_int,
+]
+_lib.ska_host_build_keys.argtypes = [_u64p]
+_lib.ska_host_build_variants.argtypes = [_u8p]
+_lib.ska_host_build_counts.argtypes = [ctypes.POINTER(ctypes.c_int64)]
+
+
+def host_build(sample_seqs, k: int, rc: bool):
+    """Native host-mode FASTA build+merge (csrc/host_build.cpp): one flat
+    0x00-separated record batch per sample in, the merged array out —
+    byte-identical to the device pipeline (sorted keys (n, W), ASCII
+    variants (n, S), counts)."""
+    S = len(sample_seqs)
+    bufs = [_np.ascontiguousarray(s, dtype=_np.uint8) for s in sample_seqs]
+    # raw addresses: a c_char_p round-trip would COPY each buffer and
+    # truncate it at the first 0x00 record separator
+    ptrs = (ctypes.c_void_p * S)(*[b.ctypes.data for b in bufs])
+    lens = (ctypes.c_longlong * S)(*[len(b) for b in bufs])
+    n = int(_lib.ska_host_build(S, ptrs, lens, int(k), 1 if rc else 0))
+    if n == -2:
+        raise MemoryError("ska build: native host build exceeded memory")
+    if n < 0:
+        raise ValueError("ska build: invalid native host build arguments")
+    W = 1 if k <= 31 else 2
+    keys = _np.zeros((n, W), dtype=_np.uint64)
+    variants = _np.zeros((n, S), dtype=_np.uint8)
+    counts = _np.zeros(n, dtype=_np.int64)
+    if n:
+        _lib.ska_host_build_keys(keys.ctypes.data_as(_u64p))
+        _lib.ska_host_build_variants(variants.ctypes.data_as(_u8p))
+        _lib.ska_host_build_counts(
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        )
+    _lib.ska_host_build_release()
+    return keys, variants, counts
 
 
 def merge_batches(keys_list, var_list):

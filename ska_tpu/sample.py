@@ -238,6 +238,10 @@ def build_samples_merged(
             )
         )
 
+    native = _native_host_build(prepared, input_files, k, rc)
+    if native is not None:
+        return native
+
     cap = _max_chunk_bases()
     groups = {}
     big = []
@@ -350,6 +354,47 @@ def _stage_raw(batches, Lp):
         ends = np.flatnonzero(b.rec_last).astype(np.int32)
         rec_ends[i, : len(ends)] = ends
     return seqs, quals_arr, rec_ends, has_qual
+
+
+def _native_host_build(prepared, input_files, k, rc):
+    """Host-mode native build dispatch (csrc/host_build.cpp).
+
+    The product path is the TPU pipeline; this gives the host-only
+    fallback the reference's own data-structure class (rolling extract +
+    flat hashmaps) instead of running comparator-network sorts on a CPU
+    — BASELINE.md's end-to-end honesty table is the rationale. Gated to
+    FASTA cohorts and to explicit host operation (SKA_PLATFORM=cpu) or
+    SKA_NATIVE_BUILD=1, so the JAX pipelines keep their full CPU-backend
+    test coverage (tests pin the cpu platform via jax.config, not the
+    env var). Output is byte-identical to the device path (asserted by
+    tests/test_native_build.py). Returns the build_samples_merged batch
+    list, or None when ineligible.
+    """
+    flag = os.environ.get("SKA_NATIVE_BUILD", "auto")
+    if flag == "0":
+        return None
+    if any(is_reads for (_b, is_reads) in prepared):
+        return None  # FASTQ paths (quality/count filters) stay as-is
+    if flag != "1" and os.environ.get("SKA_PLATFORM") != "cpu":
+        return None
+    try:
+        from .io.native import host_build
+    except Exception:  # noqa: BLE001 - no toolchain: JAX path works fine
+        return None
+
+    keys_np, var_np, counts_np = host_build(
+        [b.seq for (b, _ir) in prepared], k, rc
+    )
+    present = (
+        (var_np != ord("-")).any(axis=0)
+        if len(keys_np)
+        else np.zeros(len(prepared), bool)
+    )
+    for col, t in enumerate(input_files):
+        if not present[col]:
+            raise ValueError(f"{t[1]} has no valid sequence")
+    names = [t[0] for t in input_files]
+    return [(list(range(len(prepared))), names, keys_np, var_np, counts_np)]
 
 
 def _run_batch(batches, Lp, k, rc, qual, is_reads, use_mq):
