@@ -160,18 +160,20 @@ static void scan(const uint8_t* seq, long long L, int k, bool rc_on, F&& cb) {
         K fkey = ((fwd >> (unsigned)(2 * (h + 1))) << (unsigned)(2 * h)) |
                  (fwd & lowmask);
         uint8_t fmid = (uint8_t)((fwd >> (unsigned)(2 * h)) & 3);
+        const long long start = i - k + 1;  // window start in the flat batch
         if (rc_on) {
             K rkey = ((rcw >> (unsigned)(2 * (h + 1))) << (unsigned)(2 * h)) |
                      (rcw & lowmask);
             if (rkey < fkey) {
-                cb(rkey, (uint8_t)(1u << (fmid ^ 2)));
+                cb(rkey, (uint8_t)(1u << (fmid ^ 2)), start, true);
             } else if (rkey == fkey) {  // palindrome: W/S set
-                cb(fkey, (uint8_t)((1u << fmid) | (1u << (fmid ^ 2))));
+                cb(fkey, (uint8_t)((1u << fmid) | (1u << (fmid ^ 2))), start,
+                   false);
             } else {
-                cb(fkey, (uint8_t)(1u << fmid));
+                cb(fkey, (uint8_t)(1u << fmid), start, false);
             }
         } else {
-            cb(fkey, (uint8_t)(1u << fmid));
+            cb(fkey, (uint8_t)(1u << fmid), start, false);
         }
     }
 }
@@ -187,7 +189,8 @@ static long long build_impl(int n_samples, const uint8_t** seqs,
         // per-sample dict: key -> 4-bit set union (ska_dict.rs:76-113)
         Map<K> dict(1 << 16);
         bool oom = false;
-        scan<K>(seqs[s], lens[s], k, rc, [&](K key, uint8_t set) {
+        scan<K>(seqs[s], lens[s], k, rc,
+                [&](K key, uint8_t set, long long, bool) {
             bool fresh;
             uint32_t* v = dict.slot(key, &fresh);
             if (!v) { oom = true; return; }
@@ -260,9 +263,76 @@ static long long build_impl(int n_samples, const uint8_t** seqs,
     return R;
 }
 
+struct RefScan {
+    int W = 1;
+    std::vector<uint64_t> keys;     // n * W limbs (hi, lo)
+    std::vector<int64_t> pos;       // window start index in the flat batch
+    std::vector<uint8_t> rcflag;    // 1 = reverse-strand canonical hit
+};
+
+static RefScan* g_refscan = nullptr;
+
+template <class K>
+static long long ref_scan_impl(const uint8_t* seq, long long L, int k,
+                               bool rc, int W) {
+    RefScan* rs = new (std::nothrow) RefScan();
+    if (!rs) return -2;
+    rs->W = W;
+    try {
+        rs->keys.reserve((size_t)L * W);
+        rs->pos.reserve(L);
+        rs->rcflag.reserve(L);
+        scan<K>(seq, L, k, rc,
+                [&](K key, uint8_t, long long start, bool is_rc) {
+            if (W == 1) {
+                rs->keys.push_back((uint64_t)key);
+            } else {
+                rs->keys.push_back((uint64_t)((u128)key >> 64));
+                rs->keys.push_back((uint64_t)key);
+            }
+            rs->pos.push_back(start);
+            rs->rcflag.push_back(is_rc ? 1 : 0);
+        });
+    } catch (const std::bad_alloc&) {
+        delete rs;
+        return -2;
+    }
+    delete g_refscan;
+    g_refscan = rs;
+    return (long long)rs->pos.size();
+}
+
 }  // namespace
 
 extern "C" {
+
+// Positional split k-mer scan of one flat record batch (the RefSka
+// indexing pass, ska_ref.rs:189-311): emits every window's canonical
+// key, its start index in the flat batch, and the strand flag, in
+// positional order. Same emission semantics as the build scan.
+long long ska_host_ref_scan(const uint8_t* seq, long long L, int k, int rc) {
+    if (k < 5 || k > 63 || (k & 1) == 0) return -1;
+    if (k <= 31) return ref_scan_impl<uint64_t>(seq, L, k, rc != 0, 1);
+    return ref_scan_impl<u128>(seq, L, k, rc != 0, 2);
+}
+void ska_host_ref_scan_keys(uint64_t* out) {
+    if (g_refscan)
+        memcpy(out, g_refscan->keys.data(),
+               g_refscan->keys.size() * sizeof(uint64_t));
+}
+void ska_host_ref_scan_pos(int64_t* out) {
+    if (g_refscan)
+        memcpy(out, g_refscan->pos.data(),
+               g_refscan->pos.size() * sizeof(int64_t));
+}
+void ska_host_ref_scan_rc(uint8_t* out) {
+    if (g_refscan)
+        memcpy(out, g_refscan->rcflag.data(), g_refscan->rcflag.size());
+}
+void ska_host_ref_scan_release() {
+    delete g_refscan;
+    g_refscan = nullptr;
+}
 
 // Build + merge a FASTA cohort natively. seqs[i]/lens[i]: sample i's flat
 // record batch (0x00 separators). Returns n_rows, or -2 on allocation

@@ -33,6 +33,19 @@ FILTER_NOAMBIG = "no-ambig"
 FILTER_NOAMBIGORCONST = "no-ambig-or-const"
 
 
+def host_native_enabled() -> bool:
+    """Gate for the native host-mode engines (csrc/host_build.cpp):
+    SKA_NATIVE_BUILD=1 forces on, =0 forces off, default auto = on only
+    under explicit host operation (SKA_PLATFORM=cpu), so the JAX
+    pipelines keep their CPU-backend test coverage."""
+    import os
+
+    flag = os.environ.get("SKA_NATIVE_BUILD", "auto")
+    if flag == "0":
+        return False
+    return flag == "1" or os.environ.get("SKA_PLATFORM") == "cpu"
+
+
 def check_k(k: int) -> int:
     """k must be odd and 5..=63 (reference src/cli.rs:38-47)."""
     if not (5 <= k <= 63) or k % 2 == 0:

@@ -318,6 +318,43 @@ def host_build(sample_seqs, k: int, rc: bool):
     return keys, variants, counts
 
 
+_lib.ska_host_ref_scan.restype = ctypes.c_longlong
+_lib.ska_host_ref_scan.argtypes = [
+    ctypes.c_void_p,
+    ctypes.c_longlong,
+    ctypes.c_int,
+    ctypes.c_int,
+]
+_lib.ska_host_ref_scan_keys.argtypes = [_u64p]
+_lib.ska_host_ref_scan_pos.argtypes = [ctypes.POINTER(ctypes.c_int64)]
+_lib.ska_host_ref_scan_rc.argtypes = [_u8p]
+
+
+def host_ref_scan(seq, k: int, rc: bool):
+    """Native positional split k-mer scan of a flat 0x00-separated record
+    batch (the RefSka indexing pass): returns (keys (n, W), window start
+    indices (n,) int64, rc flags (n,) bool) in positional order."""
+    buf = _np.ascontiguousarray(seq, dtype=_np.uint8)
+    n = int(_lib.ska_host_ref_scan(buf.ctypes.data, len(buf), int(k),
+                                   1 if rc else 0))
+    if n == -2:
+        raise MemoryError("ska map: native reference scan exceeded memory")
+    if n < 0:
+        raise ValueError("ska map: invalid native reference scan arguments")
+    W = 1 if k <= 31 else 2
+    keys = _np.zeros((n, W), dtype=_np.uint64)
+    pos = _np.zeros(n, dtype=_np.int64)
+    rcf = _np.zeros(n, dtype=_np.uint8)
+    if n:
+        _lib.ska_host_ref_scan_keys(keys.ctypes.data_as(_u64p))
+        _lib.ska_host_ref_scan_pos(
+            pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        )
+        _lib.ska_host_ref_scan_rc(rcf.ctypes.data_as(_u8p))
+    _lib.ska_host_ref_scan_release()
+    return keys, pos, rcf.astype(bool)
+
+
 def merge_batches(keys_list, var_list):
     """B-way merge of per-batch (sorted keys (n_b, W), variants (n_b, S_b))
     into (union keys, variants, counts) — csrc/merge_batches.cpp."""

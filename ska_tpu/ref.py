@@ -41,6 +41,38 @@ class RefSka:
 
         W = K.width_for_k(k)
         h = (k - 1) // 2
+
+        from .constants import host_native_enabled
+
+        if host_native_enabled():
+            try:
+                from .io.native import host_ref_scan
+            except Exception:  # noqa: BLE001 - no toolchain: JAX path below
+                host_ref_scan = None
+            if host_ref_scan is not None:
+                # native positional scan (csrc/host_build.cpp): the whole
+                # multi-chromosome reference in one flat 0x00-separated
+                # buffer, chrom/pos recovered by one searchsorted — no
+                # device dispatches in host mode
+                flat = np.frombuffer(
+                    b"\x00".join(bytes(s) for s in self.seq), dtype=np.uint8
+                )
+                starts = np.zeros(len(self.seq), np.int64)
+                cur = 0
+                for ci, s in enumerate(self.seq):
+                    starts[ci] = cur
+                    cur += len(s) + 1
+                keys_n, wpos, isrc = host_ref_scan(flat, k, rc)
+                r = np.searchsorted(starts, wpos, side="right") - 1
+                self.kmers = keys_n
+                self.pos = wpos - starts[r] + h
+                self.chrom = r.astype(np.int32)
+                self.krc = isrc
+                if self.kmers.shape[0] == 0:
+                    raise ValueError(f"{filename} has no valid sequence")
+                self._repeat_spans(repeat_mask, W, h)
+                return
+
         kmers = []
         poss = []
         chroms = []
@@ -155,7 +187,9 @@ class RefSka:
         self.krc = np.concatenate(rcs) if rcs else np.zeros(0, bool)
         if self.kmers.shape[0] == 0:
             raise ValueError(f"{filename} has no valid sequence")
+        self._repeat_spans(repeat_mask, W, h)
 
+    def _repeat_spans(self, repeat_mask, W, h):
         # repeat spans (ska_ref.rs:261-298)
         self.repeat_coors = np.zeros(0, np.int64)
         if repeat_mask:

@@ -370,13 +370,12 @@ def _native_host_build(prepared, input_files, k, rc):
     tests/test_native_build.py). Returns the build_samples_merged batch
     list, or None when ineligible.
     """
-    flag = os.environ.get("SKA_NATIVE_BUILD", "auto")
-    if flag == "0":
+    from .constants import host_native_enabled
+
+    if not host_native_enabled():
         return None
     if any(is_reads for (_b, is_reads) in prepared):
         return None  # FASTQ paths (quality/count filters) stay as-is
-    if flag != "1" and os.environ.get("SKA_PLATFORM") != "cpu":
-        return None
     try:
         from .io.native import host_build
     except Exception:  # noqa: BLE001 - no toolchain: JAX path works fine

@@ -108,3 +108,55 @@ def test_native_gate_leaves_fastq_to_jax(monkeypatch):
         prepared, [("s", "s.fq", None)], 17, True
     )
     assert out is None
+
+
+def test_native_ref_scan_matches_jax_refska(tmp_path, monkeypatch):
+    """RefSka indexing via the native positional scan == the JAX
+    extraction path (kmers, pos, chrom, rc, repeat spans), on a
+    multi-chromosome reference with Ns and repeats."""
+    from ska_tpu.ref import RefSka
+
+    rng = np.random.default_rng(77)
+    acgtn = np.frombuffer(b"ACGTN", np.uint8)
+    P = [0.245, 0.245, 0.245, 0.245, 0.02]
+    chroms = [
+        rng.choice(acgtn, size=n, p=P).astype(np.uint8).tobytes()
+        for n in (3000, 1200, 451)
+    ]
+    # inject a repeat so --repeat-mask spans are non-trivial
+    rep = chroms[0][100:200]
+    chroms[1] = chroms[1][:300] + rep + chroms[1][300:]
+    p = tmp_path / "ref.fa"
+    with open(p, "wb") as f:
+        for j, c in enumerate(chroms):
+            f.write(b">chr%d desc\n" % j + c + b"\n")
+
+    for k, rc, repeat in [(31, True, False), (17, True, True), (41, False, False),
+                          (63, True, True)]:
+        monkeypatch.setenv("SKA_NATIVE_BUILD", "1")
+        rn = RefSka(k, str(p), rc, False, repeat)
+        monkeypatch.setenv("SKA_NATIVE_BUILD", "0")
+        rj = RefSka(k, str(p), rc, False, repeat)
+        assert np.array_equal(rn.kmers, rj.kmers), (k, rc)
+        assert np.array_equal(rn.pos, rj.pos), (k, rc)
+        assert np.array_equal(rn.chrom, rj.chrom), (k, rc)
+        assert np.array_equal(rn.krc, rj.krc), (k, rc)
+        assert np.array_equal(rn.repeat_coors, rj.repeat_coors), (k, rc)
+
+
+def test_native_map_golden(monkeypatch):
+    """End-to-end `ska map` with the native engines forced on must stay
+    byte-exact against the reference golden."""
+    import io
+
+    from ska_tpu import api
+    from ska_tpu.io import skf
+
+    fin = "/root/reference/tests/test_files_in"
+    fout = "/root/reference/tests/test_results_correct"
+    monkeypatch.setenv("SKA_NATIVE_BUILD", "1")
+    arr = skf.load(f"{fin}/merge_k9.skf")
+    out = io.BytesIO()
+    api.map_mode(arr, f"{fin}/test_ref.fa", out, fmt="aln")
+    with open(f"{fout}/map_aln_k9.stdout", "rb") as f:
+        assert out.getvalue() == f.read()
