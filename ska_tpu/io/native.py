@@ -304,17 +304,21 @@ def host_build(sample_seqs, k: int, rc: bool):
         raise MemoryError("ska build: native host build exceeded memory")
     if n < 0:
         raise ValueError("ska build: invalid native host build arguments")
-    W = 1 if k <= 31 else 2
-    keys = _np.zeros((n, W), dtype=_np.uint64)
-    variants = _np.zeros((n, S), dtype=_np.uint8)
-    counts = _np.zeros(n, dtype=_np.int64)
-    if n:
-        _lib.ska_host_build_keys(keys.ctypes.data_as(_u64p))
-        _lib.ska_host_build_variants(variants.ctypes.data_as(_u8p))
-        _lib.ska_host_build_counts(
-            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
-        )
-    _lib.ska_host_build_release()
+    try:
+        W = 1 if k <= 31 else 2
+        keys = _np.zeros((n, W), dtype=_np.uint64)
+        variants = _np.zeros((n, S), dtype=_np.uint8)
+        counts = _np.zeros(n, dtype=_np.int64)
+        if n:
+            _lib.ska_host_build_keys(keys.ctypes.data_as(_u64p))
+            _lib.ska_host_build_variants(variants.ctypes.data_as(_u8p))
+            _lib.ska_host_build_counts(
+                counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+            )
+    finally:
+        # always free the C++-side result (it can be hundreds of MB);
+        # a MemoryError on the numpy allocations above must not leak it
+        _lib.ska_host_build_release()
     return keys, variants, counts
 
 
@@ -341,17 +345,19 @@ def host_ref_scan(seq, k: int, rc: bool):
         raise MemoryError("ska map: native reference scan exceeded memory")
     if n < 0:
         raise ValueError("ska map: invalid native reference scan arguments")
-    W = 1 if k <= 31 else 2
-    keys = _np.zeros((n, W), dtype=_np.uint64)
-    pos = _np.zeros(n, dtype=_np.int64)
-    rcf = _np.zeros(n, dtype=_np.uint8)
-    if n:
-        _lib.ska_host_ref_scan_keys(keys.ctypes.data_as(_u64p))
-        _lib.ska_host_ref_scan_pos(
-            pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
-        )
-        _lib.ska_host_ref_scan_rc(rcf.ctypes.data_as(_u8p))
-    _lib.ska_host_ref_scan_release()
+    try:
+        W = 1 if k <= 31 else 2
+        keys = _np.zeros((n, W), dtype=_np.uint64)
+        pos = _np.zeros(n, dtype=_np.int64)
+        rcf = _np.zeros(n, dtype=_np.uint8)
+        if n:
+            _lib.ska_host_ref_scan_keys(keys.ctypes.data_as(_u64p))
+            _lib.ska_host_ref_scan_pos(
+                pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+            )
+            _lib.ska_host_ref_scan_rc(rcf.ctypes.data_as(_u8p))
+    finally:
+        _lib.ska_host_ref_scan_release()
     return keys, pos, rcf.astype(bool)
 
 

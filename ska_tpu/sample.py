@@ -322,18 +322,25 @@ def build_samples_merged(
             # device counts column across the link
             counts_np = (var_np != ord("-")).sum(axis=1).astype(np.int64)
             del counts
-            # a sample with zero k-mers panics in the reference
-            # (ska_dict.rs:374-376)
-            present = (
-                (var_np != ord("-")).any(axis=0) if n else np.zeros(len(chunk), bool)
-            )
-            for row, i in enumerate(chunk):
-                if not present[row]:
-                    raise ValueError(f"{input_files[i][1]} has no valid sequence")
+            _check_all_present(var_np, n, [input_files[i][1] for i in chunk])
             out.append((chunk, names, keys_np, var_np, counts_np))
             bar.update(len(chunk))
     bar.finish()
     return out
+
+
+def _check_all_present(var_np, n_rows, paths):
+    """A sample with zero k-mers panics in the reference
+    (ska_dict.rs:374-376): column col of the variants matrix must carry
+    at least one non-gap base; paths[col] names the offending input."""
+    present = (
+        (var_np != ord("-")).any(axis=0)
+        if n_rows
+        else np.zeros(len(paths), bool)
+    )
+    for col, path in enumerate(paths):
+        if not present[col]:
+            raise ValueError(f"{path} has no valid sequence")
 
 
 def _stage_raw(batches, Lp):
@@ -384,15 +391,16 @@ def _native_host_build(prepared, input_files, k, rc):
     keys_np, var_np, counts_np = host_build(
         [b.seq for (b, _ir) in prepared], k, rc
     )
-    present = (
-        (var_np != ord("-")).any(axis=0)
-        if len(keys_np)
-        else np.zeros(len(prepared), bool)
-    )
-    for col, t in enumerate(input_files):
-        if not present[col]:
-            raise ValueError(f"{t[1]} has no valid sequence")
+    _check_all_present(var_np, len(keys_np), [t[1] for t in input_files])
     names = [t[0] for t in input_files]
+    # the reference's serial build ticks a per-sample progress bar
+    # (merge_ska_dict.rs:403); the native engine is one call, so show a
+    # completed bar rather than none
+    from .progress import Bar
+
+    bar = Bar(len(prepared), "samples")
+    bar.update(len(prepared))
+    bar.finish()
     return [(list(range(len(prepared))), names, keys_np, var_np, counts_np)]
 
 
@@ -589,13 +597,9 @@ def build_samples_distributed(
             calls, k, rc, mesh, min_count=int(qual.min_count)
         )
         names = [input_files[i][0] for i in call_idxs]
-        S = len(call_idxs)
-        present = (
-            (var_np != ord("-")).any(axis=0) if n_rows else np.zeros(S, bool)
+        _check_all_present(
+            var_np, n_rows, [input_files[i][1] for i in call_idxs]
         )
-        for col, i in enumerate(call_idxs):
-            if not present[col]:
-                raise ValueError(f"{input_files[i][1]} has no valid sequence")
         out.append((call_idxs, names, keys_np, var_np, counts_np))
     return out
 
