@@ -290,6 +290,13 @@ def _child(status_path, result_path):
     write_result(r1, r2)
     set_phase("oracle")
     ok, note = run_oracle()
+    if ok is None:
+        # infra verdicts (relay stall / backend-unavailable) get ONE
+        # retry after a pause — the throughput results are already
+        # persisted, so a second stall costs nothing but this child's
+        # remaining attempt time
+        time.sleep(60)
+        ok, note = run_oracle()
     write_result(r1, r2, ok, note)
     set_phase("done")
     sys.exit(0)
