@@ -35,7 +35,7 @@ def _hist_from_raw(seq, rec_ends, k, rc, W):
     from .ops import pipeline as P
 
     valid, _, rec_last = P.device_masks(
-        seq[None], jnp.zeros((1, 1), jnp.uint8), rec_ends[None], 0,
+        seq[None], jnp.zeros((1, 1), jnp.uint8), rec_ends[None],
         False, False,
     )
     res = X.extract_windows.__wrapped__(seq, valid[0], rec_last[0], k, rc, W)

@@ -390,24 +390,29 @@ def merged_build_pipeline(
     return ukeys, variants, counts, n_rows
 
 
-def device_masks(seqs, quals, rec_ends, min_qual: int, strict_valid: bool,
+def device_masks(seqs, qual_bits, rec_ends, strict_valid: bool,
                  has_qual: bool):
     """Compute the validity/quality/record-end masks ON DEVICE from raw
-    bytes (sample.py:_masks semantics), so the host ships 1 byte/base
-    (FASTA) or 2 (FASTQ) instead of 4 — decisive through a ~25MB/s
-    remote-attached link, and a 4x staging-memcpy cut on PCIe hosts.
+    bytes, so the host ships 1 byte/base (FASTA) or 1.125 (FASTQ)
+    instead of 4 — decisive through a ~25MB/s remote-attached link, and
+    a 4x staging-memcpy cut on PCIe hosts.
 
-    seqs (S, L) uint8 (0 = padding), quals (S, L) uint8 or (S, 1) dummy
-    when has_qual=False (0xFF = record without scores, always passes:
-    split_kmer.rs:66-71), rec_ends (S, E) int32 record-final positions
-    (>= L = padding). Returns (valid, qual_ok, rec_last) (S, L) bool.
+    seqs (S, L) uint8 (0 = padding). qual_bits (S, ceil(L/8)) uint8:
+    np.packbits of the HOST-thresholded per-base quality pass
+    ((q-33) > min_qual, with the reference's `qual: None => true`
+    0xFF rule, split_kmer.rs:66-71) — quality is only ever consumed as
+    this bool, so 1 bit/base crosses the link instead of the raw PHRED
+    byte; (S, 1) dummy when has_qual=False. rec_ends (S, E) int32
+    record-final positions (>= L = padding).
+    Returns (valid, qual_ok, rec_last) (S, L) bool.
     """
     S, L = seqs.shape
     base_ok = ((seqs & jnp.uint8(0xF)) != 14) & (seqs != 0)
     if has_qual:
-        qual_ok = (
-            (quals.astype(jnp.int16) - 33) > jnp.int16(min_qual)
-        ) | (quals == 0xFF)
+        # unpack big-endian bit order (np.packbits default)
+        shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+        bits = (qual_bits[:, :, None] >> shifts) & jnp.uint8(1)
+        qual_ok = bits.reshape(S, -1)[:, :L].astype(bool)
     else:
         qual_ok = jnp.ones_like(base_ok)
     valid = base_ok & qual_ok if strict_valid else base_ok
@@ -426,18 +431,18 @@ def device_masks(seqs, quals, rec_ends, min_qual: int, strict_valid: bool,
     jax.jit,
     static_argnames=(
         "k", "rc", "W", "is_reads", "use_mid_qual", "min_count",
-        "min_qual", "strict_valid", "has_qual",
+        "strict_valid", "has_qual",
     ),
 )
 def merged_build_from_raw(
-    seqs, quals, rec_ends,
+    seqs, qual_bits, rec_ends,
     k: int, rc: bool, W: int, is_reads: bool, use_mid_qual: bool,
-    min_count: int, min_qual: int, strict_valid: bool, has_qual: bool,
+    min_count: int, strict_valid: bool, has_qual: bool,
 ):
     """merged_build_pipeline fed by raw bytes: masks are derived on
     device (device_masks) inside the same dispatch."""
     valid, qual_ok, rec_last = device_masks(
-        seqs, quals, rec_ends, min_qual, strict_valid, has_qual
+        seqs, qual_bits, rec_ends, strict_valid, has_qual
     )
     return merged_build_pipeline.__wrapped__(
         seqs, valid, qual_ok, rec_last, k, rc, W, is_reads, use_mid_qual,
@@ -449,17 +454,17 @@ def merged_build_from_raw(
     jax.jit,
     static_argnames=(
         "k", "rc", "W", "is_reads", "use_mid_qual", "min_count",
-        "min_qual", "strict_valid", "has_qual",
+        "strict_valid", "has_qual",
     ),
 )
 def sample_from_raw(
-    seq, quals, rec_ends,
+    seq, qual_bits, rec_ends,
     k: int, rc: bool, W: int, is_reads: bool, use_mid_qual: bool,
-    min_count: int, min_qual: int, strict_valid: bool, has_qual: bool,
+    min_count: int, strict_valid: bool, has_qual: bool,
 ):
     """sample_pipeline fed by raw bytes (device_masks in-dispatch)."""
     valid, qual_ok, rec_last = device_masks(
-        seq[None], quals[None], rec_ends[None], min_qual, strict_valid,
+        seq[None], qual_bits[None], rec_ends[None], strict_valid,
         has_qual,
     )
     return sample_pipeline.__wrapped__(
@@ -472,17 +477,17 @@ def sample_from_raw(
     jax.jit,
     static_argnames=(
         "k", "rc", "W", "is_reads", "use_mid_qual", "min_count",
-        "min_qual", "strict_valid", "has_qual",
+        "strict_valid", "has_qual",
     ),
 )
 def batched_from_raw(
-    seqs, quals, rec_ends,
+    seqs, qual_bits, rec_ends,
     k: int, rc: bool, W: int, is_reads: bool, use_mid_qual: bool,
-    min_count: int, min_qual: int, strict_valid: bool, has_qual: bool,
+    min_count: int, strict_valid: bool, has_qual: bool,
 ):
     """batched_pipeline fed by raw bytes (device_masks in-dispatch)."""
     valid, qual_ok, rec_last = device_masks(
-        seqs, quals, rec_ends, min_qual, strict_valid, has_qual
+        seqs, qual_bits, rec_ends, strict_valid, has_qual
     )
     return batched_pipeline.__wrapped__(
         seqs, valid, qual_ok, rec_last,
@@ -492,17 +497,17 @@ def batched_from_raw(
 
 @partial(
     jax.jit,
-    static_argnames=("k", "rc", "W", "use_mid_qual", "min_qual",
+    static_argnames=("k", "rc", "W", "use_mid_qual",
                      "strict_valid", "has_qual"),
 )
 def chunk_count_from_raw(
-    seq, quals, rec_ends,
+    seq, qual_bits, rec_ends,
     k: int, rc: bool, W: int, use_mid_qual: bool,
-    min_qual: int, strict_valid: bool, has_qual: bool,
+    strict_valid: bool, has_qual: bool,
 ):
     """chunk_count_pipeline fed by raw bytes (device_masks in-dispatch)."""
     valid, qual_ok, rec_last = device_masks(
-        seq[None], quals[None], rec_ends[None], min_qual, strict_valid,
+        seq[None], qual_bits[None], rec_ends[None], strict_valid,
         has_qual,
     )
     return chunk_count_pipeline.__wrapped__(
@@ -606,7 +611,7 @@ def chunk_key_counts_from_raw(seq, rec_ends, k, rc, W):
     quality, coverage.rs:102): validity and record ends derive on device,
     so only 1 byte/base crosses the link."""
     valid, _, rec_last = device_masks(
-        seq[None], jnp.zeros((1, 1), jnp.uint8), rec_ends[None], 0, False,
+        seq[None], jnp.zeros((1, 1), jnp.uint8), rec_ends[None], False,
         False,
     )
     return chunk_key_counts.__wrapped__(seq, valid[0], rec_last[0], k, rc, W)

@@ -95,14 +95,14 @@ def _local_triples(
 
 
 def _local_triples_raw(
-    seqs, quals, rec_ends, sids,
-    k, rc, W, is_reads, use_mq, min_count, min_qual, strict_valid, has_qual,
+    seqs, qual_bits, rec_ends, sids,
+    k, rc, W, is_reads, use_mq, min_count, strict_valid, has_qual,
 ):
     """Raw-bytes variant of _local_triples: masks are derived on device
-    (ops.pipeline.device_masks) inside the shard, so the host ships 1-2
-    bytes/base instead of 4."""
+    (ops.pipeline.device_masks) inside the shard, so the host ships
+    1-1.125 bytes/base (seq + packed quality-pass bits) instead of 4."""
     valid, qual_ok, rec_last = PIPE.device_masks(
-        seqs, quals, rec_ends, min_qual, strict_valid, has_qual
+        seqs, qual_bits, rec_ends, strict_valid, has_qual
     )
     return _local_triples(
         seqs, valid, qual_ok, rec_last, sids,
@@ -251,13 +251,13 @@ def _jit_local(
 @partial(
     jax.jit,
     static_argnames=(
-        "k", "rc", "W", "is_reads", "use_mq", "min_count", "min_qual",
+        "k", "rc", "W", "is_reads", "use_mq", "min_count",
         "strict_valid", "has_qual", "mesh_holder",
     ),
 )
 def _jit_local_raw(
-    seqs, quals, rec_ends, sids,
-    k, rc, W, is_reads, use_mq, min_count, min_qual, strict_valid, has_qual,
+    seqs, qual_bits, rec_ends, sids,
+    k, rc, W, is_reads, use_mq, min_count, strict_valid, has_qual,
     mesh_holder,
 ):
     mesh = mesh_holder.mesh
@@ -266,13 +266,13 @@ def _jit_local_raw(
             _local_triples_raw,
             k=k, rc=rc, W=W,
             is_reads=is_reads, use_mq=use_mq, min_count=min_count,
-            min_qual=min_qual, strict_valid=strict_valid, has_qual=has_qual,
+            strict_valid=strict_valid, has_qual=has_qual,
         ),
         mesh=mesh,
         in_specs=(P("samples"), P("samples"), P("samples"), P("samples")),
         out_specs=(P("samples"), P("samples"), P("samples")),
     )
-    return fn(seqs, quals, rec_ends, sids)
+    return fn(seqs, qual_bits, rec_ends, sids)
 
 
 @partial(jax.jit, static_argnames=("n_samples", "C_pair", "mesh_holder"))
@@ -321,9 +321,10 @@ def distributed_build_multi(calls, k, rc, mesh, min_count=0):
     Two staging shapes are accepted:
       legacy masks — seqs/valid/qual/rec_last: (S_c, L_c) host arrays
       raw bytes    — key "quals" present: seqs (S_c, L_c) uint8,
-        quals (S_c, L_c) or (S_c, 1) uint8, rec_ends (S_c, E) int32,
-        plus min_qual/strict_valid/has_qual config; masks are derived
-        on device (1-2 bytes/base cross the link instead of 4)
+        quals = PACKED quality-pass bits (S_c, ceil(L_c/8)) (or (S_c, 1)
+        dummy), rec_ends (S_c, E) int32, plus strict_valid/has_qual
+        config; masks derive on device (1-1.125 bytes/base cross the
+        link instead of 4)
     plus in both shapes:
       sids: (S_c,) int32 GLOBAL cohort column of each row
       is_reads/use_mq: bool pipeline config for the group
@@ -386,7 +387,7 @@ def distributed_build_multi(calls, k, rc, mesh, min_count=0):
             kv, sv, tv = _jit_local_raw(
                 _put(seqs_np), _put(quals_np), _put(ends_np), _put(sids_np),
                 k, rc, W, bool(c["is_reads"]), bool(c["use_mq"]),
-                int(min_count), int(c.get("min_qual", 0)),
+                int(min_count),
                 bool(c.get("strict_valid", False)),
                 bool(c.get("has_qual", False)), holder,
             )

@@ -288,31 +288,27 @@ def build_samples_merged(
             while S < len(chunk):
                 S *= 2
             # ship RAW bytes only — masks are derived on device
-            # (ops.pipeline.device_masks): 1 byte/base (FASTA) or 2
-            # (FASTQ) crosses the link instead of 4
-            seqs = np.zeros((S, Lp), np.uint8)
-            quals_arr = np.zeros((S, Lp if has_qual else 1), np.uint8)
-            Eb = _bucket_min(
-                max(int(prepared[i][0].rec_last.sum()) for i in chunk), 16
+            # (ops.pipeline.device_masks): 1 byte/base (FASTA) or 1.125
+            # (FASTQ: seq + packed quality-pass bits) crosses the link
+            # instead of 4
+            seqs_b, qual_bits, rec_ends, _hq2 = _stage_raw(
+                [prepared[i][0] for i in chunk], Lp, int(qual.min_qual)
             )
-            rec_ends = np.full((S, Eb), Lp, np.int32)
-            for row, i in enumerate(chunk):
-                b = prepared[i][0]
-                L = len(b.seq)
-                seqs[row, :L] = b.seq
-                if has_qual:
-                    quals_arr[row, :L] = b.qual
-                ends = np.flatnonzero(b.rec_last).astype(np.int32)
-                rec_ends[row, : len(ends)] = ends
+            seqs = np.zeros((S, Lp), np.uint8)
+            seqs[: len(chunk)] = seqs_b
+            qb = np.zeros((S, qual_bits.shape[1]), np.uint8)
+            qb[: len(chunk)] = qual_bits
+            re_ = np.full((S, rec_ends.shape[1]), Lp, np.int32)
+            re_[: len(chunk)] = rec_ends
             strict_valid = bool(
                 is_reads and has_qual and qual.qual_filter == QUAL_STRICT
             )
             ukeys, variants, counts, n_rows = P.merged_build_from_raw(
                 jnp.asarray(seqs),
-                jnp.asarray(quals_arr),
-                jnp.asarray(rec_ends),
+                jnp.asarray(qb),
+                jnp.asarray(re_),
                 k, rc, W, is_reads, use_mq, int(qual.min_count),
-                int(qual.min_qual), strict_valid, has_qual,
+                strict_valid, has_qual,
             )
             n = int(np.asarray(n_rows))
             names = [input_files[i][0] for i in chunk]
@@ -343,24 +339,32 @@ def _check_all_present(var_np, n_rows, paths):
             raise ValueError(f"{path} has no valid sequence")
 
 
-def _stage_raw(batches, Lp):
-    """Host staging for the raw-bytes device path: seq (+qual) bytes and
-    record-end indices only — masks derive on device
+def _stage_raw(batches, Lp, min_qual=0):
+    """Host staging for the raw-bytes device path: seq bytes, PACKED
+    per-base quality-pass bits (quality is only ever consumed as the
+    thresholded bool, so 1 bit/base crosses the link instead of the raw
+    PHRED byte) and record-end indices — masks derive on device
     (ops.pipeline.device_masks)."""
     S = len(batches)
     has_qual = all(bool(b.has_qual) for b in batches)
     seqs = np.zeros((S, Lp), np.uint8)
-    quals_arr = np.zeros((S, Lp if has_qual else 1), np.uint8)
+    qual_bits = np.zeros((S, (Lp + 7) // 8 if has_qual else 1), np.uint8)
     Eb = _bucket_min(max(int(b.rec_last.sum()) for b in batches), 16)
     rec_ends = np.full((S, Eb), Lp, np.int32)
     for i, b in enumerate(batches):
         L = len(b.seq)
         seqs[i, :L] = b.seq
         if has_qual:
-            quals_arr[i, :L] = b.qual
+            # host threshold incl. the reference's `qual: None => true`
+            # 0xFF rule (split_kmer.rs:66-71); padding packs to 0
+            ok = np.zeros(Lp, bool)
+            ok[:L] = ((b.qual.astype(np.int16) - 33) > min_qual) | (
+                b.qual == 0xFF
+            )
+            qual_bits[i] = np.packbits(ok)
         ends = np.flatnonzero(b.rec_last).astype(np.int32)
         rec_ends[i, : len(ends)] = ends
-    return seqs, quals_arr, rec_ends, has_qual
+    return seqs, qual_bits, rec_ends, has_qual
 
 
 def _native_host_build(prepared, input_files, k, rc):
@@ -409,7 +413,9 @@ def _run_batch(batches, Lp, k, rc, qual, is_reads, use_mq):
 
     W = K.width_for_k(k)
     S = len(batches)
-    seqs, quals_arr, rec_ends, has_qual = _stage_raw(batches, Lp)
+    seqs, qual_bits, rec_ends, has_qual = _stage_raw(
+        batches, Lp, int(qual.min_qual)
+    )
     strict_valid = bool(
         is_reads and has_qual and qual.qual_filter == QUAL_STRICT
     )
@@ -417,19 +423,19 @@ def _run_batch(batches, Lp, k, rc, qual, is_reads, use_mq):
     if S == 1:
         sp, union, is_end, n = P.sample_from_raw(
             jnp.asarray(seqs[0]),
-            jnp.asarray(quals_arr[0]),
+            jnp.asarray(qual_bits[0]),
             jnp.asarray(rec_ends[0]),
             k, rc, W, is_reads, use_mq, int(qual.min_count),
-            int(qual.min_qual), strict_valid, has_qual,
+            strict_valid, has_qual,
         )
         return [P.unpack_host(sp, union, is_end, W)]
 
     sp, union, is_end, n = P.batched_from_raw(
         jnp.asarray(seqs),
-        jnp.asarray(quals_arr),
+        jnp.asarray(qual_bits),
         jnp.asarray(rec_ends),
         k, rc, W, is_reads, use_mq, int(qual.min_count),
-        int(qual.min_qual), strict_valid, has_qual,
+        strict_valid, has_qual,
     )
     sp_np, union_np, end_np = np.asarray(sp), np.asarray(union), np.asarray(is_end)
     return [
@@ -459,7 +465,9 @@ def dict_from_batch(
         return dict_from_batch_chunked(batch, k, rc, qual, is_reads, cap)
     Lp = _bucket(L + k + 1)
 
-    seqs, quals_arr, rec_ends, has_qual = _stage_raw([batch], Lp)
+    seqs, qual_bits, rec_ends, has_qual = _stage_raw(
+        [batch], Lp, int(qual.min_qual)
+    )
     use_mid_qual = bool(
         is_reads and has_qual and qual.qual_filter in (QUAL_MIDDLE, QUAL_STRICT)
     )
@@ -468,10 +476,10 @@ def dict_from_batch(
     )
     sp, union, is_end, n = P.sample_from_raw(
         jnp.asarray(seqs[0]),
-        jnp.asarray(quals_arr[0]),
+        jnp.asarray(qual_bits[0]),
         jnp.asarray(rec_ends[0]),
         k, rc, W, is_reads, use_mid_qual, int(qual.min_count),
-        int(qual.min_qual), strict_valid, has_qual,
+        strict_valid, has_qual,
     )
     keys_np, sets_np = P.unpack_host(sp, union, is_end, W)
     assert len(keys_np) == int(n)
@@ -563,28 +571,17 @@ def build_samples_distributed(
         for c0 in range(0, len(gidxs), per):
             idxs = gidxs[c0 : c0 + per]
             S = len(idxs)
-            seqs = np.zeros((S, Lp), np.uint8)
-            quals_arr = np.zeros((S, Lp if has_qual else 1), np.uint8)
-            Eb = _bucket_min(
-                max(int(prepared[i][0].rec_last.sum()) for i in idxs), 16
+            seqs, qual_bits, rec_ends, _hq2 = _stage_raw(
+                [prepared[i][0] for i in idxs], Lp, int(qual.min_qual)
             )
-            rec_ends = np.full((S, Eb), Lp, np.int32)
-            for row, i in enumerate(idxs):
-                b = prepared[i][0]
-                L = len(b.seq)
-                seqs[row, :L] = b.seq
-                if has_qual:
-                    quals_arr[row, :L] = b.qual
-                ends = np.flatnonzero(b.rec_last).astype(np.int32)
-                rec_ends[row, : len(ends)] = ends
+            for i in idxs:
                 prepared[i] = None  # staged; free the raw batch
             calls.append(dict(
-                seqs=seqs, quals=quals_arr, rec_ends=rec_ends,
+                seqs=seqs, quals=qual_bits, rec_ends=rec_ends,
                 sids=np.arange(
                     len(call_idxs), len(call_idxs) + S, dtype=np.int32
                 ),
                 is_reads=is_reads, use_mq=use_mq,
-                min_qual=int(qual.min_qual),
                 strict_valid=bool(
                     is_reads and has_qual
                     and qual.qual_filter == QUAL_STRICT
@@ -673,9 +670,11 @@ def dict_from_batch_chunked(
         # host-side valid_full above is only the chunk-boundary oracle
         seq = np.zeros(Lp, np.uint8)
         seq[:n] = batch.seq[a:end]
-        qch = np.zeros(Lp if has_qual else 1, np.uint8)
+        qch = np.zeros((Lp + 7) // 8 if has_qual else 1, np.uint8)
         if has_qual:
-            qch[:n] = batch.qual[a:end]
+            ok = np.zeros(Lp, bool)
+            ok[:n] = qual_full[a:end]
+            qch = np.packbits(ok)
         ends = np.flatnonzero(batch.rec_last[a:end]).astype(np.int32)
         rec_ends = np.full(_bucket_min(len(ends), 16), Lp, np.int32)
         rec_ends[: len(ends)] = ends
@@ -683,7 +682,7 @@ def dict_from_batch_chunked(
             swk, is_start, counts, spacked, nu = P.chunk_count_from_raw(
                 jnp.asarray(seq), jnp.asarray(qch), jnp.asarray(rec_ends),
                 k, rc, W, use_mq,
-                int(qual.min_qual), strict_valid, has_qual,
+                strict_valid, has_qual,
             )
             wk, cnt, pk = P.unpack_chunk_counts(swk, is_start, counts, spacked, W)
             wparts.append(wk)
@@ -693,7 +692,7 @@ def dict_from_batch_chunked(
             sp, union, is_end, n_ = P.sample_from_raw(
                 jnp.asarray(seq), jnp.asarray(qch), jnp.asarray(rec_ends),
                 k, rc, W, is_reads, use_mq, 0,
-                int(qual.min_qual), strict_valid, has_qual,
+                strict_valid, has_qual,
             )
             kk, ss = P.unpack_host(sp, union, is_end, W)
             kparts.append(kk)
