@@ -111,11 +111,9 @@ def _child(status_path, result_path):
     set_phase("init")
 
     def bring_up():
-        # ska_tpu's __init__ applies SKA_PLATFORM / x64 / compile-cache
+        # ska_tpu.jaxinit applies SKA_PLATFORM / x64 / compile-cache
         # config; it must run before anything touches the backend
-        import ska_tpu  # noqa: F401
-        import jax
-        import jax.numpy as jnp
+        from ska_tpu.jaxinit import jax, jnp
 
         devs = jax.devices()
         x = jax.device_put(jnp.arange(8, dtype=jnp.int32))
@@ -134,8 +132,7 @@ def _child(status_path, result_path):
         set_phase("init", f"device arithmetic wrong: sum(arange(8)) = {box[0][1]}")
         sys.exit(4)
 
-    import jax.numpy as jnp
-
+    from ska_tpu.jaxinit import jnp
     from ska_tpu.ops import keys as K
     from ska_tpu.ops import pipeline as P
 

@@ -27,8 +27,10 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <new>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -362,6 +364,64 @@ void ska_host_build_counts(int64_t* out) {
 void ska_host_build_release() {
     delete g_result;
     g_result = nullptr;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Vectorized dict lookup for `ska map` host mode: binary search of m
+// needle keys (each W uint64 limbs, W in {1,2}) in a lexicographically
+// sorted (n x W) key table — one pass replaces numpy's
+// searchsorted + clip + gather + row-compare chain (ska_ref.rs:508-533
+// semantics: out_idx[i] = matching row, out_found[i] = 1 on exact hit).
+// SKA_THREADS splits the needle range; disjoint output rows, race-free.
+void ska_map_lookup(const uint64_t* sorted, long long n,
+                    const uint64_t* needles, long long m, int W,
+                    long long* out_idx, uint8_t* out_found) {
+    if (W != 1 && W != 2) return;
+    int T = 1;
+    if (const char* t = getenv("SKA_THREADS")) {
+        int v = atoi(t);
+        if (v > 1) T = v > 64 ? 64 : v;
+    }
+    auto worker = [=](long long lo_i, long long hi_i) {
+        if (W == 1) {
+            for (long long i = lo_i; i < hi_i; ++i) {
+                uint64_t q = needles[i];
+                long long lo = 0, hi = n;
+                while (lo < hi) {
+                    long long mid = (lo + hi) >> 1;
+                    if (sorted[mid] < q) lo = mid + 1; else hi = mid;
+                }
+                out_idx[i] = lo < n ? lo : (n ? n - 1 : 0);
+                out_found[i] = (lo < n && sorted[lo] == q) ? 1 : 0;
+            }
+        } else {
+            for (long long i = lo_i; i < hi_i; ++i) {
+                uint64_t qh = needles[2 * i], ql = needles[2 * i + 1];
+                long long lo = 0, hi = n;
+                while (lo < hi) {
+                    long long mid = (lo + hi) >> 1;
+                    uint64_t sh = sorted[2 * mid], sl = sorted[2 * mid + 1];
+                    if (sh < qh || (sh == qh && sl < ql)) lo = mid + 1;
+                    else hi = mid;
+                }
+                out_idx[i] = lo < n ? lo : (n ? n - 1 : 0);
+                out_found[i] = (lo < n && sorted[2 * lo] == qh &&
+                                sorted[2 * lo + 1] == ql) ? 1 : 0;
+            }
+        }
+    };
+    if (T <= 1 || m < (1 << 16)) { worker(0, m); return; }
+    std::vector<std::thread> ths;
+    long long step = (m + T - 1) / T;
+    for (int t = 0; t < T; ++t) {
+        long long a = t * step, b = a + step < m ? a + step : m;
+        if (a >= b) break;
+        ths.emplace_back(worker, a, b);
+    }
+    for (auto& th : ths) th.join();
 }
 
 }  // extern "C"

@@ -99,11 +99,22 @@ def run_ref_proxy(exe, k, ref_f, out_prefix, samples, timeout=600):
     return best
 
 
-def run(cmd, timeout=None, env=None):
+# env vars that make the accelerator-plugin sitecustomize import jax and
+# register the remote backend at interpreter start (~2-6 s wall). Host-mode
+# rows strip them: a host-only deployment has no relay, and the host-native
+# engines never import jax at all (ska_tpu/jaxinit.py), so the honest host
+# number is measured without the accelerator runtime's fixed startup tax.
+_ACCEL_ENV = ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS")
+
+
+def run(cmd, timeout=None, env=None, strip_accel=False):
     t0 = time.perf_counter()
     full_env = dict(os.environ)
     if env:
         full_env.update(env)
+    if strip_accel:
+        for k in _ACCEL_ENV:
+            full_env.pop(k, None)
     r = subprocess.run(
         [sys.executable, str(REPO / "ska.py")] + [str(c) for c in cmd],
         check=True,
@@ -172,9 +183,9 @@ def main():
             json.dump(rec, f, indent=1)
         os.replace(tmp, args.json)
 
-    def attempt(name, cmd, env, timeout, label):
+    def attempt(name, cmd, env, timeout, label, strip_accel=False):
         try:
-            t, r = run(cmd, timeout=timeout, env=env)
+            t, r = run(cmd, timeout=timeout, env=env, strip_accel=strip_accel)
             return t, r, None
         except subprocess.TimeoutExpired:
             return None, None, f"{label} timeout >{timeout:.0f}s"
@@ -220,16 +231,26 @@ def main():
         else:
             row["device_seconds"] = None
 
-        # 3) timed host run (always: every row carries both numbers)
-        t, _, err = attempt(name, cmd, {"SKA_PLATFORM": "cpu"},
-                            args.cmd_timeout, "host timed")
-        if err:
-            notes.append(err)
+        # 3) timed host runs (always: every row carries both numbers).
+        # Best of 2: this rig's page-fault weather swings wall time
+        # +/-50%, and the min is the reproducible number (BASELINE.md);
+        # both raw runs land in the artifact.
+        host_runs = []
+        for attempt_i in range(2):
+            t, _, err = attempt(name, cmd, {"SKA_PLATFORM": "cpu"},
+                                args.cmd_timeout, "host timed",
+                                strip_accel=True)
+            if err:
+                notes.append(err)
+                break
+            host_runs.append(round(t, 2))
+        if host_runs:
+            row["host_seconds"] = min(host_runs)
+            row["host_seconds_runs"] = host_runs
+            print(f"{name:<9}: host   {min(host_runs):7.2f}s  (runs={host_runs})")
+        else:
             row["host_seconds"] = None
             print(f"{name:<9}: host FAILED: {err}")
-        else:
-            row["host_seconds"] = round(t, 2)
-            print(f"{name:<9}: host   {t:7.2f}s")
 
         if ref_proxy_s is not None:
             row["ref_proxy_seconds"] = round(ref_proxy_s, 2)
@@ -288,7 +309,8 @@ def main():
         try:
             plat = subprocess.run(
                 [sys.executable, "-c",
-                 "import ska_tpu, jax; print(jax.devices()[0].platform)"],
+                 "from ska_tpu.jaxinit import jax; "
+                 "print(jax.devices()[0].platform)"],
                 capture_output=True, text=True, timeout=420, cwd=str(REPO),
             ).stdout.strip() or "unknown"
         except Exception:  # noqa: BLE001

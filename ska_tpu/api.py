@@ -19,7 +19,7 @@ from .constants import (
 )
 from .io import fastx, skf
 from .merge import extend_arrays, merge_samples
-from .sample import QualOpts, build_sample
+from .sampletypes import QualOpts
 
 
 def build(

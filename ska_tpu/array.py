@@ -20,7 +20,7 @@ from .constants import (
     FILTER_NOFILTER,
 )
 from .encoding import BASE_PROB, IS_AMBIGUOUS, decode_packed
-from .ops import keys as K
+from .ops import npkeys as K
 
 _GAP = ord("-")
 
@@ -69,7 +69,18 @@ class SkaArray:
 
         Row storage order is user-visible (alignment column order), so the
         array itself is not reordered.
+
+        This framework's own .skf files store keys already sorted (the
+        merge pipeline is sort-based, io/skf.py keeps that order), so a
+        single vectorized sortedness check usually replaces the
+        O(N log N) argsort; reference-written or row-filtered arrays
+        fall back to the full lexsort.
         """
+        if K.np_lex_is_sorted(self.keys):
+            # perm=None means identity: callers index rows directly, so
+            # the already-sorted case allocates nothing (this rig's
+            # page-fault weather makes even one 4M arange measurable)
+            return self.keys, None
         perm = K.np_lex_argsort(self.keys)
         return self.keys[perm], perm
 

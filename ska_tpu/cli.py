@@ -240,7 +240,7 @@ def _main(argv=None):
 
     from . import api
     from .io import fastx, skf
-    from .sample import QualOpts
+    from .sampletypes import QualOpts
 
     cmd = args.command
     if os.environ.get("SKA_COORDINATOR"):
@@ -257,7 +257,7 @@ def _main(argv=None):
         # Must come AFTER init_multihost: start_trace force-initializes
         # the backends, and jax.distributed.initialize has to run first
         # or the process group join fails / the mesh spans one host only.
-        import jax
+        from .jaxinit import jax
 
         jax.profiler.start_trace(profile_dir)
     # the reference sizes a rayon pool with this flag (main.rs via
@@ -373,7 +373,7 @@ def _main(argv=None):
         run_skalo(arr, config)
 
     if profile_dir:
-        import jax
+        from .jaxinit import jax
 
         jax.profiler.stop_trace()
         log.info("profiler trace written to %s", profile_dir)

@@ -12,8 +12,7 @@ import math
 from functools import partial
 from typing import List
 
-import jax
-import jax.numpy as jnp
+from .jaxinit import jax, jnp
 import numpy as np
 
 from .constants import check_k

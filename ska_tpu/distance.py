@@ -11,8 +11,7 @@ computed exactly as an int8 one-hot Gram matrix on the MXU.
 from dataclasses import dataclass
 from functools import partial
 
-import jax
-import jax.numpy as jnp
+from .jaxinit import jax, jnp
 import numpy as np
 
 from .encoding import ASCII_TO_SET, BASE_PROB, SET_TO_ASCII

@@ -403,3 +403,44 @@ def merge_batches(keys_list, var_list):
     if r == -2:
         raise MemoryError("ska merge: union buffers exceeded available memory")
     return out_keys[:r], out_var[:r], out_counts[:r]
+
+
+_lib.ska_map_lookup.restype = None
+_lib.ska_map_lookup.argtypes = [
+    _u64p,
+    ctypes.c_longlong,
+    _u64p,
+    ctypes.c_longlong,
+    ctypes.c_int,
+    ctypes.POINTER(ctypes.c_int64),
+    _u8p,
+]
+
+
+def map_lookup(sorted_keys, needles):
+    """Binary search of (m, W) needle keys in a lex-sorted (n, W) table
+    (the `ska map` dict lookup, ska_ref.rs:508-533): returns
+    (found (m,) bool, idx (m,) int64 row of the exact match — only
+    meaningful where found)."""
+    sk = _np.ascontiguousarray(sorted_keys, dtype=_np.uint64)
+    nd = _np.ascontiguousarray(needles, dtype=_np.uint64)
+    if sk.ndim == 1:
+        sk = sk[:, None]
+    if nd.ndim == 1:
+        nd = nd[:, None]
+    W = sk.shape[1]
+    if nd.shape[1] != W or W not in (1, 2):
+        raise ValueError("map_lookup: limb width mismatch")
+    m = nd.shape[0]
+    idx = _np.zeros(m, dtype=_np.int64)
+    found = _np.zeros(m, dtype=_np.uint8)
+    _lib.ska_map_lookup(
+        sk.ctypes.data_as(_u64p),
+        sk.shape[0],
+        nd.ctypes.data_as(_u64p),
+        m,
+        W,
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        found.ctypes.data_as(_u8p),
+    )
+    return found.astype(bool), idx

@@ -9,7 +9,7 @@ round-trip via CBOR positive bignums, as ciborium encodes them.
 import numpy as np
 
 from ..array import SkaArray
-from ..ops import keys as K
+from ..ops import npkeys as K
 from . import cbor, snappy
 
 

@@ -13,8 +13,8 @@ import numpy as np
 
 from .array import SkaArray
 from .encoding import SET_TO_ASCII
-from .ops import keys as K
-from .sample import SampleDict
+from .ops import npkeys as K
+from .sampletypes import SampleDict
 
 
 def merge_samples(samples: List[SampleDict]) -> SkaArray:

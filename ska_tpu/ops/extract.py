@@ -19,8 +19,7 @@ and :159-217 `roll_fwd`):
 
 from functools import partial
 
-import jax
-import jax.numpy as jnp
+from ..jaxinit import jax, jnp
 import numpy as np
 
 from . import keys as K

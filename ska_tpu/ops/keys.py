@@ -8,21 +8,20 @@ all ops are static in W so XLA specializes.
 
 from functools import partial
 
-import jax
-import jax.numpy as jnp
 import numpy as np
+
+from ..jaxinit import jax, jnp
+from .npkeys import (  # noqa: F401 - re-exported numpy helpers
+    from_python_ints,
+    kbits_for_k,
+    np_lex_argsort,
+    to_python_ints,
+    width_for_k,
+)
 
 U64 = jnp.uint64
 
 
-def width_for_k(k: int) -> int:
-    """Limb count for split k-mer keys: 2*(k-1) bits."""
-    return 1 if k <= 31 else 2
-
-
-def kbits_for_k(k: int) -> int:
-    """64 or 128, as stored in .skf k_bits (reference lib.rs:592-622)."""
-    return 64 * width_for_k(k)
 
 
 def shl(limbs, s: int):
@@ -281,39 +280,3 @@ def searchsorted(sorted_keys, queries):
 
     lo, hi = jax.lax.fori_loop(0, n_steps + 1, body, (lo, hi))
     return lo
-
-
-# --- numpy-side helpers for python-int interop ---------------------------------
-
-
-def to_python_ints(keys_np) -> list:
-    """(N, W) or (N,) numpy uint64 -> python ints (for CBOR encoding)."""
-    keys_np = np.asarray(keys_np, dtype=np.uint64)
-    if keys_np.ndim == 1:
-        return [int(x) for x in keys_np]
-    if keys_np.shape[-1] == 1:
-        return [int(x) for x in keys_np[:, 0]]
-    return [(int(h) << 64) | int(l) for h, l in keys_np]
-
-
-def from_python_ints(vals, W) -> np.ndarray:
-    """Python ints -> (N, W) numpy uint64 limbs (hi, lo)."""
-    n = len(vals)
-    out = np.zeros((n, W), dtype=np.uint64)
-    if W == 1:
-        for i, v in enumerate(vals):
-            out[i, 0] = v
-    else:
-        for i, v in enumerate(vals):
-            out[i, 0] = (v >> 64) & 0xFFFFFFFFFFFFFFFF
-            out[i, 1] = v & 0xFFFFFFFFFFFFFFFF
-    return out
-
-
-def np_lex_argsort(keys_np):
-    """Host lexicographic argsort of (N, W) uint64 keys."""
-    keys_np = np.asarray(keys_np)
-    if keys_np.ndim == 1:
-        keys_np = keys_np[:, None]
-    cols = [keys_np[:, i] for i in range(keys_np.shape[1] - 1, -1, -1)]
-    return np.lexsort(cols)

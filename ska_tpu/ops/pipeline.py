@@ -15,8 +15,7 @@ ska_dict.rs:76-113 hashmap inserts) and the KmerFilter
 
 from functools import partial
 
-import jax
-import jax.numpy as jnp
+from ..jaxinit import jax, jnp
 import numpy as np
 
 from . import extract as X

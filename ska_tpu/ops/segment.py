@@ -10,8 +10,7 @@ and callers receive a valid count.
 
 from functools import partial
 
-import jax
-import jax.numpy as jnp
+from ..jaxinit import jax, jnp
 import numpy as np
 
 from . import keys as K

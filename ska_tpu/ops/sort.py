@@ -42,8 +42,7 @@ as plain jnp compare-exchange passes (one fused HBM pass each).
 import functools
 import os
 
-import jax
-import jax.numpy as jnp
+from ..jaxinit import jax, jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu

@@ -28,7 +28,11 @@ def use_distributed() -> bool:
     flag = os.environ.get("SKA_DISTRIBUTED", "auto")
     if flag == "0":
         return False
-    import jax
+    if flag == "auto" and os.environ.get("SKA_PLATFORM") == "cpu":
+        # pinned host mode can never be a multi-chip accelerator backend;
+        # deciding from the env keeps host-native commands jax-free
+        return False
+    from ..jaxinit import jax
 
     n_dev = len(jax.devices())
     plat = jax.devices()[0].platform

@@ -45,8 +45,7 @@ sorted the full set on every device).
 
 from functools import partial
 
-import jax
-import jax.numpy as jnp
+from ..jaxinit import jax, jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -48,7 +48,7 @@ def init_multihost(
     if not coordinator_address or num_processes <= 1 or process_id is None:
         return False
 
-    import jax
+    from ..jaxinit import jax
 
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
@@ -64,6 +64,6 @@ def init_multihost(
 
 def is_primary() -> bool:
     """True on the process that should write outputs (host 0)."""
-    import jax
+    from ..jaxinit import jax
 
     return jax.process_index() == 0

@@ -29,8 +29,7 @@ XLA collectives over ICI, static shapes with host-side escalation.
 
 from functools import partial
 
-import jax
-import jax.numpy as jnp
+from ..jaxinit import jax, jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -10,15 +10,13 @@ per-k-mer hashmap lookups of RefSka::map (ska_ref.rs:508-533).
 import os
 from typing import List
 
-import jax.numpy as jnp
 import numpy as np
 
 from .array import SkaArray
 from .constants import check_k
 from .encoding import IS_AMBIGUOUS, RC_IUPAC
 from .io import fastx
-from .ops import extract as X
-from .ops import keys as K
+from .ops import npkeys as K
 
 _GAP = ord("-")
 
@@ -63,10 +61,18 @@ class RefSka:
                     starts[ci] = cur
                     cur += len(s) + 1
                 keys_n, wpos, isrc = host_ref_scan(flat, k, rc)
-                r = np.searchsorted(starts, wpos, side="right") - 1
                 self.kmers = keys_n
-                self.pos = wpos - starts[r] + h
-                self.chrom = r.astype(np.int32)
+                if len(self.seq) == 1:
+                    # single chromosome (the common case): positions are
+                    # the window starts directly — skip the searchsorted
+                    # and two 4M-row temporaries
+                    wpos += h
+                    self.pos = wpos
+                    self.chrom = np.zeros(len(wpos), np.int32)
+                else:
+                    r = np.searchsorted(starts, wpos, side="right") - 1
+                    self.pos = wpos - starts[r] + h
+                    self.chrom = r.astype(np.int32)
                 self.krc = isrc
                 if self.kmers.shape[0] == 0:
                     raise ValueError(f"{filename} has no valid sequence")
@@ -97,6 +103,9 @@ class RefSka:
             validp[: len(valid_np)] = valid_np
             rlp = np.zeros(Lp, bool)
             rlp[: len(rl_np)] = rl_np
+            from .jaxinit import jnp
+            from .ops import extract as X
+
             res = X.extract_windows(
                 jnp.asarray(seqp), jnp.asarray(validp), jnp.asarray(rlp), k, rc, W
             )
@@ -270,14 +279,36 @@ class RefSka:
                 sorted_keys, self.kmers, build_mesh()
             )
             hit = np.nonzero(found)[0]
-            rows = arr.variants[perm[rows_idx[hit]]]
+            ridx = rows_idx[hit]
+            rows = arr.variants[ridx if perm is None else perm[ridx]]
         else:
-            import jax
+            if os.environ.get("SKA_PLATFORM") == "cpu":
+                host_cpu = True  # pinned host mode: stay jax-free
+            else:
+                from .jaxinit import jax
 
-            if jax.default_backend() == "cpu":
-                # host fallback: numpy's vectorized binary search beats
-                # re-running the device's merged-sort rank trick on a
-                # 1-core CPU (measured 11.6s -> ~1s for 4M-in-4.4M)
+                host_cpu = jax.default_backend() == "cpu"
+            if host_cpu:
+                # host fallback: binary search beats re-running the
+                # device's merged-sort rank trick on a 1-core CPU
+                # (measured 11.6s -> ~1s for 4M-in-4.4M); the native
+                # kernel fuses search + exact-match test in one pass
+                # (csrc/host_build.cpp ska_map_lookup, another ~2x)
+                try:
+                    from .io.native import map_lookup
+                except Exception:  # noqa: BLE001 - no toolchain
+                    map_lookup = None
+                if map_lookup is not None:
+                    found_m, idx = map_lookup(sorted_keys, self.kmers)
+                    hit = np.nonzero(found_m)[0]
+                    hidx = idx[hit]
+                    rows = arr.variants[hidx if perm is None else perm[hidx]]
+                    hit_rc = self.krc[hit]
+                    rows = np.where(hit_rc[:, None], RC_IUPAC[rows], rows)
+                    self.mapped_variants = rows
+                    self.mapped_chrom = self.chrom[hit]
+                    self.mapped_pos = self.pos[hit]
+                    return
                 from .array import _combine128
 
                 if sorted_keys.shape[1] == 1:
@@ -289,15 +320,19 @@ class RefSka:
                         _combine128(sorted_keys), _combine128(self.kmers)
                     ).astype(np.int64)
             else:
+                from .jaxinit import jnp
+                from .ops import keys as KD
+
                 idx = np.asarray(
-                    K.searchsorted_via_sort(
+                    KD.searchsorted_via_sort(
                         jnp.asarray(sorted_keys), jnp.asarray(self.kmers)
                     )
                 )
             idx_c = np.clip(idx, 0, arr.ksize - 1)
             found = np.all(sorted_keys[idx_c] == self.kmers, axis=-1)
             hit = np.nonzero(found)[0]
-            rows = arr.variants[perm[idx_c[hit]]]
+            cidx = idx_c[hit]
+            rows = arr.variants[cidx if perm is None else perm[cidx]]
         # reverse-strand hits translate through RC_IUPAC (ska_ref.rs:520-526)
         hit_rc = self.krc[hit]
         rows = np.where(hit_rc[:, None], RC_IUPAC[rows], rows)

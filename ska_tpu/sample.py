@@ -10,38 +10,17 @@ import os
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
-import jax.numpy as jnp
 import numpy as np
+
+from .jaxinit import jnp
 
 from .constants import QUAL_MIDDLE, QUAL_STRICT, check_k
 from .io import fastx
+from .sampletypes import QualOpts, SampleDict  # noqa: F401 - canonical home
 from .ops import extract as X
 from .ops import keys as K
 from .ops import segment as S
 
-
-@dataclass
-class QualOpts:
-    """FASTQ filtering options (reference src/lib.rs:533-540)."""
-
-    min_count: int = 0
-    min_qual: int = 0
-    qual_filter: int = QUAL_STRICT
-
-
-@dataclass
-class SampleDict:
-    """One sample's sorted key array + middle-base sets."""
-
-    name: str
-    k: int
-    rc: bool
-    keys: np.ndarray  # (n, W) uint64, sorted ascending
-    sets: np.ndarray  # (n,) uint8 4-bit base sets
-
-    @property
-    def ksize(self) -> int:
-        return len(self.sets)
 
 
 def _bucket(n: int) -> int:

@@ -189,15 +189,24 @@ def test_cli_profile_trace(tmp_path, ref_in, capsys, monkeypatch):
 
 def test_ska_platform_env_pins_backend():
     """SKA_PLATFORM=cpu must pin the JAX platform even when a plugin
-    sitecustomize pins an accelerator (ska_tpu/__init__.py)."""
+    sitecustomize pins an accelerator. The pin lives in ska_tpu.jaxinit,
+    the single gateway every compute module imports jax through (plain
+    `import ska_tpu` is deliberately jax-free so host-native commands
+    skip the runtime import entirely)."""
     import os
     import subprocess
 
     env = dict(os.environ, SKA_PLATFORM="cpu")
     env.pop("JAX_PLATFORMS", None)
+    # the accelerator plugin's sitecustomize pre-imports jax at
+    # interpreter start when its pool env is present; drop it so the
+    # jax-free-import assertion tests THIS package, not the site hook
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     r = subprocess.run(
         [sys.executable, "-c",
-         "import ska_tpu, jax; print(jax.devices()[0].platform)"],
+         "import sys, ska_tpu; assert 'jax' not in sys.modules, "
+         "'import ska_tpu must stay jax-free'; "
+         "from ska_tpu.jaxinit import jax; print(jax.devices()[0].platform)"],
         capture_output=True, text=True, timeout=300, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )

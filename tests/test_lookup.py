@@ -81,3 +81,86 @@ def test_lazyseq_matches_string():
     ls3 = LazySeq("TTT", parts=parts, n=5)
     assert str(ls3) == "TTT" + "ACTG"[0] + "ACTG"[1] + "ACTG"[2] + "ACTG"[3]
     assert len(ls3) == 7
+
+
+def test_native_map_lookup_matches_numpy():
+    """csrc ska_map_lookup == searchsorted + exact-row-compare for both
+    limb widths, including miss-below/miss-above/adjacent-miss needles
+    (the `ska map` host-mode dict lookup, ska_ref.rs:508-533)."""
+    pytest.importorskip("ska_tpu.io.native")
+    from ska_tpu.io.native import map_lookup
+
+    rng = np.random.default_rng(7)
+    for W in (1, 2):
+        tbl = np.unique(
+            rng.integers(0, 1 << 62, (4096, W), dtype=np.uint64), axis=0
+        )
+        order = np.lexsort([tbl[:, i] for i in range(W - 1, -1, -1)])
+        tbl = tbl[order]
+        needles = np.concatenate(
+            [
+                tbl[::5],                       # exact hits
+                tbl[1::7] + np.uint64(1),       # adjacent misses
+                np.zeros((1, W), np.uint64),    # below-range
+                np.full((1, W), np.uint64(~np.uint64(0))),  # above-range
+                rng.integers(0, 1 << 62, (1024, W), dtype=np.uint64),
+            ]
+        )
+        found, idx = map_lookup(tbl, needles)
+        if W == 1:
+            flat_t, flat_n = tbl[:, 0], needles[:, 0]
+            lo = np.searchsorted(flat_t, flat_n)
+        else:
+            comb = lambda a: (a[:, 0].astype(object) << 64) | a[:, 1].astype(object)
+            flat_t, flat_n = comb(tbl), comb(needles)
+            lo = np.searchsorted(flat_t, flat_n)
+        lo_c = np.clip(lo, 0, len(tbl) - 1)
+        exp_found = np.all(tbl[lo_c] == needles, axis=-1)
+        assert np.array_equal(found, exp_found), W
+        assert np.array_equal(idx[found], lo_c[exp_found]), W
+
+
+def test_native_map_lookup_threaded_invariant(monkeypatch):
+    """SKA_THREADS does not change lookup results (needle-range split,
+    disjoint outputs)."""
+    pytest.importorskip("ska_tpu.io.native")
+    from ska_tpu.io.native import map_lookup
+
+    rng = np.random.default_rng(3)
+    tbl = np.sort(
+        np.unique(rng.integers(0, 1 << 60, 100_000, dtype=np.uint64))
+    )[:, None]
+    needles = rng.integers(0, 1 << 60, (80_000, 1), dtype=np.uint64)
+    f1, i1 = map_lookup(tbl, needles)
+    monkeypatch.setenv("SKA_THREADS", "4")
+    f4, i4 = map_lookup(tbl, needles)
+    assert np.array_equal(f1, f4)
+    assert np.array_equal(i1[f1], i4[f4])
+
+
+def test_sorted_view_identity_fast_path():
+    """Already-sorted keys (every .skf this framework writes) return
+    perm=None — no argsort, no arange; unsorted keys still argsort."""
+    from ska_tpu.array import SkaArray
+    from ska_tpu.ops import npkeys
+
+    keys = np.array([[1], [2], [5], [9]], np.uint64)
+    arr = SkaArray(
+        k=31, rc=True, names=["a"],
+        keys=keys, variants=np.full((4, 1), ord("A"), np.uint8),
+        counts=np.ones(4, np.int64),
+    )
+    sk, perm = arr.sorted_view()
+    assert perm is None and sk is keys
+    assert npkeys.np_lex_is_sorted(keys)
+
+    arr.keys = keys[::-1].copy()
+    sk2, perm2 = arr.sorted_view()
+    assert perm2 is not None
+    assert np.array_equal(sk2[:, 0], np.sort(keys[:, 0]))
+    assert not npkeys.np_lex_is_sorted(arr.keys)
+
+    # two-limb lexicographic order: hi ties broken by lo
+    two = np.array([[1, 9], [2, 0], [2, 1], [3, 0]], np.uint64)
+    assert npkeys.np_lex_is_sorted(two)
+    assert not npkeys.np_lex_is_sorted(two[[0, 2, 1, 3]])
