@@ -3,9 +3,14 @@
 
 Runs the full device build step (window extraction -> canonical min(fwd,rc)
 -> sort -> segmented IUPAC union) on synthetic bacterial-scale genomes on
-the default JAX device (real TPU chip under the driver), and prints ONE
-JSON line. Measures both key widths: W=1 (k=31, the headline) and W=2
-(k=63, two-limb keys) so a two-limb regression is driver-visible.
+the default JAX device (real TPU chip under the driver), and prints the
+headline JSON line AS SOON AS it is measured, then (budget permitting)
+runs the command-level suite and prints a final JSON line with the
+cmds_json artifact name attached — both lines parse identically, so an
+external timeout during the (long) command suite can no longer erase the
+already-measured headline. Measures both key widths: W=1 (k=31, the
+headline) and W=2 (k=63, two-limb keys) so a two-limb regression is
+driver-visible.
 
 vs_baseline divides by a MEASURED single-core reference throughput: the
 image has no Rust toolchain, so csrc/ref_baseline.cpp reproduces the
@@ -305,9 +310,12 @@ def run_cmd_bench(remaining_budget_s):
     After a healthy device run, regenerate the scripts/bench_cmds.py table
     (build/align/map/vcf/distance/lo at the 4x4Mb config) as
     BENCH_CMDS_r{N}.json so CLI-level perf claims are driver-visible each
-    round. Never jeopardises the headline: skipped when the leftover
-    budget is thin, capped per command, and any failure just returns None.
-    Returns the artifact filename or None.
+    round. Never jeopardises the headline: it runs AFTER the headline JSON
+    line has been printed (r4 lost its whole perf record to the reverse
+    order), its output goes to a log file rather than the driver-captured
+    tail (so a mid-suite kill leaves the headline as the tail's last
+    parseable line), it is capped by the leftover budget, and any failure
+    just returns None. Returns the artifact filename or None.
     """
     if os.environ.get("SKA_BENCH_CMDS", "1") == "0":
         return None
@@ -327,20 +335,24 @@ def run_cmd_bench(remaining_budget_s):
             except ValueError:
                 pass
     out_name = f"BENCH_CMDS_r{n:02d}.json"
-    # ~19 runs (6 cmds x warm-up + device + host); bench_cmds.py rewrites
-    # the JSON after every command, so a budget kill still leaves the rows
-    # measured so far on disk
+    # bench_cmds.py rewrites the JSON after every command, so a budget
+    # kill still leaves the rows measured so far on disk. Progress lines
+    # go to a log file, NOT this process's stderr: everything printed
+    # after the headline JSON line competes with it for the driver's
+    # bounded tail capture.
+    log_path = os.path.join(tempfile.gettempdir(), f"bench_cmds_r{n:02d}.log")
     try:
-        subprocess.run(
-            [sys.executable, os.path.join(HERE, "scripts", "bench_cmds.py"),
-             "--json", os.path.join(HERE, out_name),
-             "--cmd-timeout", str(max(150.0, budget / 10)),
-             "--budget", str(budget)],
-            timeout=budget, check=True, cwd=HERE,
-            stdout=sys.stderr, stderr=subprocess.STDOUT,
-        )
+        with open(log_path, "ab") as logf:
+            subprocess.run(
+                [sys.executable, os.path.join(HERE, "scripts", "bench_cmds.py"),
+                 "--json", os.path.join(HERE, out_name),
+                 "--cmd-timeout", str(max(150.0, budget / 10)),
+                 "--budget", str(budget)],
+                timeout=budget, check=True, cwd=HERE,
+                stdout=logf, stderr=subprocess.STDOUT,
+            )
     except Exception as e:  # noqa: BLE001 - artifact is best-effort
-        print(f"cmd bench failed: {e}", file=sys.stderr)
+        print(f"cmd bench failed: {e} (log: {log_path})", file=sys.stderr)
         return os.path.exists(os.path.join(HERE, out_name)) and out_name or None
     return out_name
 
@@ -443,9 +455,17 @@ def main():
                 if res["w2_kmers_per_sec"] is None and rc != 0:
                     out["w2_error"] = last_status.get(
                         "error", f"W=2 not measured (child rc={rc})")
+                # SHIP THE HEADLINE FIRST (r4 post-mortem: the cmd bench
+                # ran before this print, the driver's external timeout
+                # fired mid-suite, and every measured number was lost).
+                # Both lines parse; if the cmd bench is killed, the tail
+                # still ends with this one.
+                print(json.dumps(out), flush=True)
                 out["cmds_json"] = run_cmd_bench(
                     budget - (time.monotonic() - t_start))
-                print(json.dumps(out))
+                # final line repeats the headline with the cmds artifact
+                # attached so a clean run's LAST line carries everything
+                print(json.dumps(out), flush=True)
                 return
 
             if rc == 4:

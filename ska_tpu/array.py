@@ -75,12 +75,19 @@ class SkaArray:
         single vectorized sortedness check usually replaces the
         O(N log N) argsort; reference-written or row-filtered arrays
         fall back to the full lexsort.
+
+        Treat the returned key array as READ-ONLY: the fast path aliases
+        self.keys (a zero-copy, non-writeable view) while the fallback
+        returns a fresh copy — mutating either would corrupt or silently
+        desync the SkaArray.
         """
         if K.np_lex_is_sorted(self.keys):
             # perm=None means identity: callers index rows directly, so
             # the already-sorted case allocates nothing (this rig's
             # page-fault weather makes even one 4M arange measurable)
-            return self.keys, None
+            view = self.keys.view()
+            view.flags.writeable = False
+            return view, None
         perm = K.np_lex_argsort(self.keys)
         return self.keys[perm], perm
 

@@ -8,13 +8,17 @@ G[i*16+a, j*16+b] = #sites(sample i class a, sample j class b) —
 computed exactly as an int8 one-hot Gram matrix on the MXU.
 """
 
+import os
 from dataclasses import dataclass
-from functools import partial
 
-from .jaxinit import jax, jnp
 import numpy as np
 
 from .encoding import ASCII_TO_SET, BASE_PROB, SET_TO_ASCII
+
+# jax is imported lazily (first accelerator-path Gram dispatch): the host
+# path (SKA_PLATFORM=cpu) computes its weighted Gram with numpy BLAS and
+# must never pay the ~2 s jax import — the reference's whole `ska
+# distance` command is faster than that import (merge_ska_array.rs:416-438).
 
 # Accelerator-path dedup ceiling: below this many (pre-dedup) sites the
 # weighted f32 Gram's integer sums are exact (< 2^24), so deduplicated
@@ -65,21 +69,54 @@ def _class_tables(filt_ambig: bool):
     return dist, match, mism
 
 
-@partial(jax.jit, static_argnames=("n", "width"))
+_jit_cache = {}
+
+
+def _jitted(name):
+    """Build (once) and return the jitted Gram kernels. Deferred so the
+    host path never imports jax."""
+    if name in _jit_cache:
+        return _jit_cache[name]
+    from functools import partial
+
+    from .jaxinit import jax, jnp
+
+    @partial(jax.jit, static_argnames=("n", "width"))
+    def gram_chunk(classes_chunk, n: int, width: int = 16):
+        C = classes_chunk.shape[0]
+        onehot = jax.nn.one_hot(classes_chunk.astype(jnp.int32), width, dtype=jnp.int8)
+        X = onehot.reshape(C, n * width)
+        return jax.lax.dot_general(
+            X, X, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+
+    @partial(jax.jit, static_argnames=("n", "width", "f64"))
+    def gram_chunk_weighted(classes_chunk, weights, n: int, width: int, f64: bool):
+        C = classes_chunk.shape[0]
+        dt = jnp.float64 if f64 else jnp.float32
+        onehot = jax.nn.one_hot(classes_chunk.astype(jnp.int32), width, dtype=dt)
+        X = onehot.reshape(C, n * width)
+        return jax.lax.dot_general(
+            X * weights[:, None].astype(dt),
+            X,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=dt,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    _jit_cache["_gram_chunk"] = gram_chunk
+    _jit_cache["_gram_chunk_weighted"] = gram_chunk_weighted
+    return _jit_cache[name]
+
+
 def _gram_chunk(classes_chunk, n: int, width: int = 16):
     """classes_chunk: (C, n) int8 in [0, width). Returns (n*width, n*width)
     int32 Gram. int8 one-hot feeds the MXU natively (accelerator path;
     the weighted kernel over deduplicated rows is preferred whenever its
     f32/f64 sums stay exact — see class_gram)."""
-    C = classes_chunk.shape[0]
-    onehot = jax.nn.one_hot(classes_chunk.astype(jnp.int32), width, dtype=jnp.int8)
-    X = onehot.reshape(C, n * width)
-    return jax.lax.dot_general(
-        X, X, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
-    )
+    return _jitted("_gram_chunk")(classes_chunk, n, width)
 
 
-@partial(jax.jit, static_argnames=("n", "width", "f64"))
 def _gram_chunk_weighted(classes_chunk, weights, n: int, width: int, f64: bool):
     """Weighted Gram over deduplicated rows: lhs scaled by per-row counts.
 
@@ -92,17 +129,25 @@ def _gram_chunk_weighted(classes_chunk, weights, n: int, width: int, f64: bool):
     full 24-bit mantissa, so integer products and sums below 2^24 stay
     exact (verified on-device against the int64 oracle in tests).
     """
-    C = classes_chunk.shape[0]
-    dt = jnp.float64 if f64 else jnp.float32
-    onehot = jax.nn.one_hot(classes_chunk.astype(jnp.int32), width, dtype=dt)
-    X = onehot.reshape(C, n * width)
-    return jax.lax.dot_general(
-        X * weights[:, None].astype(dt),
-        X,
-        (((0,), (0,)), ((), ())),
-        preferred_element_type=dt,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    return _jitted("_gram_chunk_weighted")(classes_chunk, weights, n, width, f64)
+
+
+def _np_gram_weighted(c: np.ndarray, w: np.ndarray, n: int, width: int,
+                      f64: bool) -> np.ndarray:
+    """Host-native weighted Gram: numpy one-hot + BLAS {s,d}gemm.
+
+    Same exactness contract as the jitted kernel on the CPU backend
+    (f32 sums are exact integers below 2^24, f64 below 2^53) without
+    importing jax — the host `ska distance` path must stay jax-free
+    (BASELINE.md end-to-end honesty decomposition). No shape padding:
+    there is no jit compile cache to keep warm on this path.
+    """
+    C = c.shape[0]
+    dt = np.float64 if f64 else np.float32
+    X = np.zeros((C, n * width), dtype=dt)
+    cols = np.arange(n, dtype=np.int64) * width + c.astype(np.int64)
+    X[np.arange(C)[:, None], cols] = 1.0
+    return (X * w[:, None].astype(dt)).T @ X
 
 
 def _dedupe_rows(compact: np.ndarray):
@@ -206,7 +251,14 @@ def class_gram(variants: np.ndarray, on_host=None) -> np.ndarray:
             return distributed_class_gram(variants, build_mesh())
     compact, present, K, width, pad_class = compact_classes(variants)
     if on_host is None:
-        on_host = jax.default_backend() == "cpu"
+        # env pin answers without importing jax (host CLI sets it);
+        # otherwise ask the resolved backend
+        if os.environ.get("SKA_PLATFORM") == "cpu":
+            on_host = True
+        else:
+            from .jaxinit import jax
+
+            on_host = jax.default_backend() == "cpu"
     # Related genomes repeat the same variant row constantly (measured
     # 11.4x dedup at 1.15M rows x 128 samples), and distance runs after a
     # NoConst filter so the site count is modest anyway. Deduping on the
@@ -243,8 +295,20 @@ def class_gram(variants: np.ndarray, on_host=None) -> np.ndarray:
         from .progress import Bar
 
         bar = Bar(n_chunks, "site chunks")
+    jnp = None
+    if not on_host:
+        from .jaxinit import jnp
     for s0 in range(0, S, chunk):
         c = compact[s0 : s0 + chunk]
+        if on_host:
+            # numpy BLAS kernel, no jax and no shape padding (nothing
+            # jit-compiled to keep shape-stable on this path)
+            w = weights[s0 : s0 + chunk]
+            f64 = bool(int(w.sum()) >= (1 << 24))
+            Gc += np.rint(_np_gram_weighted(c, w, n, width, f64)).astype(np.int64)
+            if bar:
+                bar.update()
+            continue
         npad = chunk - len(c)
         if npad:
             c = np.concatenate([c, np.full((npad, n), pad_class, np.int8)])
@@ -253,10 +317,10 @@ def class_gram(variants: np.ndarray, on_host=None) -> np.ndarray:
             if npad:
                 w = np.concatenate([w, np.zeros(npad, w.dtype)])
             # keep f32 sums exactly integral; the accelerator path only
-            # dedupes below 2^24 total sites so f64 stays host-only
-            f64 = bool(on_host and int(w.sum()) >= (1 << 24))
+            # dedupes below 2^24 total sites, past which the undeduped
+            # int8 Gram takes over
             Gc += np.asarray(
-                _gram_chunk_weighted(jnp.asarray(c), jnp.asarray(w), n, width, f64),
+                _gram_chunk_weighted(jnp.asarray(c), jnp.asarray(w), n, width, False),
                 dtype=np.int64,
             )
         else:

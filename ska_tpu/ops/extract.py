@@ -88,12 +88,15 @@ def pack_n(codes_limbs, n: int):
     return acc if acc is not None else jnp.zeros_like(codes_limbs)
 
 
-@partial(jax.jit, static_argnames=("k", "rc", "W", "want_whole"))
-def extract_windows(seq, valid, rec_last, k: int, rc: bool, W: int, want_whole: bool = False):
+@partial(jax.jit, static_argnames=("k", "rc", "W", "want_whole", "from_codes"))
+def extract_windows(seq, valid, rec_last, k: int, rc: bool, W: int,
+                    want_whole: bool = False, from_codes: bool = False):
     """All split k-mer windows of a flat record-batch.
 
-    seq: uint8[L] ASCII; valid: bool[L] (base validity incl. strict-qual);
-    rec_last: bool[L] marks each record's final base.
+    seq: uint8[L] ASCII (or 2-bit codes when from_codes=True — the
+    packed-transfer path unpacks link bytes to codes on device, see
+    pipeline.unpack_codes); valid: bool[L] (base validity incl.
+    strict-qual); rec_last: bool[L] marks each record's final base.
 
     Returns dict with per-window-start arrays (length L):
       key   (L, W) canonical packed split k-mer
@@ -106,7 +109,7 @@ def extract_windows(seq, valid, rec_last, k: int, rc: bool, W: int, want_whole: 
     L = seq.shape[0]
     h = (k - 1) // 2
 
-    codes = ((seq >> 1) & 0x3).astype(U64)
+    codes = seq.astype(U64) if from_codes else ((seq >> 1) & 0x3).astype(U64)
     codes_limbs = jnp.zeros((L, W), dtype=U64).at[:, W - 1].set(codes)
 
     # windowed all-valid + in-range, all via static shifts (no gathers)

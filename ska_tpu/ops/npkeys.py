@@ -68,6 +68,13 @@ def np_lex_is_sorted(keys_np) -> bool:
     a, b = keys_np[:-1], keys_np[1:]
     if keys_np.shape[1] == 1:
         return bool(np.all(a[:, 0] <= b[:, 0]))
-    hi_lt = a[:, 0] < b[:, 0]
-    hi_eq = a[:, 0] == b[:, 0]
-    return bool(np.all(hi_lt | (hi_eq & (a[:, 1] <= b[:, 1]))))
+    # general lexicographic check over any limb count: rows compare <=
+    # iff at the first differing limb a < b (widths today are 1 or 2,
+    # but a silent wrong True here would corrupt sorted_view lookups)
+    lt = a[:, 0] < b[:, 0]
+    eq = a[:, 0] == b[:, 0]
+    for w in range(1, keys_np.shape[1] - 1):
+        lt |= eq & (a[:, w] < b[:, w])
+        eq &= a[:, w] == b[:, w]
+    last = keys_np.shape[1] - 1
+    return bool(np.all(lt | (eq & (a[:, last] <= b[:, last]))))

@@ -242,11 +242,7 @@ def batched_pipeline(
     return sp, union, is_end, n_unique
 
 
-@partial(
-    jax.jit,
-    static_argnames=("k", "rc", "W", "is_reads", "use_mid_qual", "min_count"),
-)
-def merged_build_pipeline(
+def _merged_impl(
     seqs,
     valid,
     qual_ok,
@@ -257,8 +253,10 @@ def merged_build_pipeline(
     is_reads: bool,
     use_mid_qual: bool,
     min_count: int,
+    from_codes: bool = False,
+    pack_variants: bool = False,
 ):
-    """Whole-batch build + merge in ONE device program.
+    """Whole-batch build + merge in ONE device program (trace body).
 
     Replaces {per-sample sort + host lexsort merge + host matrix build}
     (reference merge_ska_dict.rs:77-151,354-417 + merge_ska_array.rs:166-186)
@@ -267,9 +265,14 @@ def merged_build_pipeline(
     device-side scatters into the final variants matrix. Only the compact
     merged array ever crosses device->host.
 
-    seqs/valid/qual_ok/rec_last: (S, L). Returns
+    seqs/valid/qual_ok/rec_last: (S, L); seqs is ASCII bytes, or 2-bit
+    codes when from_codes (the packed-transfer path). Returns
       ukeys    (S*L, W) uint64 — merged keys, rows [0, n_rows) valid
-      variants (S*L, S) uint8  — ASCII IUPAC / '-' matrix
+      variants (S*L, S) uint8 ASCII IUPAC / '-' matrix, or — when
+               pack_variants — (S*L, ceil(S/2)) uint8 with two 4-bit
+               IUPAC set codes per byte (gap = 0): the device->host
+               transfer is the build's dominant link cost, and the set
+               codes fit in half the bytes ASCII needs
       counts   (S*L,) int32    — samples present per row
       n_rows   int32 scalar
     """
@@ -279,7 +282,9 @@ def merged_build_pipeline(
     want_whole = bool(is_reads and min_count > 1)
 
     res = jax.vmap(
-        lambda s, v, r: X.extract_windows.__wrapped__(s, v, r, k, rc, W, want_whole)
+        lambda s, v, r: X.extract_windows.__wrapped__(
+            s, v, r, k, rc, W, want_whole, from_codes
+        )
     )(seqs, valid, rec_last)
     emit = res["emit"]
     if is_reads and use_mid_qual:
@@ -361,19 +366,27 @@ def merged_build_pipeline(
     rows = rowcum - 1
     n_rows = rowcum[-1]
 
-    from ..encoding import SET_TO_ASCII
+    if pack_variants:
+        vals = union  # 4-bit IUPAC set codes; 0 = gap (SET_TO_ASCII[0]='-')
+        gap = jnp.uint8(0)
+    else:
+        from ..encoding import SET_TO_ASCII
 
-    ascii_vals = jnp.asarray(SET_TO_ASCII)[union]
+        vals = jnp.asarray(SET_TO_ASCII)[union]
+        gap = jnp.uint8(ord("-"))
 
     sel = pair_end & live
-    gap = jnp.uint8(ord("-"))
     pos = jnp.where(sel, rows * S + gsid, N * S)
     variants = (
         jnp.full(N * S + 1, gap, jnp.uint8)
         .at[pos]
-        .set(jnp.where(sel, ascii_vals, gap))[: N * S]
+        .set(jnp.where(sel, vals, gap))[: N * S]
         .reshape(N, S)
     )
+    if pack_variants:
+        if S % 2:
+            variants = jnp.pad(variants, ((0, 0), (0, 1)))
+        variants = (variants[:, 0::2] << jnp.uint8(4)) | variants[:, 1::2]
 
     krows = jnp.where(newrow, rows, N)
     ukeys = (
@@ -387,6 +400,104 @@ def merged_build_pipeline(
         .add(sel.astype(jnp.int32))[:N]
     )
     return ukeys, variants, counts, n_rows
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "rc", "W", "is_reads", "use_mid_qual", "min_count"),
+)
+def merged_build_pipeline(
+    seqs, valid, qual_ok, rec_last,
+    k: int, rc: bool, W: int, is_reads: bool, use_mid_qual: bool,
+    min_count: int,
+):
+    """Whole-batch build + merge, ASCII-byte inputs/outputs (see
+    _merged_impl for the algorithm and the packed-transfer variant)."""
+    return _merged_impl(
+        seqs, valid, qual_ok, rec_last, k, rc, W, is_reads, use_mid_qual,
+        min_count,
+    )
+
+
+def unpack_codes(seq2):
+    """(S, ceil(L/4)) uint8 of 2-bit codes (4/byte, first base in bits
+    7-6) -> (S, 4*ceil(L/4)) uint8 code array. Device-side inverse of
+    sample._stage_packed's host packing."""
+    S = seq2.shape[0]
+    shifts = jnp.arange(3, -1, -1, dtype=jnp.uint8) * jnp.uint8(2)
+    c = (seq2[:, :, None] >> shifts) & jnp.uint8(3)
+    return c.reshape(S, -1)
+
+
+def _unpack_bits(bits, L):
+    """(S, ceil(L/8)) packed bools (np.packbits order) -> (S, L) bool."""
+    S = bits.shape[0]
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    b = (bits[:, :, None] >> shifts) & jnp.uint8(1)
+    return b.reshape(S, -1)[:, :L].astype(bool)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "rc", "W", "is_reads", "use_mid_qual", "min_count",
+        "strict_valid", "has_qual",
+    ),
+)
+def merged_build_from_packed(
+    seq2, valid_bits, qual_bits, rec_ends,
+    k: int, rc: bool, W: int, is_reads: bool, use_mid_qual: bool,
+    min_count: int, strict_valid: bool, has_qual: bool,
+):
+    """merged_build_pipeline fed by PACKED link bytes, emitting PACKED
+    variants: 2-bit base codes (4/byte) + 1 validity bit/base cross
+    host->device (0.375 bytes/base vs 1 raw), and the variants matrix
+    returns as two 4-bit IUPAC set codes per byte (half of ASCII).
+    Through a remote-attached ~25 MB/s link the transfers are the
+    build's dominant cost (BASELINE.md honesty decomposition), so this
+    is the product build path; the raw-bytes entry points remain for
+    tests and the virtual-mesh path.
+
+    seq2 (S, Lp/4) uint8; valid_bits (S, Lp/8) uint8 (host-computed
+    base validity: not-N and not-padding, bit_encoding.rs:52-54);
+    qual_bits as in device_masks; rec_ends (S, E) int32. Lp must be a
+    multiple of 8 (the power-of-two staging buckets always are).
+
+    Returns (ukeys, variants_packed4 (N, ceil(S/2)), counts, n_rows).
+    """
+    codes = unpack_codes(seq2)
+    L = codes.shape[1]
+    base_ok = _unpack_bits(valid_bits, L)
+    if has_qual:
+        qual_ok = _unpack_bits(qual_bits, L)
+    else:
+        qual_ok = jnp.ones_like(base_ok)
+    valid = base_ok & qual_ok if strict_valid else base_ok
+    S = seq2.shape[0]
+    row = jnp.broadcast_to(
+        jnp.arange(S, dtype=jnp.int32)[:, None], rec_ends.shape
+    )
+    rec_last = (
+        jnp.zeros((S, L + 1), bool)
+        .at[row, jnp.minimum(rec_ends, L)]
+        .set(True)[:, :L]
+    )
+    return _merged_impl(
+        codes, valid, qual_ok, rec_last, k, rc, W, is_reads, use_mid_qual,
+        min_count, from_codes=True, pack_variants=True,
+    )
+
+
+def unpack_variants4(vp: np.ndarray, n_cols: int) -> np.ndarray:
+    """Host-side inverse of the pack_variants transfer layout:
+    (n, ceil(S/2)) two-4-bit-codes-per-byte -> (n, n_cols) ASCII."""
+    from ..encoding import SET_TO_ASCII
+
+    n = vp.shape[0]
+    v = np.empty((n, vp.shape[1] * 2), np.uint8)
+    v[:, 0::2] = vp >> 4
+    v[:, 1::2] = vp & 15
+    return np.asarray(SET_TO_ASCII)[v[:, :n_cols]]
 
 
 def device_masks(seqs, qual_bits, rec_ends, strict_valid: bool,

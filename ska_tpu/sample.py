@@ -12,14 +12,14 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from .jaxinit import jnp
-
 from .constants import QUAL_MIDDLE, QUAL_STRICT, check_k
 from .io import fastx
 from .sampletypes import QualOpts, SampleDict  # noqa: F401 - canonical home
-from .ops import extract as X
-from .ops import keys as K
-from .ops import segment as S
+# numpy-only key helpers: importing this module must stay jax-free so the
+# host-native build route (csrc/host_build.cpp via _native_host_build)
+# never pays the ~2 s accelerator-runtime import; the device pipelines
+# import ska_tpu.ops.pipeline (and jnp) lazily inside each function
+from .ops import npkeys as K
 
 
 
@@ -207,8 +207,6 @@ def build_samples_merged(
     """
     import concurrent.futures as cf
 
-    from .ops import pipeline as P
-
     check_k(k)
     with cf.ThreadPoolExecutor(max_workers=8) as pool:
         prepared = list(
@@ -219,7 +217,10 @@ def build_samples_merged(
 
     native = _native_host_build(prepared, input_files, k, rc)
     if native is not None:
-        return native
+        return native  # jax-free: the native engine served the build
+
+    from .ops import pipeline as P
+    from .jaxinit import jnp
 
     cap = _max_chunk_bases()
     groups = {}
@@ -266,15 +267,19 @@ def build_samples_merged(
             S = 1
             while S < len(chunk):
                 S *= 2
-            # ship RAW bytes only — masks are derived on device
-            # (ops.pipeline.device_masks): 1 byte/base (FASTA) or 1.125
-            # (FASTQ: seq + packed quality-pass bits) crosses the link
-            # instead of 4
-            seqs_b, qual_bits, rec_ends, _hq2 = _stage_raw(
+            # ship PACKED bytes only — 2-bit base codes (4/byte) plus 1
+            # validity bit/base (0.375 bytes/base; FASTQ adds 1 packed
+            # quality-pass bit/base), masks and codes unpack on device
+            # (ops.pipeline.merged_build_from_packed). Through the
+            # ~25 MB/s remote relay the link bytes dominate the build
+            # wall time, and a PCIe host still saves the staging memcpy.
+            seq2_b, valid_b, qual_bits, rec_ends, _hq2 = _stage_packed(
                 [prepared[i][0] for i in chunk], Lp, int(qual.min_qual)
             )
-            seqs = np.zeros((S, Lp), np.uint8)
-            seqs[: len(chunk)] = seqs_b
+            seq2 = np.zeros((S, seq2_b.shape[1]), np.uint8)
+            seq2[: len(chunk)] = seq2_b
+            vb = np.zeros((S, valid_b.shape[1]), np.uint8)
+            vb[: len(chunk)] = valid_b
             qb = np.zeros((S, qual_bits.shape[1]), np.uint8)
             qb[: len(chunk)] = qual_bits
             re_ = np.full((S, rec_ends.shape[1]), Lp, np.int32)
@@ -282,8 +287,9 @@ def build_samples_merged(
             strict_valid = bool(
                 is_reads and has_qual and qual.qual_filter == QUAL_STRICT
             )
-            ukeys, variants, counts, n_rows = P.merged_build_from_raw(
-                jnp.asarray(seqs),
+            ukeys, variants4, counts, n_rows = P.merged_build_from_packed(
+                jnp.asarray(seq2),
+                jnp.asarray(vb),
                 jnp.asarray(qb),
                 jnp.asarray(re_),
                 k, rc, W, is_reads, use_mq, int(qual.min_count),
@@ -292,7 +298,8 @@ def build_samples_merged(
             n = int(np.asarray(n_rows))
             names = [input_files[i][0] for i in chunk]
             keys_np = np.asarray(ukeys[:n])
-            var_np = np.asarray(variants[:n])[:, : len(chunk)]  # drop pad cols
+            # 4-bit packed transfer -> ASCII, dropping batch pad columns
+            var_np = P.unpack_variants4(np.asarray(variants4[:n]), len(chunk))
             # recount on host (one vectorized pass) instead of pulling the
             # device counts column across the link
             counts_np = (var_np != ord("-")).sum(axis=1).astype(np.int64)
@@ -346,6 +353,43 @@ def _stage_raw(batches, Lp, min_qual=0):
     return seqs, qual_bits, rec_ends, has_qual
 
 
+def _stage_packed(batches, Lp, min_qual=0):
+    """Host staging for the packed-transfer device path: 2-bit base
+    codes (4 per byte, first base in bits 7-6), packed per-base validity
+    bits (not-N and not-padding, the reference's valid_base rule
+    bit_encoding.rs:52-54 — other IUPAC letters 2-bit-project, quirk
+    preserved), packed quality-pass bits, and record-end indices.
+    0.375 bytes/base crosses the link for FASTA (vs 1 raw byte), 0.5
+    for FASTQ. Lp must be a multiple of 8 (pow2 buckets are).
+    """
+    S = len(batches)
+    has_qual = all(bool(b.has_qual) for b in batches)
+    seq2 = np.zeros((S, Lp // 4), np.uint8)
+    valid_bits = np.zeros((S, Lp // 8), np.uint8)
+    qual_bits = np.zeros((S, Lp // 8 if has_qual else 1), np.uint8)
+    Eb = _bucket_min(max(int(b.rec_last.sum()) for b in batches), 16)
+    rec_ends = np.full((S, Eb), Lp, np.int32)
+    for i, b in enumerate(batches):
+        L = len(b.seq)
+        seq = np.zeros(Lp, np.uint8)
+        seq[:L] = b.seq
+        codes = (seq >> 1) & 3
+        seq2[i] = (
+            (codes[0::4] << 6) | (codes[1::4] << 4)
+            | (codes[2::4] << 2) | codes[3::4]
+        )
+        valid_bits[i] = np.packbits(((seq & 0xF) != 14) & (seq != 0))
+        if has_qual:
+            ok = np.zeros(Lp, bool)
+            ok[:L] = ((b.qual.astype(np.int16) - 33) > min_qual) | (
+                b.qual == 0xFF
+            )
+            qual_bits[i] = np.packbits(ok)
+        ends = np.flatnonzero(b.rec_last).astype(np.int32)
+        rec_ends[i, : len(ends)] = ends
+    return seq2, valid_bits, qual_bits, rec_ends, has_qual
+
+
 def _native_host_build(prepared, input_files, k, rc):
     """Host-mode native build dispatch (csrc/host_build.cpp).
 
@@ -389,6 +433,7 @@ def _native_host_build(prepared, input_files, k, rc):
 
 def _run_batch(batches, Lp, k, rc, qual, is_reads, use_mq):
     from .ops import pipeline as P
+    from .jaxinit import jnp
 
     W = K.width_for_k(k)
     S = len(batches)
@@ -436,6 +481,7 @@ def dict_from_batch(
 ):
     """Device pipeline: one fused jit dispatch (ops/pipeline.py), host unpack."""
     from .ops import pipeline as P
+    from .jaxinit import jnp
 
     W = K.width_for_k(k)
     L = len(batch.seq)
@@ -628,6 +674,7 @@ def dict_from_batch_chunked(
     ops.pipeline.chunk_count_pipeline).
     """
     from .ops import pipeline as P
+    from .jaxinit import jnp
 
     W = K.width_for_k(k)
     valid_full, qual_full = _masks(batch, qual, is_reads)

@@ -233,3 +233,63 @@ def test_build_proportion_reads_oracle(tmp_path, ref_in, ref_out, capsys, monkey
 
     with open(f"{ref_out}/proportion_reads.stdout") as f:
         _match_wildcard(res.out, f.read())
+
+
+def test_launcher_routes_dispatch_free_commands(tmp_path):
+    """The `ska` launcher must strip the accelerator env and pin
+    SKA_PLATFORM=cpu for dispatch-free subcommands (align/nk/merge/
+    delete/weed/lo) BEFORE Python starts (the plugin sitecustomize
+    imports jax at interpreter start, ~2.5 s measured), pass
+    device-dispatching commands (build/map/distance/cov) through
+    untouched, and never override an explicit SKA_PLATFORM."""
+    import os
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # SKA_PYTHON shim: prints the env the launcher execs Python with
+    shim = tmp_path / "fakepy"
+    shim.write_text(
+        "#!/bin/sh\n"
+        'echo "POOL=${PALLAS_AXON_POOL_IPS-UNSET} '
+        'JP=${JAX_PLATFORMS-UNSET} PLAT=${SKA_PLATFORM-UNSET}"\n'
+    )
+    shim.chmod(0o755)
+
+    def launch(cmd, platform=None):
+        env = dict(os.environ, SKA_PYTHON=str(shim),
+                   PALLAS_AXON_POOL_IPS="10.0.0.1", JAX_PLATFORMS="axon")
+        env.pop("SKA_PLATFORM", None)
+        if platform is not None:
+            env["SKA_PLATFORM"] = platform
+        r = subprocess.run([os.path.join(repo, "ska"), cmd, "x"],
+                           capture_output=True, text=True, timeout=60, env=env)
+        assert r.returncode == 0, r.stderr
+        return r.stdout.strip()
+
+    for cmd in ("align", "nk", "merge", "delete", "weed", "lo"):
+        assert launch(cmd) == "POOL=UNSET JP=UNSET PLAT=cpu", cmd
+    for cmd in ("build", "map", "distance", "cov"):
+        assert launch(cmd) == "POOL=10.0.0.1 JP=axon PLAT=UNSET", cmd
+    # explicit SKA_PLATFORM always wins: no routing, env untouched
+    assert launch("align", platform="tpu") == "POOL=10.0.0.1 JP=axon PLAT=tpu"
+    assert launch("build", platform="cpu") == "POOL=10.0.0.1 JP=axon PLAT=cpu"
+
+
+def test_launcher_runs_real_cli(tmp_path, ref_in):
+    """End-to-end through the launcher: align on a routed (jax-free)
+    path produces output and exits 0 with the accelerator env set."""
+    import os
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="203.0.113.7")
+    env.pop("SKA_PLATFORM", None)
+    env["SKA_PYTHON"] = sys.executable
+    out = tmp_path / "o.aln"
+    r = subprocess.run(
+        [os.path.join(repo, "ska"), "align", f"{ref_in}/merge.skf",
+         "-o", str(out)],
+        capture_output=True, timeout=300, env=env, cwd=repo,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert out.exists() and out.stat().st_size > 0

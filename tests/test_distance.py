@@ -225,3 +225,34 @@ def test_weighted_gram_integer_exactness():
     onehot = np.eye(width, dtype=np.int64)[classes].reshape(C, n * width)
     oracle = (onehot * w[:, None]).T @ onehot
     assert np.array_equal(G, oracle)
+
+
+def test_host_distance_is_jax_free(tmp_path, ref_in):
+    """SKA_PLATFORM=cpu `ska distance` must never import jax: the host
+    Gram kernel is numpy BLAS (_np_gram_weighted) and the distributed
+    gate answers from the environment (VERDICT r4 #5 — the ~2 s jax
+    import was ~35% of the calm-window host command)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, SKA_PLATFORM="cpu")
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import sys, io\n"
+         "from ska_tpu import api\n"
+         "from ska_tpu.io import skf\n"
+         f"arr = skf.load({ref_in + '/merge.skf'!r})\n"
+         "buf = io.StringIO()\n"
+         "api.distance_mode(arr, buf, 0.0, True)\n"
+         "assert 'Distance' in buf.getvalue()\n"
+         "assert len(buf.getvalue().splitlines()) > 1\n"
+         "assert 'jax' not in sys.modules, 'host distance imported jax'\n"
+         "print('OK')\n"],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    assert r.stdout.strip().endswith("OK")

@@ -151,7 +151,11 @@ def test_sorted_view_identity_fast_path():
         counts=np.ones(4, np.int64),
     )
     sk, perm = arr.sorted_view()
-    assert perm is None and sk is keys
+    assert perm is None
+    # zero-copy alias of self.keys, returned non-writeable so a caller
+    # mutation cannot silently corrupt the SkaArray (ADVICE r4)
+    assert sk.base is keys and not sk.flags.writeable
+    assert np.shares_memory(sk, keys)
     assert npkeys.np_lex_is_sorted(keys)
 
     arr.keys = keys[::-1].copy()
