@@ -424,4 +424,140 @@ void ska_map_lookup(const uint64_t* sorted, long long n,
     for (auto& th : ths) th.join();
 }
 
+// Fused `ska map` lookup + row gather for host mode. Per ref k-mer, a
+// PREFIX-BUCKETED binary search in the lex-sorted key table
+// (ska_ref.rs:508-533): the top 16 bits of limb 0 index a 65536-entry
+// start-offset table built in one linear pass, so each query descends
+// ~log2(n/65536) steps inside one ~half-KB region instead of ~log2(n)
+// cache-missing probes across the whole table. Hits then gather their
+// variants row (through the optional sort permutation) with
+// reverse-strand hits translated through RC_IUPAC in the same pass
+// (ska_ref.rs:520-526) — replacing numpy's searchsorted + clip +
+// row-compare + three hit-width temporaries (fancy-index gather,
+// RC_IUPAC table gather, where-select), each of which costs fresh-page
+// faults at this host's 0.3-1.8 GB/s (BASELINE.md host-memory notes).
+//
+// Returns the hit count h; out_hit[0..h) = needle index of each hit
+// (ascending), out_rows[0..h*S) = translated rows. Caller sizes both
+// for m. perm may be NULL (variants already in sorted-key order).
+// Requires n < 2^31 (rows fit int32 scratch); callers fall back to
+// ska_map_lookup beyond that. SKA_THREADS splits the needle range;
+// per-thread hit counts are prefix-summed so the packed outputs stay
+// in needle order (byte-identical at any T).
+long long ska_map_gather(const uint64_t* sorted, long long n,
+                         const uint64_t* needles, long long m, int W,
+                         const uint8_t* krc, const int64_t* perm,
+                         const uint8_t* variants, int S,
+                         const uint8_t* rc_tab,
+                         int64_t* out_hit, uint8_t* out_rows) {
+    if ((W != 1 && W != 2) || n < 0 || n > 0x7fffffffLL) return -1;
+    int T = 1;
+    if (const char* t = getenv("SKA_THREADS")) {
+        int v = atoi(t);
+        if (v > 1) T = v > 64 ? 64 : v;
+    }
+    if (m < (1 << 16)) T = 1;
+
+    // bucket starts over the top 16 bits of limb 0 (lex order implies
+    // limb-0 order, so buckets are contiguous in the sorted table)
+    std::vector<int64_t> bstart;
+    try {
+        bstart.assign(65538, 0);
+    } catch (const std::bad_alloc&) {
+        return -1;
+    }
+    for (long long i = 0; i < n; ++i)
+        ++bstart[(sorted[(size_t)i * W] >> 48) + 1];
+    for (int b = 0; b < 65537; ++b) bstart[b + 1] += bstart[b];
+
+    std::vector<int32_t> row;  // per-needle matched row, -1 = miss
+    try {
+        row.resize((size_t)m);
+    } catch (const std::bad_alloc&) {
+        return -1;
+    }
+    int32_t* rowp = row.data();
+
+    auto search = [=](long long lo_i, long long hi_i) {
+        if (W == 1) {
+            for (long long i = lo_i; i < hi_i; ++i) {
+                uint64_t q = needles[i];
+                unsigned b = (unsigned)(q >> 48);
+                long long lo = bstart[b], hi = bstart[b + 1];
+                while (lo < hi) {
+                    long long mid = (lo + hi) >> 1;
+                    if (sorted[mid] < q) lo = mid + 1; else hi = mid;
+                }
+                rowp[i] = (lo < bstart[b + 1] && sorted[lo] == q)
+                              ? (int32_t)lo : -1;
+            }
+        } else {
+            for (long long i = lo_i; i < hi_i; ++i) {
+                uint64_t qh = needles[2 * i], ql = needles[2 * i + 1];
+                unsigned b = (unsigned)(qh >> 48);
+                long long lo = bstart[b], hi = bstart[b + 1];
+                while (lo < hi) {
+                    long long mid = (lo + hi) >> 1;
+                    uint64_t sh = sorted[2 * mid], sl = sorted[2 * mid + 1];
+                    if (sh < qh || (sh == qh && sl < ql)) lo = mid + 1;
+                    else hi = mid;
+                }
+                rowp[i] = (lo < bstart[b + 1] && sorted[2 * lo] == qh &&
+                           sorted[2 * lo + 1] == ql)
+                              ? (int32_t)lo : -1;
+            }
+        }
+    };
+
+    long long step = (m + T - 1) / T;
+    if (T <= 1) {
+        search(0, m);
+    } else {
+        std::vector<std::thread> ths;
+        for (int t = 0; t < T; ++t) {
+            long long a = t * step, b = a + step < m ? a + step : m;
+            if (a >= b) break;
+            ths.emplace_back(search, a, b);
+        }
+        for (auto& th : ths) th.join();
+    }
+
+    // pack hits in needle order: per-range hit counts -> output offsets
+    std::vector<long long> off(T + 1, 0);
+    for (int t = 0; t < T; ++t) {
+        long long a = t * step, b = a + step < m ? a + step : m;
+        long long c = 0;
+        for (long long i = a; i < b && a < m; ++i) c += rowp[i] >= 0;
+        off[t + 1] = off[t] + (a < m ? c : 0);
+    }
+
+    auto pack = [=](long long lo_i, long long hi_i, long long o) {
+        for (long long i = lo_i; i < hi_i; ++i) {
+            int32_t r = rowp[i];
+            if (r < 0) continue;
+            out_hit[o] = i;
+            long long vrow = perm ? perm[r] : (long long)r;
+            const uint8_t* src = variants + (size_t)vrow * S;
+            uint8_t* dst = out_rows + (size_t)o * S;
+            if (krc[i])
+                for (int s = 0; s < S; ++s) dst[s] = rc_tab[src[s]];
+            else
+                memcpy(dst, src, (size_t)S);
+            ++o;
+        }
+    };
+    if (T <= 1) {
+        pack(0, m, 0);
+    } else {
+        std::vector<std::thread> ths;
+        for (int t = 0; t < T; ++t) {
+            long long a = t * step, b = a + step < m ? a + step : m;
+            if (a >= b) break;
+            ths.emplace_back(pack, a, b, off[t]);
+        }
+        for (auto& th : ths) th.join();
+    }
+    return off[T];
+}
+
 }  // extern "C"

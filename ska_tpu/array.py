@@ -32,7 +32,10 @@ class SkaArray:
     names: List[str]
     keys: np.ndarray  # (n, W) uint64 sorted lexicographically
     variants: np.ndarray  # (n, s) uint8 ASCII
-    counts: np.ndarray  # (n,) int64 non-missing count per row
+    counts: np.ndarray  # (n,) non-missing count per row; any integer
+    # dtype whose range covers n_samples (loads keep the byte-narrow
+    # decode's uint8 to skip a 8x-widening copy; consumers only
+    # compare/index/re-derive it)
     ska_version: str = __version__
 
     # --- basic accessors -------------------------------------------------

@@ -417,6 +417,80 @@ _lib.ska_map_lookup.argtypes = [
 ]
 
 
+_lib.ska_map_gather.restype = ctypes.c_longlong
+_lib.ska_map_gather.argtypes = [
+    _u64p,
+    ctypes.c_longlong,
+    _u64p,
+    ctypes.c_longlong,
+    ctypes.c_int,
+    _u8p,
+    ctypes.POINTER(ctypes.c_int64),
+    _u8p,
+    ctypes.c_int,
+    _u8p,
+    ctypes.POINTER(ctypes.c_int64),
+    _u8p,
+]
+
+
+def map_gather(sorted_keys, needles, krc, variants, rc_tab, perm=None):
+    """Fused `ska map` host lookup (ska_ref.rs:508-533): prefix-bucketed
+    binary search of (m, W) needle keys in the lex-sorted (n, W) table,
+    plus in-pass gather of the matching variants rows with reverse-
+    strand hits translated through RC_IUPAC (ska_ref.rs:520-526).
+    Returns (hit_idx int64[h] — needle index per hit, ascending,
+    rows uint8[h, S]) or None when n exceeds the kernel's int32 scratch
+    (callers fall back to map_lookup)."""
+    sk = _np.ascontiguousarray(sorted_keys, dtype=_np.uint64)
+    nd = _np.ascontiguousarray(needles, dtype=_np.uint64)
+    if sk.ndim == 1:
+        sk = sk[:, None]
+    if nd.ndim == 1:
+        nd = nd[:, None]
+    W = sk.shape[1]
+    if nd.shape[1] != W or W not in (1, 2):
+        raise ValueError("map_gather: limb width mismatch")
+    if sk.shape[0] > 0x7FFFFFFF:
+        return None
+    var = _np.ascontiguousarray(variants, dtype=_np.uint8)
+    n, S = var.shape
+    if n != sk.shape[0]:
+        raise ValueError("map_gather: variants/keys row mismatch")
+    m = nd.shape[0]
+    krc_u8 = _np.ascontiguousarray(krc, dtype=_np.uint8)
+    if krc_u8.shape[0] != m:
+        raise ValueError("map_gather: krc length mismatch")
+    tab = _np.ascontiguousarray(rc_tab, dtype=_np.uint8)
+    if tab.shape[0] < 256:
+        raise ValueError("map_gather: rc_tab must have 256 entries")
+    if perm is not None:
+        perm = _np.ascontiguousarray(perm, dtype=_np.int64)
+        if perm.shape[0] != n:
+            raise ValueError("map_gather: perm length mismatch")
+    out_hit = _np.empty(m, dtype=_np.int64)
+    out_rows = _np.empty((m, S), dtype=_np.uint8)
+    h = _lib.ska_map_gather(
+        sk.ctypes.data_as(_u64p),
+        n,
+        nd.ctypes.data_as(_u64p),
+        m,
+        W,
+        krc_u8.ctypes.data_as(_u8p),
+        perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        if perm is not None
+        else None,
+        var.ctypes.data_as(_u8p),
+        S,
+        tab.ctypes.data_as(_u8p),
+        out_hit.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out_rows.ctypes.data_as(_u8p),
+    )
+    if h < 0:
+        return None
+    return out_hit[:h], out_rows[:h]
+
+
 def map_lookup(sorted_keys, needles):
     """Binary search of (m, W) needle keys in a lex-sorted (n, W) table
     (the `ska map` dict lookup, ska_ref.rs:508-533): returns

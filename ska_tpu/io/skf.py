@@ -77,7 +77,14 @@ def load(path: str) -> SkaArray:
         variants = np.array(vdata, dtype=np.uint8).reshape(v["dim"][0], v["dim"][1])
     vc = obj["variant_count"]
     if isinstance(vc, cbor.UIntArray):
-        counts = vc.lo.astype(np.int64)
+        # counts are bounded by n_samples, so a u64 buffer reinterprets
+        # as int64 zero-copy, and a byte-narrow (uint8) buffer is kept
+        # as-is rather than 8x-widened — the widening astype measured
+        # 0.5 s of fresh-page faults on a 4.4M-row load (every consumer
+        # only compares/indexes/re-derives counts; SkaArray documents
+        # the relaxed dtype)
+        counts = (vc.lo.view(np.int64) if vc.lo.dtype == np.uint64
+                  else vc.lo)
     else:
         counts = np.array(vc, dtype=np.int64)
     # Row order is preserved exactly as stored: the reference's alignment

@@ -292,19 +292,23 @@ class RefSka:
                 # host fallback: binary search beats re-running the
                 # device's merged-sort rank trick on a 1-core CPU
                 # (measured 11.6s -> ~1s for 4M-in-4.4M); the native
-                # kernel fuses search + exact-match test in one pass
-                # (csrc/host_build.cpp ska_map_lookup, another ~2x)
+                # kernel fuses a prefix-bucketed search, the variants
+                # row gather and the RC_IUPAC translation in one pass
+                # (csrc/host_build.cpp ska_map_gather — numpy's
+                # equivalent chain cost ~2.4s of hit-width temporaries
+                # at 4x4Mb on this host's fault weather)
                 try:
-                    from .io.native import map_lookup
+                    from .io.native import map_gather
                 except Exception:  # noqa: BLE001 - no toolchain
-                    map_lookup = None
-                if map_lookup is not None:
-                    found_m, idx = map_lookup(sorted_keys, self.kmers)
-                    hit = np.nonzero(found_m)[0]
-                    hidx = idx[hit]
-                    rows = arr.variants[hidx if perm is None else perm[hidx]]
-                    hit_rc = self.krc[hit]
-                    rows = np.where(hit_rc[:, None], RC_IUPAC[rows], rows)
+                    map_gather = None
+                res = None
+                if map_gather is not None:
+                    res = map_gather(
+                        sorted_keys, self.kmers, self.krc,
+                        arr.variants, RC_IUPAC, perm,
+                    )
+                if res is not None:
+                    hit, rows = res
                     self.mapped_variants = rows
                     self.mapped_chrom = self.chrom[hit]
                     self.mapped_pos = self.pos[hit]

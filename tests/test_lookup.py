@@ -168,3 +168,59 @@ def test_sorted_view_identity_fast_path():
     two = np.array([[1, 9], [2, 0], [2, 1], [3, 0]], np.uint64)
     assert npkeys.np_lex_is_sorted(two)
     assert not npkeys.np_lex_is_sorted(two[[0, 2, 1, 3]])
+
+
+@pytest.mark.parametrize("W", [1, 2])
+def test_native_map_gather_fused(W, monkeypatch):
+    """csrc ska_map_gather == map_lookup + numpy gather/RC chain
+    (ska_ref.rs:508-533 lookup + :520-526 RC_IUPAC translation),
+    across widths, sort permutations and thread counts."""
+    from ska_tpu.encoding import RC_IUPAC
+    from ska_tpu.io.native import map_gather, map_lookup
+
+    rng = np.random.default_rng(11 + W)
+    for trial in range(8):
+        n = int(rng.integers(0, 3000))
+        m = int(rng.integers(0, 5000))
+        S = int(rng.integers(1, 7))
+        pool = rng.integers(0, 1 << 62, size=(max(n, 1) * 2, W),
+                            dtype=np.uint64)
+        if trial % 3 == 0:
+            # collapse the top 16 bits: many keys share one prefix
+            # bucket, exercising the in-bucket binary search
+            pool[:, 0] &= np.uint64(0x0000FFFFFFFFFFFF)
+        keys = np.unique(pool, axis=0)[:n]
+        n = len(keys)
+        variants = rng.integers(0, 256, size=(n, S), dtype=np.uint8)
+        if n and m:
+            needles = keys[rng.integers(0, n, size=m)].copy()
+            miss = rng.random(m) < 0.4
+            needles[miss] = rng.integers(
+                0, 1 << 62, size=(int(miss.sum()), W), dtype=np.uint64)
+        else:
+            needles = rng.integers(0, 1 << 62, size=(m, W), dtype=np.uint64)
+        krc = rng.random(m) < 0.5
+        perm = storage = None
+        if trial % 2:
+            perm = rng.permutation(n).astype(np.int64)
+            storage = np.empty_like(variants)
+            storage[perm] = variants  # storage row perm[i] = sorted row i
+
+        if n:
+            found, idx = map_lookup(keys, needles)
+            hit_ref = np.nonzero(found)[0]
+            hidx = idx[hit_ref]
+            rows_ref = variants[hidx]
+            rows_ref = np.where(krc[hit_ref][:, None],
+                                RC_IUPAC[rows_ref], rows_ref)
+        else:
+            hit_ref = np.zeros(0, np.int64)
+            rows_ref = np.zeros((0, S), np.uint8)
+
+        for T in ("1", "3"):
+            monkeypatch.setenv("SKA_THREADS", T)
+            hit, rows = map_gather(
+                keys, needles, krc,
+                variants if perm is None else storage, RC_IUPAC, perm)
+            assert np.array_equal(hit, hit_ref), (W, trial, T)
+            assert np.array_equal(rows, rows_ref), (W, trial, T)
