@@ -104,10 +104,21 @@ class SkaArray:
     def update_counts(self, filter_ambig_as_missing: bool):
         """Recount non-missing per row, dropping empty rows
         (merge_ska_array.rs:139-163)."""
-        present = self.variants != _GAP
-        if filter_ambig_as_missing:
-            present &= ~IS_AMBIGUOUS[self.variants]
-        counts = present.sum(axis=1).astype(np.int64)
+        counts = None
+        try:
+            from .io import native
+        except Exception:  # noqa: BLE001 - no toolchain: numpy below
+            native = None
+        if native is not None:
+            # one matrix read, no bool-matrix/mask/sum temporaries
+            counts = native.update_counts(
+                self.variants, filter_ambig_as_missing,
+                IS_AMBIGUOUS.view(np.uint8))
+        if counts is None:
+            present = self.variants != _GAP
+            if filter_ambig_as_missing:
+                present &= ~IS_AMBIGUOUS[self.variants]
+            counts = present.sum(axis=1).astype(np.int64)
         keep = counts > 0
         self.counts = counts
         self._take_rows(keep)
@@ -149,6 +160,27 @@ class SkaArray:
 
         v = self.variants
         n = self.ksize
+
+        try:
+            from .io import native
+        except Exception:  # noqa: BLE001 - no toolchain: numpy below
+            native = None
+        if native is not None:
+            # fused count-threshold + predicate in one matrix pass
+            # (csrc/host_build.cpp ska_filter_keep); the numpy chain
+            # below stays as the toolchain-free fallback
+            keep = native.filter_keep(
+                v, self.counts, min_count, filter_type,
+                ignore_const_gaps, IS_AMBIGUOUS.view(np.uint8))
+            if keep is not None:
+                removed = int(n - keep.sum())
+                self._take_rows(keep)
+                if mask_ambig:
+                    amb = IS_AMBIGUOUS[self.variants]
+                    self.variants = np.where(
+                        amb, np.uint8(ord("N")), self.variants)
+                return removed
+
         keep = self.counts >= min_count
 
         if filter_type == FILTER_NOFILTER:

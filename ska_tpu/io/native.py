@@ -491,6 +491,88 @@ def map_gather(sorted_keys, needles, krc, variants, rc_tab, perm=None):
     return out_hit[:h], out_rows[:h]
 
 
+_lib.ska_filter_keep.restype = None
+_lib.ska_filter_keep.argtypes = [
+    _u8p,
+    ctypes.c_longlong,
+    ctypes.c_int,
+    ctypes.c_void_p,
+    ctypes.c_int,
+    ctypes.c_longlong,
+    ctypes.c_int,
+    ctypes.c_int,
+    _u8p,
+    _u8p,
+]
+_lib.ska_update_counts.restype = None
+_lib.ska_update_counts.argtypes = [
+    _u8p,
+    ctypes.c_longlong,
+    ctypes.c_int,
+    ctypes.c_int,
+    _u8p,
+    ctypes.POINTER(ctypes.c_int64),
+]
+
+_FILTER_MODE = {"no-filter": 0, "no-const": 1, "no-ambig": 2,
+                "no-ambig-or-const": 3}
+
+
+def filter_keep(variants, counts, min_count, filter_type,
+                ignore_const_gaps, is_ambig):
+    """Single-pass site-filter keep mask (merge_ska_array.rs:289-402):
+    keep[i] = counts[i] >= min_count and the filter_type predicate on
+    row i. Returns a bool (n,) array, or None for an unknown filter
+    (callers fall back to the numpy chain)."""
+    mode = _FILTER_MODE.get(filter_type)
+    if mode is None:
+        return None
+    var = _np.ascontiguousarray(variants, dtype=_np.uint8)
+    n, S = var.shape
+    c = _np.ascontiguousarray(counts)
+    if c.dtype == _np.uint8:
+        c_is64 = 0
+    else:
+        if c.dtype != _np.int64:
+            c = c.astype(_np.int64)
+        c_is64 = 1
+    if c.shape[0] != n:
+        raise ValueError("filter_keep: counts length mismatch")
+    tab = _np.ascontiguousarray(is_ambig, dtype=_np.uint8)
+    keep = _np.empty(n, dtype=_np.uint8)
+    _lib.ska_filter_keep(
+        var.ctypes.data_as(_u8p),
+        n,
+        S,
+        c.ctypes.data_as(ctypes.c_void_p),
+        c_is64,
+        int(min_count),
+        mode,
+        1 if ignore_const_gaps else 0,
+        tab.ctypes.data_as(_u8p),
+        keep.ctypes.data_as(_u8p),
+    )
+    return keep.view(bool)
+
+
+def update_counts(variants, drop_ambig, is_ambig):
+    """Single-pass per-row non-missing recount
+    (merge_ska_array.rs:139-163). Returns int64 (n,)."""
+    var = _np.ascontiguousarray(variants, dtype=_np.uint8)
+    n, S = var.shape
+    tab = _np.ascontiguousarray(is_ambig, dtype=_np.uint8)
+    out = _np.empty(n, dtype=_np.int64)
+    _lib.ska_update_counts(
+        var.ctypes.data_as(_u8p),
+        n,
+        S,
+        1 if drop_ambig else 0,
+        tab.ctypes.data_as(_u8p),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return out
+
+
 def map_lookup(sorted_keys, needles):
     """Binary search of (m, W) needle keys in a lex-sorted (n, W) table
     (the `ska map` dict lookup, ska_ref.rs:508-533): returns

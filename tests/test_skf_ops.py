@@ -240,3 +240,54 @@ def test_extend_arrays_intra_batch_duplicate_keys():
         m.variants, np.frombuffer(b"A-TG-AG-", np.uint8).reshape(4, 2)
     )
     np.testing.assert_array_equal(m.counts, [1, 2, 1, 1])
+
+
+def test_native_filter_keep_matches_numpy(monkeypatch):
+    """csrc ska_filter_keep / ska_update_counts == the numpy filter
+    chain (merge_ska_array.rs:289-402 / :139-163 semantics), across all
+    four filter types, gap handling, ambig-as-missing, min_count and
+    the byte-narrow counts dtype the .skf loader keeps."""
+    import numpy as np
+
+    import ska_tpu.io.native as native_mod
+    from ska_tpu.array import SkaArray
+
+    rng = np.random.default_rng(5)
+    alphabet = np.frombuffer(b"ACGTUMRWSYKVHDBN-", dtype=np.uint8)
+
+    def build(n, S, counts_dtype):
+        v = alphabet[rng.integers(0, len(alphabet), size=(n, S))]
+        counts = (v != ord("-")).sum(axis=1).astype(counts_dtype)
+        keys = np.arange(n, dtype=np.uint64)[:, None]
+        return SkaArray(
+            k=31, rc=True, names=[f"s{i}" for i in range(S)],
+            keys=keys, variants=v, counts=counts)
+
+    for trial in range(12):
+        n = int(rng.integers(0, 500))
+        S = int(rng.integers(1, 7))
+        dt = np.uint8 if trial % 3 == 0 else np.int64
+        proto = build(n, S, dt)
+        for ft in ("no-filter", "no-const", "no-ambig",
+                   "no-ambig-or-const"):
+            for icg in (False, True):
+                for fam in (False, True):
+                    mc = int(rng.integers(0, S + 1))
+                    a = proto.copy_like()
+                    b = proto.copy_like()
+                    ra = a.filter(mc, fam, ft, fam, icg)
+                    # force the numpy fallback for b
+                    monkeypatch.setattr(
+                        native_mod, "filter_keep", lambda *args: None)
+                    monkeypatch.setattr(
+                        native_mod, "update_counts", lambda *args: None)
+                    try:
+                        rb = b.filter(mc, fam, ft, fam, icg)
+                    finally:
+                        monkeypatch.undo()
+                    assert ra == rb, (trial, ft, icg, fam, mc)
+                    np.testing.assert_array_equal(a.keys, b.keys)
+                    np.testing.assert_array_equal(a.variants, b.variants)
+                    np.testing.assert_array_equal(
+                        np.asarray(a.counts, np.int64),
+                        np.asarray(b.counts, np.int64))
