@@ -278,6 +278,17 @@ def _merged_impl(
     """
     S, L = seqs.shape
     N = S * L
+    if N * S + 1 > 0x7FFFFFFF:
+        # the variants scatter below addresses an (N, S) buffer with
+        # int32 indices (rows * S + sample), and the buffer itself is
+        # N*S bytes — S^2 * L. _auto_max_batch caps the product; an
+        # explicit SKA_MAX_BATCH / max_batch override can still exceed
+        # it, so fail with the remedy instead of an indexing overflow
+        raise ValueError(
+            f"merged build batch too large: {S} samples x {L} padded "
+            f"bases needs a {N}x{S} variants scatter (> int32 index "
+            f"space); lower SKA_MAX_BATCH so that S*S*L <= 2^31"
+        )
     h = (k - 1) // 2
     want_whole = bool(is_reads and min_count > 1)
 

@@ -186,7 +186,16 @@ def _auto_max_batch(Lp: int) -> int:
     # The dispatch pads the batch axis up to the next power of two, so a
     # non-power-of-two here would silently double the device work (e.g.
     # 17 samples padded to 32 rows). Round down to a power of two.
-    return 1 << (eff.bit_length() - 1)
+    eff = 1 << (eff.bit_length() - 1)
+    # The merged pipeline's variants scatter is an (S*Lp, S) buffer —
+    # an S^2 * Lp term the per-sample bench kernel (which tuned the
+    # 32-sample knee) never pays. Cap it at 1 GB, which also keeps the
+    # scatter's int32 index space (rows * S + sample < 2^31) safe:
+    # 32 x 4 Mb genomes would otherwise demand a 4.3 GB buffer and
+    # overflow the indices (measured: OverflowError at trace time).
+    while eff > 1 and Lp * eff * eff > (1 << 30):
+        eff //= 2
+    return eff
 
 
 def build_samples_merged(

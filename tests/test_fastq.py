@@ -328,3 +328,31 @@ def test_chunked_boundary_on_record_final_window(monkeypatch):
     got = dict_from_batch(batch, k, True, QualOpts(), False)
     np.testing.assert_array_equal(got[0], want[0])
     np.testing.assert_array_equal(got[1], want[1])
+
+
+def test_merged_batch_cap_and_guard(monkeypatch):
+    """The merged pipeline's variants scatter is an (S*Lp, S) buffer —
+    an S^2*Lp term. _auto_max_batch caps it at 1GB / int32 index space
+    (32 x 4Mb genomes measured an OverflowError at trace time before the
+    cap), and _merged_impl raises a clear error when an explicit
+    SKA_MAX_BATCH pushes past it."""
+    import jax.numpy as jnp
+
+    from ska_tpu.ops import pipeline as P
+    from ska_tpu.sample import _auto_max_batch
+
+    monkeypatch.delenv("SKA_MAX_BATCH", raising=False)
+    assert _auto_max_batch(1 << 19) == 32   # 128-sample stress config
+    assert _auto_max_batch(1 << 22) == 16   # 4Mb genomes: S^2*Lp = 2^30
+    assert _auto_max_batch(1 << 23) == 8
+    assert _auto_max_batch(1 << 26) == 2    # base 2^27 budget dominates
+    monkeypatch.setenv("SKA_MAX_BATCH", "32")
+    assert _auto_max_batch(1 << 22) == 32   # explicit override wins
+
+    S, L = 8192, 512  # S^2*L = 2^35 > 2^31: must refuse, not overflow
+    seqs = jnp.zeros((S, L), jnp.uint8)
+    ones = jnp.ones((S, L), bool)
+    rl = jnp.zeros((S, L), bool)
+    with pytest.raises(ValueError, match="SKA_MAX_BATCH"):
+        P.merged_build_pipeline(seqs, ones, ones, rl, 31, True, 1,
+                                False, False, 0)
