@@ -255,6 +255,40 @@ def snappy_uncompress(data: bytes) -> bytes:
     return out.raw
 
 
+_lib.ska_snappy_frame_decompress.restype = ctypes.c_longlong
+_lib.ska_snappy_frame_decompress.argtypes = [
+    ctypes.c_char_p,
+    ctypes.c_size_t,
+    _u8p,
+    ctypes.c_size_t,
+]
+
+
+def snappy_frame_decompress(data: bytes):
+    """Whole-frame decode: sizes with a header-only pass, then CRC-checks
+    and decompresses every chunk into one numpy buffer. Returns a
+    read-only memoryview (content-comparable with bytes), or None on a
+    malformed frame (callers re-run the python loop for its exact error
+    message). Raises ValueError on a stored-checksum mismatch, matching
+    the python loop's message."""
+    total = _lib.ska_snappy_frame_decompress(data, len(data), None, 0)
+    if total < 0:
+        return None
+    out = _np.empty(int(total), dtype=_np.uint8)
+    got = _lib.ska_snappy_frame_decompress(
+        data, len(data), out.ctypes.data_as(_u8p), int(total)
+    )
+    if got == -2:
+        raise ValueError(
+            "snappy: corrupt chunk (stored checksum mismatch) - "
+            "could not parse skf file"
+        )
+    if got != total:
+        return None
+    out.flags.writeable = False
+    return memoryview(out)
+
+
 def snappy_compress(data: bytes) -> bytes:
     cap = 32 + len(data) + len(data) // 6
     out = ctypes.create_string_buffer(cap)

@@ -165,6 +165,15 @@ def frame_decompress(buf):
     buf = memoryview(bytes(buf))
     if bytes(buf[:10]) != _MAGIC:
         raise ValueError("not a snappy framed stream")
+    if _native is not None:
+        # whole-frame native decode: one sizing pass + one CRC-checked
+        # decompress pass into a single buffer (the python loop below
+        # paid ~0.3-0.5 s of per-chunk interpreter overhead on a dense
+        # 4-sample .skf). None = malformed somewhere: fall through so
+        # the python loop raises its precise error for that chunk.
+        out = _native.snappy_frame_decompress(bytes(buf))
+        if out is not None:
+            return out
     pos = 10
     out = bytearray()
     n = len(buf)

@@ -184,3 +184,41 @@ def test_cbor_bulk_decode_byte_narrow():
     assert b.keys.dtype == np.uint64 and b.variants.dtype == np.uint8
     np.testing.assert_array_equal(a.keys, b.keys)
     np.testing.assert_array_equal(a.variants, b.variants)
+
+
+def test_native_frame_decode_matches_python_loop(ref_in):
+    """The native whole-frame decoder must byte-match the python chunk
+    loop on real fixtures, framed buffers with skippable/repeat chunks,
+    and fall back to the python loop (None) on malformed frames."""
+    import ska_tpu.io.snappy as s
+
+    def py_loop(raw):
+        saved = s._native
+        s._native = None
+        try:
+            return s.frame_decompress(raw)
+        finally:
+            s._native = saved
+
+    # real reference fixture (compressed by Rust's snap crate)
+    raw = open(f"{ref_in}/merge.skf", "rb").read()
+    assert bytes(s.frame_decompress(raw)) == bytes(py_loop(raw))
+
+    # fresh frame with a skippable pad chunk + repeated stream identifier
+    rng = np.random.default_rng(7)
+    data = bytes(rng.integers(0, 5, 200000, dtype=np.uint8) + 65)
+    framed = bytearray(s.frame_compress(data))
+    framed += bytes([0x80, 3, 0, 0]) + b"pad"  # skippable chunk
+    framed += framed[:10]  # repeated stream identifier chunk
+    assert bytes(s.frame_decompress(bytes(framed))) == data
+    assert bytes(py_loop(bytes(framed))) == data
+
+    # truncated mid-chunk: native returns None, python loop's behavior wins
+    trunc = bytes(framed[: 10 + 4 + 20])
+    assert native.snappy_frame_decompress(trunc) is None
+
+    # unskippable unknown chunk type: both raise
+    bad = bytes(framed[:10]) + bytes([0x40, 1, 0, 0, 0])
+    assert native.snappy_frame_decompress(bad) is None
+    with pytest.raises(ValueError, match="unskippable"):
+        s.frame_decompress(bad)
