@@ -32,6 +32,8 @@
 #include <new>
 #include <thread>
 #include <vector>
+#include <chrono>
+#include <cstdio>
 
 namespace {
 
@@ -460,16 +462,31 @@ long long ska_map_gather(const uint64_t* sorted, long long n,
 
     // bucket starts over the top 16 bits of limb 0 (lex order implies
     // limb-0 order, so buckets are contiguous in the sorted table)
-    std::vector<int64_t> bstart;
+    // 2^20 buckets (int32 starts, 4 MB): ~n/1M keys per bucket, so a
+    // lane's whole probe range is 1-2 cache lines; the bucket-table
+    // entries themselves are prefetched one batch ahead (needles are
+    // read sequentially, so the next batch's buckets are known)
+    constexpr int BB = 20;
+    std::vector<int32_t> bstart;
     try {
-        bstart.assign(65538, 0);
+        bstart.assign((1 << BB) + 2, 0);
     } catch (const std::bad_alloc&) {
         return -1;
     }
     for (long long i = 0; i < n; ++i)
-        ++bstart[(sorted[(size_t)i * W] >> 48) + 1];
-    for (int b = 0; b < 65537; ++b) bstart[b + 1] += bstart[b];
+        ++bstart[(sorted[(size_t)i * W] >> (64 - BB)) + 1];
+    for (int b = 0; b < (1 << BB) + 1; ++b) bstart[b + 1] += bstart[b];
 
+    const bool mg_tim = getenv("SKA_MG_TIME") != nullptr;
+    auto mg_t0 = std::chrono::steady_clock::now();
+    auto mg_lap = [&](const char* what) {
+        if (!mg_tim) return;
+        auto t1 = std::chrono::steady_clock::now();
+        fprintf(stderr, "SKA_MG_TIME %s %.3fs\n", what,
+                std::chrono::duration<double>(t1 - mg_t0).count());
+        mg_t0 = t1;
+    };
+    mg_lap("buckets");
     std::vector<int32_t> row;  // per-needle matched row, -1 = miss
     try {
         row.resize((size_t)m);
@@ -478,33 +495,75 @@ long long ska_map_gather(const uint64_t* sorted, long long n,
     }
     int32_t* rowp = row.data();
 
+    // Lane-interleaved search: each query's probe sequence is a serial
+    // chain of cache misses into a ~60 MB table, so one query at a time
+    // runs at memory latency (~200 ns/query measured). 16 searches
+    // advance together, prefetching every lane's next midpoint before
+    // any lane reads its current one — the misses overlap and the
+    // per-query cost drops toward latency/16.
+    // Lane-interleaved search: each query's probe sequence is a serial
+    // chain of cache misses, so one query at a time runs at memory
+    // latency (~200 ns/query measured). 32 searches advance together —
+    // every round issues each live lane's next-midpoint prefetch before
+    // any lane reads its current one, and the next BATCH's bucket-table
+    // entries (4 MB table, misses L2) are prefetched a full batch
+    // ahead — so the misses overlap and the per-query cost drops ~3x.
     auto search = [=](long long lo_i, long long hi_i) {
-        if (W == 1) {
-            for (long long i = lo_i; i < hi_i; ++i) {
-                uint64_t q = needles[i];
-                unsigned b = (unsigned)(q >> 48);
-                long long lo = bstart[b], hi = bstart[b + 1];
-                while (lo < hi) {
-                    long long mid = (lo + hi) >> 1;
-                    if (sorted[mid] < q) lo = mid + 1; else hi = mid;
+        constexpr int B = 32;
+        long long lo[B], hi[B];
+        uint64_t qh[B], ql[B];
+        for (long long i = lo_i; i < hi_i; i += B) {
+            int nb = (int)(hi_i - i < B ? hi_i - i : B);
+            long long nx = i + B;
+            int nn = (int)(hi_i - nx < B ? (hi_i > nx ? hi_i - nx : 0) : B);
+            for (int l = 0; l < nn; ++l)
+                __builtin_prefetch(
+                    &bstart[needles[(size_t)W * (nx + l)] >> (64 - BB)]);
+            for (int l = 0; l < nb; ++l) {
+                qh[l] = needles[(size_t)W * (i + l)];
+                if (W == 2) ql[l] = needles[2 * (i + l) + 1];
+                unsigned b = (unsigned)(qh[l] >> (64 - BB));
+                lo[l] = bstart[b];
+                hi[l] = bstart[b + 1];
+                if (lo[l] < hi[l]) {
+                    // a bucket is 1-2 lines at ~4 keys; cover its range
+                    const uint8_t* base =
+                        (const uint8_t*)&sorted[(size_t)W * lo[l]];
+                    const uint8_t* end =
+                        (const uint8_t*)&sorted[(size_t)W * hi[l]];
+                    __builtin_prefetch(base);
+                    __builtin_prefetch(base + ((end - base) >> 1));
+                    __builtin_prefetch(end - 1);
                 }
-                rowp[i] = (lo < bstart[b + 1] && sorted[lo] == q)
-                              ? (int32_t)lo : -1;
             }
-        } else {
-            for (long long i = lo_i; i < hi_i; ++i) {
-                uint64_t qh = needles[2 * i], ql = needles[2 * i + 1];
-                unsigned b = (unsigned)(qh >> 48);
-                long long lo = bstart[b], hi = bstart[b + 1];
-                while (lo < hi) {
-                    long long mid = (lo + hi) >> 1;
-                    uint64_t sh = sorted[2 * mid], sl = sorted[2 * mid + 1];
-                    if (sh < qh || (sh == qh && sl < ql)) lo = mid + 1;
-                    else hi = mid;
+            for (bool active = true; active;) {
+                active = false;
+                for (int l = 0; l < nb; ++l) {
+                    if (lo[l] >= hi[l]) continue;
+                    long long mid = (lo[l] + hi[l]) >> 1;
+                    if (W == 1) {
+                        if (sorted[mid] < qh[l]) lo[l] = mid + 1;
+                        else hi[l] = mid;
+                    } else {
+                        uint64_t sh = sorted[2 * mid], sl = sorted[2 * mid + 1];
+                        if (sh < qh[l] || (sh == qh[l] && sl < ql[l]))
+                            lo[l] = mid + 1;
+                        else hi[l] = mid;
+                    }
+                    if (lo[l] < hi[l]) {
+                        __builtin_prefetch(
+                            &sorted[(size_t)W * ((lo[l] + hi[l]) >> 1)]);
+                        active = true;
+                    }
                 }
-                rowp[i] = (lo < bstart[b + 1] && sorted[2 * lo] == qh &&
-                           sorted[2 * lo + 1] == ql)
-                              ? (int32_t)lo : -1;
+            }
+            for (int l = 0; l < nb; ++l) {
+                unsigned b = (unsigned)(qh[l] >> (64 - BB));
+                long long p = lo[l];
+                bool found =
+                    p < bstart[b + 1] && sorted[(size_t)W * p] == qh[l] &&
+                    (W == 1 || sorted[2 * p + 1] == ql[l]);
+                rowp[i + l] = found ? (int32_t)p : -1;
             }
         }
     };
@@ -522,6 +581,7 @@ long long ska_map_gather(const uint64_t* sorted, long long n,
         for (auto& th : ths) th.join();
     }
 
+    mg_lap("search");
     // pack hits in needle order: per-range hit counts -> output offsets
     std::vector<long long> off(T + 1, 0);
     for (int t = 0; t < T; ++t) {
@@ -533,6 +593,14 @@ long long ska_map_gather(const uint64_t* sorted, long long n,
 
     auto pack = [=](long long lo_i, long long hi_i, long long o) {
         for (long long i = lo_i; i < hi_i; ++i) {
+            // two-stage lookahead: perm[] row 16 hits out, its variants
+            // row 8 hits out (by then perm[rowp[i+8]] is cache-resident)
+            if (i + 16 < hi_i && perm && rowp[i + 16] >= 0)
+                __builtin_prefetch(&perm[rowp[i + 16]]);
+            if (i + 8 < hi_i && rowp[i + 8] >= 0)
+                __builtin_prefetch(
+                    variants +
+                    (size_t)(perm ? perm[rowp[i + 8]] : rowp[i + 8]) * S);
             int32_t r = rowp[i];
             if (r < 0) continue;
             out_hit[o] = i;
@@ -557,6 +625,7 @@ long long ska_map_gather(const uint64_t* sorted, long long n,
         }
         for (auto& th : ths) th.join();
     }
+    mg_lap("pack");
     return off[T];
 }
 
