@@ -50,28 +50,31 @@ static inline uint64_t key_hash(u128 k) {
     return hb_mix((uint64_t)k ^ hb_mix((uint64_t)(k >> 64)));
 }
 
-// key -> uint32 payload open-addressing map (0.75 load factor)
+// key -> uint32 payload open-addressing map (0.75 load factor).
+// Interleaved {key, val} slots: one cache line per probe instead of the
+// three (keys/vals/used) the SoA layout cost — the maps here are tens of
+// MB, so every probe is a miss and the line count is the wall time.
+// Occupancy sentinel: all-ones key. A split k-mer key drops the middle
+// base, so its value is < 2^(2(k-1)) <= 2^124 — the all-ones pattern
+// cannot occur for any supported k (split_kmer.rs:281-295).
 template <class K>
 struct Map {
-    std::vector<K> keys;
-    std::vector<uint32_t> vals;
-    std::vector<uint8_t> used;
+    struct Slot {
+        K key;
+        uint32_t val;
+    };
+    static constexpr K EMPTY = (K)~(K)0;
+    std::vector<Slot> t;
     size_t mask = 0, count = 0, limit = 0;
     bool oom = false;
 
     explicit Map(size_t cap0 = 1 << 12) { rehash(cap0); }
 
     void rehash(size_t cap) {
-        std::vector<K> ok;
-        std::vector<uint32_t> ov;
-        std::vector<uint8_t> ou;
-        ok.swap(keys);
-        ov.swap(vals);
-        ou.swap(used);
+        std::vector<Slot> old;
+        old.swap(t);
         try {
-            keys.assign(cap, K());
-            vals.assign(cap, 0);
-            used.assign(cap, 0);
+            t.assign(cap, Slot{EMPTY, 0});
         } catch (const std::bad_alloc&) {
             oom = true;
             return;
@@ -79,16 +82,24 @@ struct Map {
         mask = cap - 1;
         limit = cap - cap / 4;
         count = 0;
-        for (size_t i = 0; i < ou.size(); i++)
-            if (ou[i]) {
-                size_t j = key_hash(ok[i]) & mask;
-                while (used[j]) j = (j + 1) & mask;
-                used[j] = 1;
-                keys[j] = ok[i];
-                vals[j] = ov[i];
-                count++;
-            }
+        // lookahead prefetch: re-inserts are random placements into the
+        // fresh (cold) table
+        const size_t on = old.size();
+        for (size_t i = 0; i < on; i++) {
+            if (i + 16 < on && old[i + 16].key != EMPTY)
+                __builtin_prefetch(&t[key_hash(old[i + 16].key) & mask]);
+            const Slot& s = old[i];
+            if (s.key == EMPTY) continue;
+            size_t j = key_hash(s.key) & mask;
+            while (t[j].key != EMPTY) j = (j + 1) & mask;
+            t[j] = s;
+            count++;
+        }
     }
+
+    // address of the primary slot for k under the CURRENT mask (prefetch
+    // target; a rehash between prefetch and insert only wastes the hint)
+    const void* primary(K k) const { return &t[key_hash(k) & mask]; }
 
     // pointer to payload slot; *fresh set when newly inserted (payload 0)
     uint32_t* slot(K k, bool* fresh) {
@@ -97,19 +108,18 @@ struct Map {
             if (oom) return nullptr;
         }
         size_t i = key_hash(k) & mask;
-        while (used[i]) {
-            if (keys[i] == k) {
+        while (t[i].key != EMPTY) {
+            if (t[i].key == k) {
                 *fresh = false;
-                return &vals[i];
+                return &t[i].val;
             }
             i = (i + 1) & mask;
         }
-        used[i] = 1;
-        keys[i] = k;
+        t[i].key = k;
+        t[i].val = 0;
         count++;
         *fresh = true;
-        vals[i] = 0;
-        return &vals[i];
+        return &t[i].val;
     }
 };
 
@@ -182,30 +192,83 @@ static void scan(const uint8_t* seq, long long L, int k, bool rc_on, F&& cb) {
     }
 }
 
+// smallest power-of-two table that keeps n entries under 0.75 load
+static size_t presize_for(long long n) {
+    size_t want = 1 << 12;
+    while ((size_t)n + (size_t)n / 3 >= want - want / 4 &&
+           want < ((size_t)1 << 31))
+        want <<= 1;
+    return want;
+}
+
 template <class K>
 static long long build_impl(int n_samples, const uint8_t** seqs,
                             const long long* lens, int k, bool rc, int W) {
-    Map<K> merged;
+    // presize from the genome length: distinct split k-mers are bounded
+    // by the window count, and growing a multi-MB map through doublings
+    // costs more random re-inserts than the original insert stream
+    long long maxlen = 0;
+    for (int s = 0; s < n_samples; s++)
+        if (lens[s] > maxlen) maxlen = lens[s];
+    Map<K> merged(presize_for(maxlen));
+    if (merged.oom) return -2;
     std::vector<uint8_t> store;  // rows x n_samples, '-' filled
     const size_t S = (size_t)n_samples;
 
     for (int s = 0; s < n_samples; s++) {
-        // per-sample dict: key -> 4-bit set union (ska_dict.rs:76-113)
-        Map<K> dict(1 << 16);
+        // per-sample dict: key -> 4-bit set union (ska_dict.rs:76-113).
+        // Inserts lag a 16-deep ring behind the rolling scan, with the
+        // primary slot prefetched at enqueue time: the map outgrows the
+        // caches within one bacterial genome, so an unpipelined insert
+        // stream runs at memory latency per window.
+        Map<K> dict(presize_for(lens[s]));
+        if (dict.oom) return -2;
         bool oom = false;
-        scan<K>(seqs[s], lens[s], k, rc,
-                [&](K key, uint8_t set, long long, bool) {
+        constexpr unsigned RD = 16;
+        K rk[RD];
+        uint8_t rs[RD];
+        unsigned rh = 0, rcnt = 0;
+        auto insert = [&](K key, uint8_t set) {
             bool fresh;
             uint32_t* v = dict.slot(key, &fresh);
             if (!v) { oom = true; return; }
             *v |= set;
+        };
+        scan<K>(seqs[s], lens[s], k, rc,
+                [&](K key, uint8_t set, long long, bool) {
+            if (oom) return;
+            if (rcnt == RD) {
+                insert(rk[rh], rs[rh]);
+                rh = (rh + 1) & (RD - 1);
+                rcnt--;
+            }
+            __builtin_prefetch(dict.primary(key));
+            unsigned tpos = (rh + rcnt) & (RD - 1);
+            rk[tpos] = key;
+            rs[tpos] = set;
+            rcnt++;
         });
+        for (; rcnt && !oom; rcnt--, rh = (rh + 1) & (RD - 1))
+            insert(rk[rh], rs[rh]);
         if (oom || dict.oom) return -2;
-        // append into the merged map (merge_ska_dict.rs:77-109)
-        for (size_t i = 0; i <= dict.mask && dict.count; i++) {
-            if (!dict.used[i]) continue;
+        // append into the merged map (merge_ska_dict.rs:77-109), again
+        // with the merged primary slot prefetched a fixed lookahead out
+        // (the dict walk itself is sequential and cheap)
+        const size_t cap_slots = dict.mask + 1;
+        size_t ahead = 0;
+        unsigned pending = 0;
+        for (size_t i = 0; i < cap_slots && dict.count; i++) {
+            while (pending < RD && ahead < cap_slots) {
+                if (dict.t[ahead].key != Map<K>::EMPTY) {
+                    __builtin_prefetch(merged.primary(dict.t[ahead].key));
+                    pending++;
+                }
+                ahead++;
+            }
+            if (dict.t[i].key == Map<K>::EMPTY) continue;
+            pending--;
             bool fresh;
-            uint32_t* rowp = merged.slot(dict.keys[i], &fresh);
+            uint32_t* rowp = merged.slot(dict.t[i].key, &fresh);
             if (!rowp) return -2;
             if (fresh) {
                 *rowp = (uint32_t)(store.size() / S);
@@ -216,7 +279,7 @@ static long long build_impl(int n_samples, const uint8_t** seqs,
                 }
             }
             store[(size_t)(*rowp) * S + s] =
-                (uint8_t)SET_ASCII[dict.vals[i] & 15];
+                (uint8_t)SET_ASCII[dict.t[i].val & 15];
         }
         if (merged.oom) return -2;
     }
@@ -230,7 +293,8 @@ static long long build_impl(int n_samples, const uint8_t** seqs,
         return -2;
     }
     for (size_t i = 0; i <= merged.mask && merged.count; i++)
-        if (merged.used[i]) order.emplace_back(merged.keys[i], merged.vals[i]);
+        if (merged.t[i].key != Map<K>::EMPTY)
+            order.emplace_back(merged.t[i].key, merged.t[i].val);
     std::sort(order.begin(), order.end(),
               [](const auto& a, const auto& b) { return a.first < b.first; });
 

@@ -1,0 +1,706 @@
+// Native host-mode engines for the dispatch-free .skf commands:
+// `ska align` and `ska distance` as one C++ pass from the .skf bytes to
+// the output file (reference generic_modes.rs:22-50 and :136-189).
+//
+// The host fallback previously paid ~0.3 s of CPython+numpy startup per
+// command — more than the whole single-core reference command. These
+// engines are called by the CLI (ska_tpu/host_cmds.py, ctypes only, no
+// numpy import) BEFORE the python pipeline loads; any nonzero return
+// (unfamiliar CBOR encoding, unsupported flag combination, allocation
+// failure) falls back to the canonical python route, whose byte-exact
+// equality with these engines is pinned by differential tests
+// (tests/test_host_cmds.py).
+//
+// Semantics mirrored 1:1 from the python pipeline:
+//   * .skf layout: CBOR map (any field order) inside a snappy frame
+//     (io/skf.py; reference merge_ska_array.rs:108-126). split_kmers are
+//     SKIPPED — neither command reads keys.
+//   * update_counts(filter_ambig_as_missing) drops zero-count rows
+//     (array.py:104-122, merge_ska_array.rs:139-163)
+//   * site filters: threshold = ceil(S * min_freq), predicate per
+//     filter_type (array.py:148-220, merge_ska_array.rs:289-402)
+//   * align output: one FASTA record per sample, unwrapped single line
+//     (array.py write_fasta, merge_ska_array.rs:499-517)
+//   * distance: NoConst removed-count feeds the match denominator; the
+//     per-pair stats are linear functionals of the 16x16 class
+//     co-occurrence counts over deduplicated site rows (distance.py;
+//     reference merge_ska_array.rs:416-438,587-632), printed as
+//     "{:.2f}\t{:.5f}\t{}\t{}" (merge_ska_array.rs:57-65).
+
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <new>
+#include <string>
+#include <vector>
+
+extern "C" {
+long long ska_snappy_frame_decompress(const uint8_t* in, size_t n,
+                                      uint8_t* out, size_t cap);
+long long ska_cbor_encode_uints(const uint64_t* v, long long n, uint8_t* out);
+long long ska_snappy_compress(const uint8_t* in, size_t n, uint8_t* out,
+                              size_t out_cap);
+uint32_t ska_crc32c(const uint8_t* data, size_t n);
+}
+
+namespace {
+
+// ---- encoding tables (ska_tpu/encoding.py:46-106) --------------------------
+
+// 16-entry 4-bit set -> ASCII IUPAC; bit order A=1, C=2, T=4, G=8
+static const char SET_ASCII_TAB[17] = "-ACMTWYHGRSVKDBN";
+
+struct Tables {
+    uint8_t ascii_to_set[256];  // unknown -> 0; lowercase folded; U -> T
+    uint8_t is_ambig[256];      // not in "acgtuACGTU-"
+    Tables() {
+        memset(ascii_to_set, 0, sizeof(ascii_to_set));
+        for (int s = 1; s < 16; s++) {
+            uint8_t a = (uint8_t)SET_ASCII_TAB[s];
+            ascii_to_set[a] = (uint8_t)s;
+            ascii_to_set[a | 0x20] = (uint8_t)s;
+        }
+        ascii_to_set['U'] = 4;
+        ascii_to_set['u'] = 4;
+        memset(is_ambig, 1, sizeof(is_ambig));
+        for (const char* p = "acgtuACGTU-"; *p; p++)
+            is_ambig[(uint8_t)*p] = 0;
+    }
+};
+static const Tables T;
+
+// ---- CBOR reader (definite lengths only, as ciborium/io/cbor.py emit) ------
+
+struct Cbor {
+    const uint8_t* b;
+    size_t n, p = 0;
+    bool err = false;
+
+    uint8_t peek() { return p < n ? b[p] : (err = true, 0xFF); }
+
+    // reads one head; returns the argument value, sets major
+    uint64_t head(int& major) {
+        if (p >= n) { err = true; major = -1; return 0; }
+        uint8_t ib = b[p++];
+        major = ib >> 5;
+        uint8_t ai = ib & 0x1F;
+        if (ai < 24) return ai;
+        int len = ai == 24 ? 1 : ai == 25 ? 2 : ai == 26 ? 4 : ai == 27 ? 8 : -1;
+        if (len < 0 || p + (size_t)len > n) { err = true; return 0; }
+        uint64_t v = 0;
+        for (int i = 0; i < len; i++) v = (v << 8) | b[p++];
+        return v;
+    }
+
+    bool text(std::string& out) {
+        int m;
+        uint64_t ln = head(m);
+        if (err || m != 3 || p + ln > n) { err = true; return false; }
+        out.assign((const char*)b + p, (size_t)ln);
+        p += ln;
+        return true;
+    }
+
+    void skip() {
+        int m;
+        uint64_t a = head(m);
+        if (err) return;
+        switch (m) {
+            case 0: case 1: return;
+            case 2: case 3:
+                if (p + a > n) { err = true; return; }
+                p += a;
+                return;
+            case 4:
+                for (uint64_t i = 0; i < a && !err; i++) skip();
+                return;
+            case 5:
+                for (uint64_t i = 0; i < 2 * a && !err; i++) skip();
+                return;
+            case 6: skip(); return;
+            case 7: return;  // argument already consumed by head()
+            default: err = true; return;
+        }
+    }
+};
+
+struct HostArray {
+    long long n = 0;  // sites
+    int S = 0;        // samples
+    std::vector<uint8_t> variants;  // n x S ASCII
+    std::vector<int64_t> counts;    // n
+    std::vector<std::string> names;
+};
+
+// decode a CBOR array of uints < 2^63 into out; false on anything else
+static bool uint_array(Cbor& c, std::vector<int64_t>& out) {
+    int m;
+    uint64_t ln = c.head(m);
+    if (c.err || m != 4) return false;
+    out.clear();
+    out.reserve(ln);
+    for (uint64_t i = 0; i < ln; i++) {
+        uint64_t v = c.head(m);
+        if (c.err || m != 0) return false;
+        out.push_back((int64_t)v);
+    }
+    return true;
+}
+
+// the variants field: {"v": 1, "dim": [r, c], "data": [u8...]} in any order
+static bool variants_field(Cbor& c, HostArray& a) {
+    int m;
+    uint64_t nf = c.head(m);
+    if (c.err || m != 5) return false;
+    long long r = -1, s = -1;
+    bool have_data = false;
+    for (uint64_t f = 0; f < nf; f++) {
+        std::string key;
+        if (!c.text(key)) return false;
+        if (key == "dim") {
+            uint64_t dn = c.head(m);
+            if (c.err || m != 4 || dn != 2) return false;
+            r = (long long)c.head(m);
+            if (c.err || m != 0) return false;
+            s = (long long)c.head(m);
+            if (c.err || m != 0) return false;
+        } else if (key == "data") {
+            uint64_t ln = c.head(m);
+            if (c.err || m != 4) return false;
+            a.variants.clear();
+            try {
+                a.variants.reserve(ln);
+            } catch (const std::bad_alloc&) {
+                return false;
+            }
+            // cells are ASCII (>= 24), i.e. 0x18 xx two-byte heads —
+            // a strided read, with a general loop for anything else
+            const uint8_t* b = c.b;
+            size_t p = c.p, n = c.n;
+            try {
+                a.variants.resize(ln);
+            } catch (const std::bad_alloc&) {
+                return false;
+            }
+            uint8_t* out = a.variants.data();
+            uint64_t i = 0;
+            if (p + 2 * ln <= n) {
+                for (; i < ln && b[p] == 0x18; i++, p += 2) out[i] = b[p + 1];
+            }
+            for (; i < ln; i++) {
+                if (p >= n) return false;
+                uint8_t ib = b[p++];
+                if (ib < 24) {
+                    out[i] = ib;
+                } else if (ib == 0x18) {
+                    if (p >= n) return false;
+                    out[i] = b[p++];
+                } else {
+                    return false;  // not a u8 cell
+                }
+            }
+            c.p = p;
+            have_data = true;
+        } else {
+            c.skip();
+            if (c.err) return false;
+        }
+    }
+    if (!have_data || r < 0 || s < 0 ||
+        (long long)a.variants.size() != r * s || s > 0x7FFFFFFF)
+        return false;
+    a.n = r;
+    a.S = (int)s;
+    return true;
+}
+
+// load an .skf; 0 ok, nonzero = caller must fall back to python (which
+// re-parses and raises its precise error)
+static int load_skf(const char* path, HostArray& a) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return -1;
+    fseek(f, 0, SEEK_END);
+    long sz = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    if (sz <= 0) { fclose(f); return -1; }
+    std::vector<uint8_t> raw;
+    try {
+        raw.resize((size_t)sz);
+    } catch (const std::bad_alloc&) {
+        fclose(f);
+        return -1;
+    }
+    if (fread(raw.data(), 1, (size_t)sz, f) != (size_t)sz) { fclose(f); return -1; }
+    fclose(f);
+
+    long long total = ska_snappy_frame_decompress(raw.data(), raw.size(), nullptr, 0);
+    if (total < 0) return -1;
+    std::vector<uint8_t> buf;
+    try {
+        buf.resize((size_t)total);
+    } catch (const std::bad_alloc&) {
+        return -1;
+    }
+    if (ska_snappy_frame_decompress(raw.data(), raw.size(), buf.data(),
+                                    buf.size()) != total)
+        return -1;
+
+    Cbor c{buf.data(), buf.size()};
+    int m;
+    uint64_t nf = c.head(m);
+    if (c.err || m != 5) return -1;
+    bool have_v = false, have_c = false, have_n = false;
+    for (uint64_t f_i = 0; f_i < nf; f_i++) {
+        std::string key;
+        if (!c.text(key)) return -1;
+        if (key == "names") {
+            uint64_t ln = c.head(m);
+            if (c.err || m != 4) return -1;
+            a.names.clear();
+            for (uint64_t i = 0; i < ln; i++) {
+                std::string s;
+                if (!c.text(s)) return -1;
+                a.names.push_back(std::move(s));
+            }
+            have_n = true;
+        } else if (key == "variants") {
+            if (!variants_field(c, a)) return -1;
+            have_v = true;
+        } else if (key == "variant_count") {
+            if (!uint_array(c, a.counts)) return -1;
+            have_c = true;
+        } else {
+            c.skip();  // k, rc, k_bits, ska_version, split_kmers, unknown
+            if (c.err) return -1;
+        }
+    }
+    if (!have_v || !have_c || !have_n) return -1;
+    if ((long long)a.counts.size() != a.n || (int)a.names.size() != a.S)
+        return -1;
+    return 0;
+}
+
+// ---- filters (array.py:104-220) ---------------------------------------------
+
+// recount non-missing per row (optionally ambig-as-missing) and drop
+// zero-count rows in place
+static void update_counts(HostArray& a, bool ambig_as_missing) {
+    long long w = 0;
+    for (long long i = 0; i < a.n; i++) {
+        const uint8_t* row = &a.variants[(size_t)i * a.S];
+        int64_t cnt = 0;
+        for (int s = 0; s < a.S; s++) {
+            uint8_t b = row[s];
+            bool present = b != '-';
+            if (ambig_as_missing && T.is_ambig[b]) present = false;
+            cnt += present;
+        }
+        if (cnt > 0) {
+            if (w != i)
+                memmove(&a.variants[(size_t)w * a.S], row, (size_t)a.S);
+            a.counts[w] = cnt;
+            w++;
+        }
+    }
+    a.n = w;
+    a.variants.resize((size_t)w * a.S);
+    a.counts.resize((size_t)w);
+}
+
+// modes: 0 no-filter, 1 no-const, 2 no-ambig, 3 no-ambig-or-const
+// (constants.py / io/native.py _FILTER_MODE). Returns rows removed,
+// compacting variants+counts in place.
+static long long filter_rows(HostArray& a, int64_t min_count, int mode,
+                             bool ignore_const_gaps) {
+    const int S = a.S;
+    long long w = 0;
+    for (long long i = 0; i < a.n; i++) {
+        const uint8_t* row = &a.variants[(size_t)i * S];
+        bool keep = a.counts[i] >= min_count;
+        if (keep && mode != 0) {
+            if (mode == 1) {
+                int first = -1;
+                bool two = false;
+                for (int s = 0; s < S; s++) {
+                    uint8_t b = row[s];
+                    if (ignore_const_gaps && b == '-') continue;
+                    if (first < 0) first = b;
+                    else if (b != first) { two = true; break; }
+                }
+                keep = two;
+            } else if (mode == 2) {
+                bool amb = false;
+                for (int s = 0; s < S; s++) amb |= T.is_ambig[row[s]] != 0;
+                keep = !amb;
+            } else {
+                unsigned classes = 0;
+                for (int s = 0; s < S; s++) {
+                    switch (row[s]) {
+                        case 'A': classes |= 1u; break;
+                        case 'C': classes |= 2u; break;
+                        case 'G': classes |= 4u; break;
+                        case 'T': classes |= 8u; break;
+                        case 'U': classes |= 16u; break;
+                        case '-': if (!ignore_const_gaps) classes |= 32u;
+                                  break;
+                        default: break;
+                    }
+                }
+                keep = __builtin_popcount(classes) > 1;
+            }
+        }
+        if (keep) {
+            if (w != i)
+                memmove(&a.variants[(size_t)w * S], row, (size_t)S);
+            a.counts[w] = a.counts[i];
+            w++;
+        }
+    }
+    long long removed = a.n - w;
+    a.n = w;
+    a.variants.resize((size_t)w * S);
+    a.counts.resize((size_t)w);
+    return removed;
+}
+
+static FILE* open_out(const char* out) {
+    if (!out || !*out || (out[0] == '-' && !out[1])) return stdout;
+    return fopen(out, "wb");
+}
+
+}  // namespace
+
+extern "C" {
+
+// `ska align`: filters + unwrapped FASTA (api.py:94-107). 0 ok; nonzero
+// = fall back to the python route. min_freq threshold = ceil(S * f)
+// (generic_modes.rs:112-131).
+long long ska_host_align(const char* skf_path, const char* out_path,
+                         double min_freq, int mode, int ambig_as_missing,
+                         int ambig_mask, int ignore_const_gaps) {
+    if (mode < 0 || mode > 3) return -1;
+    HostArray a;
+    if (load_skf(skf_path, a) != 0) return -1;
+    if (ambig_as_missing) update_counts(a, true);
+    int64_t threshold = (int64_t)ceil((double)a.S * min_freq);
+    filter_rows(a, threshold, mode, ignore_const_gaps != 0);
+
+    uint8_t mask_tab[256];
+    for (int i = 0; i < 256; i++)
+        mask_tab[i] = (ambig_mask && T.is_ambig[i]) ? 'N' : (uint8_t)i;
+
+    // transpose kept rows into per-sample lines in one sequential pass
+    const int S = a.S;
+    std::vector<uint8_t> lines;
+    try {
+        lines.resize((size_t)a.n * S);
+    } catch (const std::bad_alloc&) {
+        return -1;
+    }
+    for (long long i = 0; i < a.n; i++) {
+        const uint8_t* row = &a.variants[(size_t)i * S];
+        for (int s = 0; s < S; s++)
+            lines[(size_t)s * a.n + i] = mask_tab[row[s]];
+    }
+
+    FILE* out = open_out(out_path);
+    if (!out) return -1;
+    for (int s = 0; s < S; s++) {
+        fputc('>', out);
+        fwrite(a.names[s].data(), 1, a.names[s].size(), out);
+        fputc('\n', out);
+        fwrite(&lines[(size_t)s * a.n], 1, (size_t)a.n, out);
+        fputc('\n', out);
+    }
+    if (out != stdout) fclose(out);
+    else fflush(out);
+    return 0;
+}
+
+// `ska distance` (api.py:131-145). filt_ambig = NOT --allow-ambiguous.
+long long ska_host_distance(const char* skf_path, const char* out_path,
+                            double min_freq, int filt_ambig) {
+    HostArray a;
+    if (load_skf(skf_path, a) != 0) return -1;
+    const int S = a.S;
+    if (min_freq * (double)S >= 1.0) {
+        int64_t threshold = (int64_t)ceil((double)S * min_freq);
+        filter_rows(a, threshold, 0, false);
+    }
+    long long constant = filter_rows(a, 0, 1, false);  // NoConst
+
+    // dedupe site rows on their 4-bit class codes (distance.py:153-177):
+    // open-addressing map keyed by the class row
+    std::vector<uint8_t> cls;
+    try {
+        cls.resize((size_t)a.n * S);
+    } catch (const std::bad_alloc&) {
+        return -1;
+    }
+    for (size_t i = 0; i < cls.size(); i++)
+        cls[i] = T.ascii_to_set[a.variants[i]];
+
+    size_t cap = 64;
+    while (cap < (size_t)a.n * 2) cap <<= 1;
+    if (cap > (1u << 26)) cap = 1u << 26;  // rows dedupe heavily post-NoConst
+    std::vector<int64_t> slot_row, slot_cnt;
+    try {
+        slot_row.assign(cap, -1);
+        slot_cnt.assign(cap, 0);
+    } catch (const std::bad_alloc&) {
+        return -1;
+    }
+    size_t mask = cap - 1, n_uniq = 0;
+    for (long long i = 0; i < a.n; i++) {
+        const uint8_t* row = &cls[(size_t)i * S];
+        uint64_t h = 0xcbf29ce484222325ull;
+        for (int s = 0; s < S; s++) h = (h ^ row[s]) * 0x100000001b3ull;
+        h ^= h >> 33;
+        size_t j = (size_t)h & mask;
+        for (;;) {
+            if (slot_row[j] < 0) {
+                if (n_uniq >= cap - cap / 4) return -1;  // would degrade
+                slot_row[j] = i;
+                slot_cnt[j] = 1;
+                n_uniq++;
+                break;
+            }
+            if (memcmp(&cls[(size_t)slot_row[j] * S], row, (size_t)S) == 0) {
+                slot_cnt[j]++;
+                break;
+            }
+            j = (j + 1) & mask;
+        }
+    }
+
+    // per-pair 16x16 class co-occurrence counts (distance.py class_gram)
+    const long long pairs = (long long)S * (S - 1) / 2;
+    if ((double)n_uniq * (double)pairs > 2e8) return -1;  // python BLAS wins
+    std::vector<int64_t> G;
+    try {
+        G.assign((size_t)pairs * 256, 0);
+    } catch (const std::bad_alloc&) {
+        return -1;
+    }
+    for (size_t j = 0; j < cap; j++) {
+        if (slot_row[j] < 0) continue;
+        const uint8_t* row = &cls[(size_t)slot_row[j] * S];
+        int64_t w = slot_cnt[j];
+        int64_t* g = G.data();
+        for (int x = 0; x < S; x++) {
+            unsigned ax = row[x];
+            for (int y = x + 1; y < S; y++, g += 256)
+                g[ax * 16 + row[y]] += w;
+        }
+    }
+
+    // coefficient tables (distance.py:52-69): probs over (A, C, T, G)
+    double prob[16][4] = {};
+    for (int s = 1; s < 15; s++) {
+        int bits = __builtin_popcount((unsigned)s);
+        for (int i = 0; i < 4; i++)
+            if (s & (1 << i)) prob[s][i] = 1.0 / bits;
+    }  // class 0 ('-') and 15 (N) stay zero vectors (bit_encoding.rs:65-85)
+    double dist_c[16][16], match_c[16][16], mism_c[16][16];
+    for (int x = 0; x < 16; x++)
+        for (int y = 0; y < 16; y++) {
+            double ov = 0.0;
+            for (int i = 0; i < 4; i++) ov += prob[x][i] * prob[y][i];
+            bool both = x > 0 && y > 0;
+            bool one_gap = (x > 0) != (y > 0);
+            if (filt_ambig) {
+                bool ux = x == 1 || x == 2 || x == 4 || x == 8;
+                bool uy = y == 1 || y == 2 || y == 4 || y == 8;
+                dist_c[x][y] = (ux && uy && x != y) ? 1.0 : 0.0;
+                match_c[x][y] = (ux && uy) ? 1.0 : 0.0;
+            } else {
+                dist_c[x][y] = both ? 1.0 - ov : 0.0;
+                match_c[x][y] = (both && ov > 0.0) ? 1.0 : 0.0;
+            }
+            mism_c[x][y] = one_gap ? 1.0 : 0.0;
+        }
+
+    FILE* out = open_out(out_path);
+    if (!out) return -1;
+    fputs("Sample1\tSample2\tDistance\tMismatches (proportion)\t"
+          "Match count\tMismatch count\n", out);
+    const int64_t* g = G.data();
+    for (int x = 0; x < S; x++) {
+        for (int y = x + 1; y < S; y++, g += 256) {
+            double D = 0.0, M = 0.0, X = 0.0;
+            for (int ca = 0; ca < 16; ca++)
+                for (int cb = 0; cb < 16; cb++) {
+                    double v = (double)g[ca * 16 + cb];
+                    D += v * dist_c[ca][cb];
+                    M += v * match_c[ca][cb];
+                    X += v * mism_c[ca][cb];
+                }
+            double matches = (double)constant + M;
+            double denom = matches + X;
+            double propd = denom != 0.0 ? X / denom : 0.0;
+            fprintf(out, "%s\t%s\t%.2f\t%.5f\t%lld\t%lld\n",
+                    a.names[x].c_str(), a.names[y].c_str(), D, propd,
+                    (long long)matches, (long long)X);
+        }
+    }
+    if (out != stdout) fclose(out);
+    else fflush(out);
+    return 0;
+}
+
+// `.skf` save: the full CBOR encode + snappy framing in one pass,
+// byte-identical to the python encoder (io/skf.py save + io/snappy.py
+// frame_compress; reference merge_ska_array.rs:191-204). Field order,
+// minimal-width heads, ciborium bignums and the 64 KiB framing chunks
+// all match — tests/test_host_cmds.py pins equality. 0 ok, nonzero =
+// caller falls back to the python encoder. names_blob = NUL-separated
+// utf-8 names (n_names of them).
+long long ska_host_save(const char* path, const uint64_t* keys,
+                        long long n, int W, const uint8_t* variants,
+                        long long S, const uint64_t* counts,
+                        const uint8_t* names_blob, long long names_len,
+                        long long n_names, int k, int rc,
+                        const uint8_t* version, long long version_len) {
+    if (W != 1 && W != 2) return -1;
+    std::vector<uint8_t> buf;
+    try {
+        buf.reserve((size_t)n * (W == 1 ? 9 : 19) + (size_t)n * S * 2 +
+                    (size_t)n * 9 + (size_t)names_len + 256);
+    } catch (const std::bad_alloc&) {
+        return -1;
+    }
+    auto head = [&](int major, uint64_t v) {
+        uint8_t m = (uint8_t)(major << 5);
+        if (v < 24) buf.push_back(m | (uint8_t)v);
+        else if (v < 0x100) { buf.push_back(m | 24); buf.push_back((uint8_t)v); }
+        else if (v < 0x10000) {
+            buf.push_back(m | 25);
+            buf.push_back((uint8_t)(v >> 8));
+            buf.push_back((uint8_t)v);
+        } else if (v < 0x100000000ULL) {
+            buf.push_back(m | 26);
+            for (int i = 3; i >= 0; i--) buf.push_back((uint8_t)(v >> (8 * i)));
+        } else {
+            buf.push_back(m | 27);
+            for (int i = 7; i >= 0; i--) buf.push_back((uint8_t)(v >> (8 * i)));
+        }
+    };
+    auto text = [&](const char* s_, size_t ln) {
+        head(3, ln);
+        buf.insert(buf.end(), (const uint8_t*)s_, (const uint8_t*)s_ + ln);
+    };
+
+    head(5, 8);  // same insertion order as io/skf.py save()
+    text("k", 1); head(0, (uint64_t)k);
+    text("rc", 2); buf.push_back(rc ? 0xF5 : 0xF4);
+    text("names", 5);
+    head(4, (uint64_t)n_names);
+    {
+        const uint8_t* p = names_blob;
+        const uint8_t* end = names_blob + names_len;
+        for (long long i = 0; i < n_names; i++) {
+            const uint8_t* z = (const uint8_t*)memchr(p, 0, end - p);
+            size_t ln = z ? (size_t)(z - p) : (size_t)(end - p);
+            text((const char*)p, ln);
+            p += ln + (z ? 1 : 0);
+        }
+    }
+    text("split_kmers", 11);
+    head(4, (uint64_t)n);
+    if (W == 1) {
+        size_t base = buf.size();
+        buf.resize(base + (size_t)n * 9);
+        long long wrote = ska_cbor_encode_uints(keys, n, buf.data() + base);
+        buf.resize(base + (size_t)wrote);
+    } else {
+        // ciborium u128s: plain uint when hi == 0, else tag-2 positive
+        // bignum with minimal big-endian bytes (io/cbor.py U128s)
+        for (long long i = 0; i < n; i++) {
+            uint64_t hi = keys[2 * i], lo = keys[2 * i + 1];
+            if (hi == 0) {
+                head(0, lo);
+            } else {
+                buf.push_back(0xC2);
+                int hbits = 64 - __builtin_clzll(hi);
+                int nbytes = (64 + hbits + 7) / 8;
+                head(2, (uint64_t)nbytes);
+                for (int b = nbytes - 1; b >= 0; b--) {
+                    uint64_t limb = b >= 8 ? hi : lo;
+                    buf.push_back((uint8_t)(limb >> (8 * (b & 7))));
+                }
+            }
+        }
+    }
+    text("variants", 8);
+    head(5, 3);
+    text("v", 1); head(0, 1);
+    text("dim", 3);
+    head(4, 2); head(0, (uint64_t)n); head(0, (uint64_t)S);
+    text("data", 4);
+    head(4, (uint64_t)(n * S));
+    {
+        const size_t cells = (size_t)(n * S);
+        size_t base = buf.size();
+        buf.resize(base + 2 * cells);
+        uint8_t* o = buf.data() + base;
+        for (size_t i = 0; i < cells; i++) {
+            uint8_t c = variants[i];
+            if (c < 24) {
+                *o++ = c;
+            } else {
+                *o++ = 0x18;
+                *o++ = c;
+            }
+        }
+        buf.resize((size_t)(o - buf.data()));
+    }
+    text("variant_count", 13);
+    head(4, (uint64_t)n);
+    {
+        size_t base = buf.size();
+        buf.resize(base + (size_t)n * 9);
+        long long wrote = ska_cbor_encode_uints(counts, n, buf.data() + base);
+        buf.resize(base + (size_t)wrote);
+    }
+    text("ska_version", 11);
+    text((const char*)version, (size_t)version_len);
+    text("k_bits", 6); head(0, W == 1 ? 64u : 128u);
+
+    // snappy framing, 64 KiB chunks (io/snappy.py frame_compress)
+    FILE* f = fopen(path, "wb");
+    if (!f) return -1;
+    static const uint8_t MAGIC[10] = {0xFF, 0x06, 0x00, 0x00,
+                                      's',  'N',  'a',  'P', 'p', 'Y'};
+    fwrite(MAGIC, 1, 10, f);
+    const size_t CH = 65536;
+    std::vector<uint8_t> comp;
+    try {
+        comp.resize(32 + CH + CH / 6);
+    } catch (const std::bad_alloc&) {
+        fclose(f);
+        return -1;
+    }
+    for (size_t pos = 0; pos < buf.size(); pos += CH) {
+        size_t ln = buf.size() - pos < CH ? buf.size() - pos : CH;
+        const uint8_t* chunk = buf.data() + pos;
+        uint32_t crc = ska_crc32c(chunk, ln);
+        uint32_t masked = ((crc >> 15) | (crc << 17)) + 0xA282EAD8u;
+        long long cl = ska_snappy_compress(chunk, ln, comp.data(), comp.size());
+        bool use_comp = cl > 0 && (size_t)cl < ln;
+        size_t body = 4 + (use_comp ? (size_t)cl : ln);
+        uint8_t hdr[4] = {use_comp ? (uint8_t)0x00 : (uint8_t)0x01,
+                          (uint8_t)body, (uint8_t)(body >> 8),
+                          (uint8_t)(body >> 16)};
+        uint8_t crcb[4] = {(uint8_t)masked, (uint8_t)(masked >> 8),
+                           (uint8_t)(masked >> 16), (uint8_t)(masked >> 24)};
+        fwrite(hdr, 1, 4, f);
+        fwrite(crcb, 1, 4, f);
+        fwrite(use_comp ? comp.data() : chunk, 1, body - 4, f);
+    }
+    if (fclose(f) != 0) return -1;
+    return 0;
+}
+
+}  // extern "C"

@@ -23,4 +23,13 @@ csrc engines) therefore never pay the ~2 s jax import.
 
 __version__ = "0.5.2"  # capability parity with reference v0.5.2
 
-from . import encoding  # noqa: E402,F401
+
+def __getattr__(name):
+    # lazy: `ska_tpu.encoding` pulls numpy (~0.25 s), which the native
+    # host command routes (host_cmds.py -> csrc/host_modes.cpp) never
+    # need — an eager import here would hand that startup time back
+    if name == "encoding":
+        from . import encoding
+
+        return encoding
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

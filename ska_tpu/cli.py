@@ -238,6 +238,16 @@ def _main(argv=None):
     print("SKA: Split K-mer Analysis (the alignment-free aligner)", file=sys.stderr)
     start = time.time()
 
+    if args.command in ("align", "distance"):
+        # pinned-host route: the one-pass C++ engines (csrc/host_modes.cpp)
+        # answer these dispatch-free commands before numpy even imports;
+        # any unsupported case falls through to the python pipeline below
+        from . import host_cmds
+
+        if host_cmds.try_run(args.command, args):
+            _footer(start)
+            return
+
     from . import api
     from .io import fastx, skf
     from .sampletypes import QualOpts
@@ -378,6 +388,10 @@ def _main(argv=None):
         jax.profiler.stop_trace()
         log.info("profiler trace written to %s", profile_dir)
 
+    _footer(start)
+
+
+def _footer(start):
     elapsed = int(time.time() - start)
     print(f"SKA done in {elapsed}s", file=sys.stderr)
     print("⬛⬜⬛⬜⬛⬜⬛", file=sys.stderr)

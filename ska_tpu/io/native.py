@@ -634,3 +634,60 @@ def map_lookup(sorted_keys, needles):
         found.ctypes.data_as(_u8p),
     )
     return found.astype(bool), idx
+
+
+_lib.ska_host_save.restype = ctypes.c_longlong
+_lib.ska_host_save.argtypes = [
+    ctypes.c_char_p,
+    _u64p,
+    ctypes.c_longlong,
+    ctypes.c_int,
+    _u8p,
+    ctypes.c_longlong,
+    _u64p,
+    ctypes.c_char_p,   # NUL-separated names blob
+    ctypes.c_longlong,
+    ctypes.c_longlong,
+    ctypes.c_int,
+    ctypes.c_int,
+    ctypes.c_char_p,   # version text
+    ctypes.c_longlong,
+]
+
+
+def skf_save(path, keys, variants, counts, names, k, rc, ska_version) -> bool:
+    """One-pass native `.skf` writer (csrc/host_modes.cpp ska_host_save):
+    CBOR encode + snappy framing byte-identical to the python encoder
+    (io/skf.py + io/snappy.py; equality pinned by tests). Returns False
+    when the native writer declined (caller runs the python encoder)."""
+    keys_np = _np.ascontiguousarray(keys, dtype=_np.uint64)
+    if keys_np.ndim == 1:
+        keys_np = keys_np[:, None]
+    n, W = keys_np.shape
+    if W not in (1, 2):
+        return False
+    var = _np.ascontiguousarray(variants, dtype=_np.uint8)
+    if var.ndim != 2 or var.shape[0] != n:
+        return False
+    counts_np = _np.ascontiguousarray(counts, dtype=_np.uint64)
+    if counts_np.shape[0] != n:
+        return False
+    blob = b"\x00".join(str(nm).encode("utf-8") for nm in names)
+    ver = str(ska_version).encode("utf-8")
+    rcv = _lib.ska_host_save(
+        path.encode(),
+        keys_np.ctypes.data_as(_u64p),
+        n,
+        int(W),
+        var.ctypes.data_as(_u8p),
+        var.shape[1],
+        counts_np.ctypes.data_as(_u64p),
+        blob,
+        len(blob),
+        len(names),
+        int(k),
+        1 if rc else 0,
+        ver,
+        len(ver),
+    )
+    return rcv == 0

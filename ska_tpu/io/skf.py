@@ -21,6 +21,17 @@ def save(arr: SkaArray, path: str, add_suffix: bool = True):
     keys = np.asarray(arr.keys, dtype=np.uint64)
     if keys.ndim == 1:
         keys = keys[:, None]
+    try:
+        from . import native
+    except Exception:  # noqa: BLE001 - no toolchain: python encoder below
+        native = None
+    if native is not None:
+        # one-pass C encode+frame (csrc/host_modes.cpp), byte-identical
+        # to the python path below — the 4x4Mb save measured 0.72 s in
+        # python (CBOR walk + per-chunk compress calls), ~0.25 s native
+        if native.skf_save(path, keys, arr.variants, arr.counts, arr.names,
+                           arr.k, arr.rc, arr.ska_version):
+            return path
     if keys.shape[1] == 1:
         kmers = cbor.UInts64(keys[:, 0])
     else:

@@ -1,0 +1,166 @@
+"""Differential tests: the native host command engines (csrc/host_modes.cpp
+via ska_tpu.host_cmds) must be byte-identical to the canonical python
+pipeline for `ska align` and `ska distance` across fixtures and flags.
+"""
+
+import io
+import os
+import subprocess
+import sys
+
+import pytest
+
+from ska_tpu import api
+from ska_tpu.io import skf
+from ska_tpu import host_cmds
+
+REF_IN = "/root/reference/tests/test_files_in"
+FIXTURES = ["merge.skf", "merge_k41.skf", "merge_k9.skf", "multidist.skf"]
+
+
+def _py_align(path, min_freq, filt, ambig_missing, mask, no_gaps):
+    arr = skf.load(path)
+    fh = io.BytesIO()
+    api.align(arr, fh, filter_type=filt, ambig_mask=mask,
+              ignore_const_gaps=no_gaps, min_freq=min_freq,
+              filter_ambig_as_missing=ambig_missing)
+    return fh.getvalue()
+
+
+def _py_distance(path, min_freq, allow_ambig):
+    arr = skf.load(path)
+    fh = io.StringIO()
+    api.distance_mode(arr, fh, min_freq, not allow_ambig)
+    return fh.getvalue().encode()
+
+
+def _native(tmp_path, fn, path, *args):
+    lib = host_cmds._load()
+    out = str(tmp_path / "native.out").encode()
+    rc = fn(lib)(path.encode(), out, *args)
+    assert rc == 0, f"native engine returned {rc} for {path} {args}"
+    return open(tmp_path / "native.out", "rb").read()
+
+
+@pytest.mark.parametrize("fixture", FIXTURES)
+@pytest.mark.parametrize(
+    "min_freq,filt,ambig_missing,mask,no_gaps",
+    [
+        (0.9, "no-const", False, False, False),      # align defaults
+        (0.0, "no-filter", False, False, False),
+        (0.5, "no-ambig", False, True, False),
+        (1.0, "no-ambig-or-const", True, False, True),
+        (0.75, "no-const", True, True, True),
+    ],
+)
+def test_align_native_matches_python(tmp_path, fixture, min_freq, filt,
+                                     ambig_missing, mask, no_gaps):
+    path = f"{REF_IN}/{fixture}"
+    want = _py_align(path, min_freq, filt, ambig_missing, mask, no_gaps)
+    mode = host_cmds._FILTER_MODE[filt]
+    got = _native(tmp_path, lambda lib: lib.ska_host_align, path,
+                  float(min_freq), mode, int(ambig_missing), int(mask),
+                  int(no_gaps))
+    assert got == want
+
+
+@pytest.mark.parametrize("fixture", FIXTURES)
+@pytest.mark.parametrize("min_freq,allow_ambig",
+                         [(0.0, False), (0.0, True), (0.5, False),
+                          (0.3, True), (1.0, False)])
+def test_distance_native_matches_python(tmp_path, fixture, min_freq,
+                                        allow_ambig):
+    path = f"{REF_IN}/{fixture}"
+    want = _py_distance(path, min_freq, allow_ambig)
+    got = _native(tmp_path, lambda lib: lib.ska_host_distance, path,
+                  float(min_freq), int(not allow_ambig))
+    assert got == want
+
+
+def test_distance_matches_reference_golden(tmp_path):
+    got = _native(tmp_path, lambda lib: lib.ska_host_distance,
+                  f"{REF_IN}/merge.skf", 0.0, 1)
+    want = open("/root/reference/tests/test_results_correct/"
+                "merge.dist.stdout", "rb").read()
+    assert got == want
+
+
+def test_cli_routes_native_and_falls_back(tmp_path):
+    """End-to-end through the CLI: the native route must engage on the
+    pinned host backend (no numpy import) and SKA_NATIVE_CMDS=0 must
+    produce identical bytes via the python pipeline."""
+    env = dict(os.environ, SKA_PLATFORM="cpu")
+    # the accelerator plugin's sitecustomize imports jax+numpy at
+    # interpreter start; the ska launcher strips these for routed
+    # commands, so the no-numpy probe runs under the same conditions
+    for k in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS",
+              "PALLAS_AXON_REMOTE_COMPILE"):
+        env.pop(k, None)
+    out_n, out_p = tmp_path / "n.tsv", tmp_path / "p.tsv"
+    probe = (
+        "import sys; sys.argv=['ska','distance',%r,'-o',%r];"
+        "import ska_tpu.cli as c; c.main();"
+        "assert 'numpy' %s sys.modules, sys.modules.keys()"
+    )
+    subprocess.run(
+        [sys.executable, "-c",
+         probe % (f"{REF_IN}/merge.skf", str(out_n), "not in")],
+        check=True, env=env, cwd="/root/repo", capture_output=True)
+    subprocess.run(
+        [sys.executable, "-c",
+         probe % (f"{REF_IN}/merge.skf", str(out_p), "in")],
+        check=True, env={**env, "SKA_NATIVE_CMDS": "0"}, cwd="/root/repo",
+        capture_output=True)
+    assert out_n.read_bytes() == out_p.read_bytes()
+
+
+def test_native_route_skipped_off_host():
+    """Without the cpu pin the native route must decline (device runs
+    keep the accelerator pipeline)."""
+    saved = os.environ.pop("SKA_PLATFORM", None)
+    try:
+        class A:  # minimal args shim
+            output = None
+        assert host_cmds.try_run("distance", A()) is False
+    finally:
+        if saved is not None:
+            os.environ["SKA_PLATFORM"] = saved
+
+
+def test_native_rejects_malformed(tmp_path):
+    bad = tmp_path / "bad.skf"
+    bad.write_bytes(b"\xffnot an skf at all")
+    lib = host_cmds._load()
+    rc = lib.ska_host_distance(str(bad).encode(),
+                               str(tmp_path / "o").encode(), 0.0, 1)
+    assert rc != 0
+
+
+@pytest.mark.parametrize("fixture", FIXTURES + ["test_skalo.skf"])
+def test_native_save_byte_identical(tmp_path, fixture):
+    """ska_host_save must produce the exact bytes of the python encoder
+    (CBOR field order, minimal heads, ciborium bignums, 64 KiB framing)."""
+    from ska_tpu.io import native
+
+    arr = skf.load(f"{REF_IN}/{fixture}")
+    p_native = str(tmp_path / "n.skf")
+    p_python = str(tmp_path / "p.skf")
+    assert native.skf_save(p_native, arr.keys, arr.variants, arr.counts,
+                           arr.names, arr.k, arr.rc, arr.ska_version)
+    # force the python encoder
+    import ska_tpu.io.skf as skf_mod
+
+    saved = native.skf_save
+    try:
+        native.skf_save = lambda *a, **kw: False
+        skf_mod.save(arr, p_python, add_suffix=False)
+    finally:
+        native.skf_save = saved
+    assert open(p_native, "rb").read() == open(p_python, "rb").read()
+    # and the round trip loads back equal
+    back = skf.load(p_native)
+    import numpy as np
+
+    assert np.array_equal(np.asarray(back.keys), np.asarray(arr.keys))
+    assert np.array_equal(back.variants, arr.variants)
+    assert back.names == arr.names and back.k == arr.k
