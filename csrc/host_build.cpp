@@ -432,6 +432,18 @@ void ska_host_build_release() {
     g_result = nullptr;
 }
 
+// zero-copy views of the retained result (host_modes.cpp's all-native
+// build command chains build -> save without the accessor memcpys)
+const uint64_t* ska_host_build_keys_ptr() {
+    return g_result ? g_result->keys.data() : nullptr;
+}
+const uint8_t* ska_host_build_variants_ptr() {
+    return g_result ? g_result->variants.data() : nullptr;
+}
+const int64_t* ska_host_build_counts_ptr() {
+    return g_result ? g_result->counts.data() : nullptr;
+}
+
 }  // extern "C"
 
 extern "C" {

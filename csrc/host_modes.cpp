@@ -377,9 +377,9 @@ extern "C" {
 // `ska align`: filters + unwrapped FASTA (api.py:94-107). 0 ok; nonzero
 // = fall back to the python route. min_freq threshold = ceil(S * f)
 // (generic_modes.rs:112-131).
-long long ska_host_align(const char* skf_path, const char* out_path,
-                         double min_freq, int mode, int ambig_as_missing,
-                         int ambig_mask, int ignore_const_gaps) {
+static long long host_align_impl(
+    const char* skf_path, const char* out_path, double min_freq, int mode,
+    int ambig_as_missing, int ambig_mask, int ignore_const_gaps) {
     if (mode < 0 || mode > 3) return -1;
     HostArray a;
     if (load_skf(skf_path, a) != 0) return -1;
@@ -420,8 +420,9 @@ long long ska_host_align(const char* skf_path, const char* out_path,
 }
 
 // `ska distance` (api.py:131-145). filt_ambig = NOT --allow-ambiguous.
-long long ska_host_distance(const char* skf_path, const char* out_path,
-                            double min_freq, int filt_ambig) {
+static long long host_distance_impl(const char* skf_path,
+                                    const char* out_path, double min_freq,
+                                    int filt_ambig) {
     HostArray a;
     if (load_skf(skf_path, a) != 0) return -1;
     const int S = a.S;
@@ -550,24 +551,44 @@ long long ska_host_distance(const char* skf_path, const char* out_path,
     return 0;
 }
 
+}  // extern "C"
+
+namespace {
+
+// split a NUL-separated blob into n views; short blobs yield empty tails
+static std::vector<std::pair<const char*, size_t>> split_blob(
+    const uint8_t* blob, long long blob_len, long long n_items) {
+    std::vector<std::pair<const char*, size_t>> out;
+    const uint8_t* p = blob;
+    const uint8_t* end = blob + blob_len;
+    for (long long i = 0; i < n_items; i++) {
+        const uint8_t* z = (const uint8_t*)memchr(p, 0, end - p);
+        size_t ln = z ? (size_t)(z - p) : (size_t)(end - p);
+        out.emplace_back((const char*)p, ln);
+        p += ln + (z ? 1 : 0);
+    }
+    return out;
+}
+
 // `.skf` save: the full CBOR encode + snappy framing in one pass,
 // byte-identical to the python encoder (io/skf.py save + io/snappy.py
 // frame_compress; reference merge_ska_array.rs:191-204). Field order,
 // minimal-width heads, ciborium bignums and the 64 KiB framing chunks
 // all match — tests/test_host_cmds.py pins equality. 0 ok, nonzero =
-// caller falls back to the python encoder. names_blob = NUL-separated
-// utf-8 names (n_names of them).
-long long ska_host_save(const char* path, const uint64_t* keys,
-                        long long n, int W, const uint8_t* variants,
-                        long long S, const uint64_t* counts,
-                        const uint8_t* names_blob, long long names_len,
-                        long long n_names, int k, int rc,
-                        const uint8_t* version, long long version_len) {
+// caller falls back to the python encoder.
+static long long save_impl(
+    const char* path, const uint64_t* keys, long long n, int W,
+    const uint8_t* variants, long long S, const uint64_t* counts,
+    const std::vector<std::pair<const char*, size_t>>& names, int k,
+    int rc, const uint8_t* version, long long version_len) {
     if (W != 1 && W != 2) return -1;
+    long long n_names = (long long)names.size();
+    size_t names_bytes = 0;
+    for (const auto& nm : names) names_bytes += nm.second + 3;
     std::vector<uint8_t> buf;
     try {
         buf.reserve((size_t)n * (W == 1 ? 9 : 19) + (size_t)n * S * 2 +
-                    (size_t)n * 9 + (size_t)names_len + 256);
+                    (size_t)n * 9 + names_bytes + 256);
     } catch (const std::bad_alloc&) {
         return -1;
     }
@@ -597,16 +618,7 @@ long long ska_host_save(const char* path, const uint64_t* keys,
     text("rc", 2); buf.push_back(rc ? 0xF5 : 0xF4);
     text("names", 5);
     head(4, (uint64_t)n_names);
-    {
-        const uint8_t* p = names_blob;
-        const uint8_t* end = names_blob + names_len;
-        for (long long i = 0; i < n_names; i++) {
-            const uint8_t* z = (const uint8_t*)memchr(p, 0, end - p);
-            size_t ln = z ? (size_t)(z - p) : (size_t)(end - p);
-            text((const char*)p, ln);
-            p += ln + (z ? 1 : 0);
-        }
-    }
+    for (const auto& nm : names) text(nm.first, nm.second);
     text("split_kmers", 11);
     head(4, (uint64_t)n);
     if (W == 1) {
@@ -701,6 +713,151 @@ long long ska_host_save(const char* path, const uint64_t* keys,
     }
     if (fclose(f) != 0) return -1;
     return 0;
+}
+
+// one FASTA file -> flat record batch with 0x00 separators, exactly as
+// io/fastx.py read_fastx + build_batch produce it (headers dropped,
+// '\n'/'\r' stripped, one separator byte between records). false =
+// not plain FASTA (gz, FASTQ, empty) — caller falls back to python.
+static bool parse_fasta(const char* path, std::vector<uint8_t>& out) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return false;
+    fseek(f, 0, SEEK_END);
+    long sz = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    if (sz <= 0) { fclose(f); return false; }
+    std::vector<uint8_t> raw;
+    try {
+        raw.resize((size_t)sz);
+        out.reserve((size_t)sz);
+    } catch (const std::bad_alloc&) {
+        fclose(f);
+        return false;
+    }
+    if (fread(raw.data(), 1, (size_t)sz, f) != (size_t)sz) {
+        fclose(f);
+        return false;
+    }
+    fclose(f);
+    if (raw[0] != '>') return false;  // gz magic / FASTQ / junk
+    bool first = true;
+    size_t i = 0, n = raw.size();
+    while (i < n) {
+        if (raw[i] == '>') {  // loop top is always a line start
+            while (i < n && raw[i] != '\n') i++;
+            if (i < n) i++;
+            if (!first) out.push_back(0);
+            first = false;
+        } else {
+            while (i < n && raw[i] != '\n') {
+                if (raw[i] != '\r') out.push_back(raw[i]);
+                i++;
+            }
+            if (i < n) i++;
+        }
+    }
+    return !first;
+}
+
+}  // namespace
+
+extern "C" {
+
+long long ska_host_build(int n_samples, const uint8_t** seqs,
+                         const long long* lens, int k, int rc);
+void ska_host_build_release();
+const uint64_t* ska_host_build_keys_ptr();
+const uint8_t* ska_host_build_variants_ptr();
+const int64_t* ska_host_build_counts_ptr();
+
+// every extern entry catches everything: a bad_alloc (or any other
+// exception) crossing the C ABI would terminate() the host process —
+// the contract is nonzero = fall back to the python pipeline
+long long ska_host_align(const char* skf_path, const char* out_path,
+                         double min_freq, int mode, int ambig_as_missing,
+                         int ambig_mask, int ignore_const_gaps) {
+    try {
+        return host_align_impl(skf_path, out_path, min_freq, mode,
+                               ambig_as_missing, ambig_mask,
+                               ignore_const_gaps);
+    } catch (...) {
+        return -3;
+    }
+}
+
+long long ska_host_distance(const char* skf_path, const char* out_path,
+                            double min_freq, int filt_ambig) {
+    try {
+        return host_distance_impl(skf_path, out_path, min_freq, filt_ambig);
+    } catch (...) {
+        return -3;
+    }
+}
+
+// ctypes wrapper for save_impl: names_blob = NUL-separated utf-8 names
+long long ska_host_save(const char* path, const uint64_t* keys,
+                        long long n, int W, const uint8_t* variants,
+                        long long S, const uint64_t* counts,
+                        const uint8_t* names_blob, long long names_len,
+                        long long n_names, int k, int rc,
+                        const uint8_t* version, long long version_len) {
+    try {
+        return save_impl(path, keys, n, W, variants, S, counts,
+                         split_blob(names_blob, names_len, n_names), k, rc,
+                         version, version_len);
+    } catch (...) {
+        return -3;
+    }
+}
+
+// `ska build` for a FASTA cohort, end to end: parse every input, run
+// the native build engine (host_build.cpp — byte-identical to the
+// device pipeline), verify every sample contributed k-mers (the
+// reference panics on an empty sample, ska_dict.rs:374-376; we decline
+// so the python route raises its exact error), and write the .skf.
+// 0 ok; nonzero = caller falls back to the python pipeline.
+long long ska_host_build_files(const char* out_path,
+                               const uint8_t* paths_blob,
+                               long long paths_len, long long n_files,
+                               const uint8_t* names_blob,
+                               long long names_len, int k, int rc,
+                               const uint8_t* version,
+                               long long version_len) {
+    if (n_files <= 0 || n_files > 0x7FFFFFFF) return -1;
+    try {
+    auto paths = split_blob(paths_blob, paths_len, n_files);
+    auto names = split_blob(names_blob, names_len, n_files);
+    std::vector<std::vector<uint8_t>> batches((size_t)n_files);
+    std::vector<const uint8_t*> ptrs((size_t)n_files);
+    std::vector<long long> lens((size_t)n_files);
+    for (long long i = 0; i < n_files; i++) {
+        std::string p(paths[i].first, paths[i].second);
+        if (!parse_fasta(p.c_str(), batches[i])) return -1;
+        ptrs[i] = batches[i].data();
+        lens[i] = (long long)batches[i].size();
+    }
+    long long R = ska_host_build((int)n_files, ptrs.data(), lens.data(),
+                                 k, rc);
+    if (R < 0) return -1;
+    const uint8_t* var = ska_host_build_variants_ptr();
+    std::vector<uint8_t> present((size_t)n_files, 0);
+    for (long long r_i = 0; r_i < R; r_i++) {
+        const uint8_t* row = var + (size_t)r_i * n_files;
+        for (long long s = 0; s < n_files; s++) present[s] |= row[s] != '-';
+    }
+    for (long long s = 0; s < n_files; s++)
+        if (!present[s]) { ska_host_build_release(); return -1; }
+    int W = k <= 31 ? 1 : 2;
+    long long rcv = save_impl(
+        out_path, ska_host_build_keys_ptr(), R, W, var, n_files,
+        (const uint64_t*)ska_host_build_counts_ptr(), names, k, rc,
+        version, version_len);
+    ska_host_build_release();
+    return rcv;
+    } catch (...) {
+        ska_host_build_release();
+        return -3;
+    }
 }
 
 }  // extern "C"

@@ -238,9 +238,10 @@ def _main(argv=None):
     print("SKA: Split K-mer Analysis (the alignment-free aligner)", file=sys.stderr)
     start = time.time()
 
-    if args.command in ("align", "distance"):
+    if args.command in ("align", "distance", "build"):
         # pinned-host route: the one-pass C++ engines (csrc/host_modes.cpp)
-        # answer these dispatch-free commands before numpy even imports;
+        # answer these commands before numpy even imports (build: plain
+        # FASTA cohorts only — the same gate as the r4 native engine);
         # any unsupported case falls through to the python pipeline below
         from . import host_cmds
 

@@ -15,9 +15,16 @@ here would import numpy and give the startup time back.
 
 import ctypes
 import os
+import re
 
 _FILTER_MODE = {"no-filter": 0, "no-const": 1, "no-ambig": 2,
                 "no-ambig-or-const": 3}
+
+# extension-stripped sample naming (reference io_utils.rs:31-46); kept in
+# sync with io/fastx.py by tests/test_host_cmds.py (fastx imports numpy,
+# which this module must never pull)
+_RE_PATH = re.compile(r"^.+/(.+)\.(?i:fa|fasta|fastq|fastq\.gz)$")
+_RE_NAME = re.compile(r"^(.+)\.(?i:fa|fasta|fastq|fastq\.gz)$")
 
 _lib = None
 
@@ -39,8 +46,51 @@ def _load():
     lib.ska_host_distance.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_double, ctypes.c_int,
     ]
+    try:  # absent in older builds of the .so: build falls back to python
+        lib.ska_host_build_files.restype = ctypes.c_longlong
+        lib.ska_host_build_files.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.c_longlong, ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.c_int, ctypes.c_int, ctypes.c_char_p, ctypes.c_longlong,
+        ]
+    except AttributeError:
+        pass
     _lib = lib
     return lib
+
+
+def _build_inputs(args):
+    """(name, path) pairs for a plain-FASTA cohort, or None to decline
+    (FASTQ, pairs, gz, unreadable). Mirrors fastx.get_input_list /
+    read_input_fastas without importing them (numpy)."""
+    if args.file_list:
+        out = []
+        try:
+            with open(args.file_list) as f:
+                for line in f:
+                    fields = line.split()
+                    if not fields:
+                        continue
+                    if len(fields) != 2:
+                        return None  # 3-col fastq pairs / parse errors
+                    out.append((fields[0], fields[1]))
+        except OSError:
+            return None
+    else:
+        out = []
+        for p in args.seq_files or []:
+            m = _RE_PATH.match(p) or _RE_NAME.match(p)
+            out.append((m.group(1) if m else p, p))
+    if not out:
+        return None
+    for _name, p in out:
+        try:
+            with open(p, "rb") as f:
+                if f.read(1) != b">":
+                    return None  # FASTQ / gz / junk: python route
+        except OSError:
+            return None
+    return out
 
 
 def _eligible(args):
@@ -61,7 +111,9 @@ def try_run(cmd, args) -> bool:
         return False
     try:
         lib = _load()
-    except OSError:
+    except Exception:  # noqa: BLE001 - missing .so/symbols: python route
+        return False
+    if cmd == "build" and not hasattr(lib, "ska_host_build_files"):
         return False
     out = (args.output or "-").encode()
     try:
@@ -82,6 +134,28 @@ def try_run(cmd, args) -> bool:
             rc = lib.ska_host_distance(
                 args.skf_file.encode(), out, float(args.min_freq),
                 int(not args.allow_ambiguous),
+            )
+            return rc == 0
+        if cmd == "build":
+            if os.environ.get("SKA_NATIVE_BUILD") == "0":
+                return False  # documented kill switch for native builds
+            if args.proportion_reads is not None:
+                return False  # read subsampling is a FASTQ concern
+            inputs = _build_inputs(args)
+            if inputs is None:
+                return False
+            path = args.output
+            if not path.endswith(".skf"):
+                path = path + ".skf"
+            names = b"\x00".join(n.encode("utf-8") for n, _p in inputs)
+            paths = b"\x00".join(p.encode("utf-8") for _n, p in inputs)
+            from . import __version__
+
+            ver = __version__.encode()
+            rc = lib.ska_host_build_files(
+                path.encode(), paths, len(paths), len(inputs), names,
+                len(names), int(args.k), int(not args.single_strand),
+                ver, len(ver),
             )
             return rc == 0
     except Exception:  # noqa: BLE001 - any native hiccup: python route

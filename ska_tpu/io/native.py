@@ -20,12 +20,14 @@ _SRCS = [
     os.path.join(_CSRC, "skalo_snps.cpp"),
     os.path.join(_CSRC, "merge_batches.cpp"),
     os.path.join(_CSRC, "host_build.cpp"),
+    os.path.join(_CSRC, "host_modes.cpp"),
 ]
 
 
 def _build():
     subprocess.run(
-        ["g++", "-O3", "-fPIC", "-std=c++17", "-shared", "-o", _SO] + _SRCS,
+        ["g++", "-O3", "-fPIC", "-std=c++17", "-pthread", "-shared",
+         "-o", _SO] + _SRCS,
         check=True,
         capture_output=True,
     )

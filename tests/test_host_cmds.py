@@ -164,3 +164,73 @@ def test_native_save_byte_identical(tmp_path, fixture):
     assert np.array_equal(np.asarray(back.keys), np.asarray(arr.keys))
     assert np.array_equal(back.variants, arr.variants)
     assert back.names == arr.names and back.k == arr.k
+
+
+@pytest.mark.parametrize("k", [17, 41])
+def test_native_build_files_byte_identical(tmp_path, k):
+    """ska_host_build_files (C FASTA parse -> build engine -> native
+    save) must write the exact .skf bytes of the python build route."""
+    lib = host_cmds._load()
+    f1 = f"{REF_IN}/test_1.fa"
+    f2 = f"{REF_IN}/test_2.fa"
+    p_native = str(tmp_path / "n.skf")
+    paths = b"\x00".join([f1.encode(), f2.encode()])
+    names = b"\x00".join([b"test_1", b"test_2"])
+    from ska_tpu import __version__
+
+    ver = __version__.encode()
+    rc = lib.ska_host_build_files(p_native.encode(), paths, len(paths), 2,
+                                  names, len(names), k, 1, ver, len(ver))
+    assert rc == 0
+    # python route (native CLI path disabled end to end)
+    from ska_tpu.io import fastx
+    from ska_tpu.sampletypes import QualOpts
+    from ska_tpu.constants import (DEFAULT_MINCOUNT, DEFAULT_MINQUAL,
+                                   QUAL_STRICT)
+
+    arr = api.build(fastx.read_input_fastas([f1, f2]), k, True,
+                    QualOpts(min_count=DEFAULT_MINCOUNT,
+                             min_qual=DEFAULT_MINQUAL,
+                             qual_filter=QUAL_STRICT))
+    p_python = str(tmp_path / "p.skf")
+    skf.save(arr, p_python, add_suffix=False)
+    assert open(p_native, "rb").read() == open(p_python, "rb").read()
+
+
+def test_native_build_declines_fastq_and_gz(tmp_path):
+    lib = host_cmds._load()
+    for bad in ["test_1_fwd.fastq.gz", "test_1.fa.gz"]:
+        src = f"{REF_IN}/{bad}"
+        if not os.path.exists(src):
+            continue
+        paths = src.encode()
+        rc = lib.ska_host_build_files(
+            str(tmp_path / "o.skf").encode(), paths, len(paths), 1,
+            b"x", 1, 17, 1, b"v", 1)
+        assert rc != 0
+
+
+def test_name_regexes_match_fastx():
+    """host_cmds cannot import fastx (numpy); its copied name-stripping
+    regexes must stay identical."""
+    from ska_tpu.io import fastx
+
+    assert host_cmds._RE_PATH.pattern == fastx._RE_PATH.pattern
+    assert host_cmds._RE_NAME.pattern == fastx._RE_NAME.pattern
+
+
+def test_auto_rebuild_srcs_complete():
+    """io/native.py auto-rebuilds the .so when csrc/ is newer; its source
+    list must cover every library .cpp or a stale-source rebuild strips
+    symbols and disables ALL native acceleration (r5 incident: a bench
+    subprocess rebuilt without host_modes.cpp and the import of
+    io.native failed outright)."""
+    import glob
+
+    from ska_tpu.io import native
+
+    lib_srcs = {os.path.basename(s) for s in native._SRCS}
+    all_srcs = {os.path.basename(p)
+                for p in glob.glob(os.path.join(native._CSRC, "*.cpp"))}
+    # ref_baseline is the bench proxy binary, not part of the library
+    assert all_srcs - {"ref_baseline.cpp"} == lib_srcs
