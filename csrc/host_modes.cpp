@@ -258,7 +258,7 @@ static int load_skf(const char* path, HostArray& a) {
         if (key == "names") {
             uint64_t ln = c.head(m);
             if (c.err || m != 4) return -1;
-            a.names.clear();
+            a.names.clear();  // duplicate map keys: last wins (dict semantics)
             for (uint64_t i = 0; i < ln; i++) {
                 std::string s;
                 if (!c.text(s)) return -1;
@@ -411,7 +411,8 @@ static long long host_align_impl(
         fputc('>', out);
         fwrite(a.names[s].data(), 1, a.names[s].size(), out);
         fputc('\n', out);
-        fwrite(&lines[(size_t)s * a.n], 1, (size_t)a.n, out);
+        if (a.n)  // every row filtered -> empty records (data() is null)
+            fwrite(lines.data() + (size_t)s * a.n, 1, (size_t)a.n, out);
         fputc('\n', out);
     }
     if (out != stdout) fclose(out);
