@@ -304,7 +304,25 @@ def _child(status_path, result_path):
     sys.exit(0)
 
 
-def run_cmd_bench(remaining_budget_s):
+def device_preflight(timeout_s):
+    """Cheap dead-relay detector: one tiny op on the default backend in a
+    subprocess. A healthy relay answers in ~2 s (cached) to ~40 s (first
+    compile); the r5 outage mode stalls even this for many minutes. On
+    failure the parent degrades to ONE shortened device attempt and then
+    ships the host-only command table instead of burning the whole budget
+    on doomed 1500 s attempts that each end in a kill."""
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "from ska_tpu.jaxinit import jax; import numpy as np; "
+             "x = jax.numpy.ones((8,)); print(int(np.asarray(x.sum())))"],
+            check=True, capture_output=True, timeout=timeout_s, cwd=HERE)
+        return True
+    except Exception:  # noqa: BLE001 - any failure means "treat as down"
+        return False
+
+
+def run_cmd_bench(remaining_budget_s, host_only=False):
     """Command-level wall times as a per-round artifact (VERDICT r2 #6).
 
     After a healthy device run, regenerate the scripts/bench_cmds.py table
@@ -347,7 +365,8 @@ def run_cmd_bench(remaining_budget_s):
                 [sys.executable, os.path.join(HERE, "scripts", "bench_cmds.py"),
                  "--json", os.path.join(HERE, out_name),
                  "--cmd-timeout", str(max(150.0, budget / 10)),
-                 "--budget", str(budget)],
+                 "--budget", str(budget)]
+                + (["--host-only"] if host_only else []),
                 timeout=budget, check=True, cwd=HERE,
                 stdout=logf, stderr=subprocess.STDOUT,
             )
@@ -377,8 +396,19 @@ def main():
     attempt = 0
     backoff = 60.0
 
-    def emit_failure(error):
-        print(json.dumps({
+    # dead-relay pre-flight (r5 outage post-mortem): when even a 1-element
+    # op cannot complete, cap the doomed device effort at one shortened
+    # attempt and spend the saved budget on the host-only command table —
+    # the driver artifact then still carries measured numbers.
+    probe_ok = device_preflight(float(os.environ.get("SKA_BENCH_PROBE_S", 300)))
+    if not probe_ok:
+        attempt_timeout = min(attempt_timeout, 900.0)
+        print("device pre-flight FAILED (relay down?): degrading to one "
+              f"{attempt_timeout:.0f}s device attempt + host-only cmd table",
+              file=sys.stderr)
+
+    def emit_failure(error, cmds_json=None):
+        out = {
             "metric": "split k-mers/sec/chip (ska build extract+sort+union, k=31)",
             "value": None,
             "unit": "kmers/s",
@@ -388,7 +418,24 @@ def main():
             "error": error,
             "phase": last_status.get("phase", "unknown"),
             "attempts": attempt,
-        }))
+            "device_preflight_ok": probe_ok,
+        }
+        if cmds_json is not None:
+            out["cmds_json"] = cmds_json
+        print(json.dumps(out), flush=True)
+
+    def fail_and_exit(error, code):
+        # mirror the success path's two-line shape: failure JSON first
+        # (the driver can parse it even if the cmd suite is killed), then
+        # the host-only command table, then the same JSON with the
+        # artifact name attached as the tail's last line
+        emit_failure(error)
+        cmds = run_cmd_bench(
+            max(budget - (time.monotonic() - t_start), 760.0),
+            host_only=True)
+        if cmds is not None:
+            emit_failure(error, cmds_json=cmds)
+        sys.exit(code)
 
     with tempfile.TemporaryDirectory() as td:
         status_path = os.path.join(td, "status.json")
@@ -470,17 +517,20 @@ def main():
 
             if rc == 4:
                 # deterministic code/config failure — retrying won't help
-                emit_failure(last_status.get("error", "deterministic child failure"))
-                sys.exit(4)
+                fail_and_exit(
+                    last_status.get("error", "deterministic child failure"), 4)
 
             elapsed = time.monotonic() - t_start
             why = last_status.get("error", f"child rc={rc}")
             print(f"attempt {attempt} failed in phase "
                   f"{last_status.get('phase')}: {why} "
                   f"({elapsed:.0f}s/{budget:.0f}s budget used)", file=sys.stderr)
+            if not probe_ok:
+                # pre-flight already said the device is down; one real
+                # attempt was the benefit of the doubt
+                fail_and_exit(f"device unreachable (pre-flight + {why})", 3)
             if elapsed + backoff + 120 > budget:
-                emit_failure(why)
-                sys.exit(3)
+                fail_and_exit(why, 3)
             time.sleep(backoff)
             backoff = min(backoff * 2, 480)
 

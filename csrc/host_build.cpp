@@ -402,6 +402,19 @@ void ska_host_ref_scan_release() {
     g_refscan = nullptr;
 }
 
+// zero-copy views of the retained scan (host_modes.cpp's all-native map
+// engine reads them in place and releases when done — the memcpy
+// accessors above cost ~55 ms at a 4 Mb reference's 4M windows)
+const uint64_t* ska_host_ref_scan_keys_ptr() {
+    return g_refscan ? g_refscan->keys.data() : nullptr;
+}
+const int64_t* ska_host_ref_scan_pos_ptr() {
+    return g_refscan ? g_refscan->pos.data() : nullptr;
+}
+const uint8_t* ska_host_ref_scan_rc_ptr() {
+    return g_refscan ? g_refscan->rcflag.data() : nullptr;
+}
+
 // Build + merge a FASTA cohort natively. seqs[i]/lens[i]: sample i's flat
 // record batch (0x00 separators). Returns n_rows, or -2 on allocation
 // failure. Results are retained until the next call / release; copy out

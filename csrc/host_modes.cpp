@@ -27,6 +27,9 @@
 //     reference merge_ska_array.rs:416-438,587-632), printed as
 //     "{:.2f}\t{:.5f}\t{}\t{}" (merge_ska_array.rs:57-65).
 
+#include <algorithm>
+#include <atomic>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -34,6 +37,7 @@
 #include <cstring>
 #include <new>
 #include <string>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -55,6 +59,7 @@ static const char SET_ASCII_TAB[17] = "-ACMTWYHGRSVKDBN";
 struct Tables {
     uint8_t ascii_to_set[256];  // unknown -> 0; lowercase folded; U -> T
     uint8_t is_ambig[256];      // not in "acgtuACGTU-"
+    uint8_t rc_iupac[256];      // IUPAC complement (encoding.py:83-90)
     Tables() {
         memset(ascii_to_set, 0, sizeof(ascii_to_set));
         for (int s = 1; s < 16; s++) {
@@ -67,6 +72,18 @@ struct Tables {
         memset(is_ambig, 1, sizeof(is_ambig));
         for (const char* p = "acgtuACGTU-"; *p; p++)
             is_ambig[(uint8_t)*p] = 0;
+        // set-algebra complement: bit order A=1,C=2,T=4,G=8, so the
+        // complement swaps bits 0<->2 (A/T) and 1<->3 (C/G); everything
+        // with an empty set (incl. '-') complements to '-'
+        // (reference RC_IUPAC, bit_encoding.rs:475-508)
+        memset(rc_iupac, '-', sizeof(rc_iupac));
+        for (int a = 0; a < 256; a++) {
+            int s = ascii_to_set[a];
+            if (!s) continue;
+            int rs = ((s & 1) << 2) | ((s >> 2) & 1) | ((s & 2) << 2) |
+                     (((s >> 3) & 1) << 1);
+            rc_iupac[a] = (uint8_t)SET_ASCII_TAB[rs];
+        }
     }
 };
 static const Tables T;
@@ -132,6 +149,15 @@ struct HostArray {
     std::vector<uint8_t> variants;  // n x S ASCII
     std::vector<int64_t> counts;    // n
     std::vector<std::string> names;
+    // key fields, decoded only on request (ska map needs them; the
+    // align/distance engines skip split_kmers entirely)
+    std::vector<uint64_t> keys;  // n x W limbs, lex order = numeric order
+    int W = 1;
+    int64_t k = 0;
+    int64_t k_bits = 64;
+    int rc = 1;
+    bool have_keys = false;
+    bool keys_sorted = false;  // decided during the split_kmers decode
 };
 
 // decode a CBOR array of uints < 2^63 into out; false on anything else
@@ -216,9 +242,77 @@ static bool variants_field(Cbor& c, HostArray& a) {
     return true;
 }
 
+// split_kmers: CBOR array of uints and/or tag-2 positive bignums (<= 16
+// bytes, big-endian) — exactly the two element forms ciborium and
+// io/cbor.py emit for u64/u128 keys. Decoded as (hi, lo) limb pairs;
+// width resolution happens after the whole map is read (k_bits is the
+// LAST field in our writer's order).
+static bool kmer_array(Cbor& c, std::vector<uint64_t>& hi,
+                       std::vector<uint64_t>& lo, bool& sorted) {
+    int m;
+    uint64_t ln = c.head(m);
+    if (c.err || m != 4) return false;
+    try {
+        hi.resize(ln);
+        lo.resize(ln);
+    } catch (const std::bad_alloc&) {
+        return false;
+    }
+    // sortedness is decided during the decode (saved files store keys in
+    // sorted order): host_map_impl then skips both the 35 MB re-scan and
+    // the permutation sort in the common case
+    sorted = true;
+    uint64_t ph = 0, pl = 0;
+    const uint8_t* b = c.b;
+    size_t p = c.p, n = c.n;
+    uint64_t i = 0;
+    // fast path: a run of 0x1b 8-byte uints (every key >= 2^32, i.e. any
+    // real k>=17 cohort) decodes as a strided big-endian load
+    while (i < ln && p + 9 <= n && b[p] == 0x1b) {
+        uint64_t v;
+        memcpy(&v, b + p + 1, 8);
+        v = __builtin_bswap64(v);
+        hi[i] = 0;
+        lo[i] = v;
+        if (v < pl) sorted = false;
+        pl = v;
+        ph = 0;
+        p += 9;
+        i++;
+    }
+    c.p = p;
+    for (; i < ln; i++) {
+        uint64_t v = c.head(m);
+        if (c.err) return false;
+        uint64_t h_, l_;
+        if (m == 0) {
+            h_ = 0;
+            l_ = v;
+        } else if (m == 6 && v == 2) {  // positive bignum
+            uint64_t bl = c.head(m);
+            if (c.err || m != 2 || bl > 16 || c.p + bl > c.n) return false;
+            h_ = 0;
+            l_ = 0;
+            for (uint64_t j = 0; j < bl; j++) {
+                h_ = (h_ << 8) | (l_ >> 56);
+                l_ = (l_ << 8) | c.b[c.p + j];
+            }
+            c.p += bl;
+        } else {
+            return false;
+        }
+        hi[i] = h_;
+        lo[i] = l_;
+        if (h_ < ph || (h_ == ph && l_ < pl)) sorted = false;
+        ph = h_;
+        pl = l_;
+    }
+    return true;
+}
+
 // load an .skf; 0 ok, nonzero = caller must fall back to python (which
 // re-parses and raises its precise error)
-static int load_skf(const char* path, HostArray& a) {
+static int load_skf(const char* path, HostArray& a, bool want_keys = false) {
     FILE* f = fopen(path, "rb");
     if (!f) return -1;
     fseek(f, 0, SEEK_END);
@@ -252,10 +346,28 @@ static int load_skf(const char* path, HostArray& a) {
     uint64_t nf = c.head(m);
     if (c.err || m != 5) return -1;
     bool have_v = false, have_c = false, have_n = false;
+    std::vector<uint64_t> khi, klo;
     for (uint64_t f_i = 0; f_i < nf; f_i++) {
         std::string key;
         if (!c.text(key)) return -1;
-        if (key == "names") {
+        if (key == "k") {
+            uint64_t v = c.head(m);
+            if (c.err || m != 0) return -1;
+            a.k = (int64_t)v;
+        } else if (key == "rc") {
+            uint64_t v = c.head(m);
+            if (c.err || m != 7 || (v != 20 && v != 21)) return -1;
+            a.rc = v == 21;
+        } else if (key == "k_bits") {
+            uint64_t v = c.head(m);
+            if (c.err || m != 0) return -1;
+            a.k_bits = (int64_t)v;
+        } else if (key == "split_kmers" && want_keys) {
+            khi.clear();
+            klo.clear();  // duplicate map keys: last wins
+            if (!kmer_array(c, khi, klo, a.keys_sorted)) return -1;
+            a.have_keys = true;
+        } else if (key == "names") {
             uint64_t ln = c.head(m);
             if (c.err || m != 4) return -1;
             a.names.clear();  // duplicate map keys: last wins (dict semantics)
@@ -279,6 +391,25 @@ static int load_skf(const char* path, HostArray& a) {
     if (!have_v || !have_c || !have_n) return -1;
     if ((long long)a.counts.size() != a.n || (int)a.names.size() != a.S)
         return -1;
+    if (a.have_keys) {
+        // width from k_bits (io/skf.py:66-67, default 64); pack limbs
+        // row-major so lex order over rows == numeric key order
+        a.W = a.k_bits >= 128 ? 2 : 1;
+        if ((long long)klo.size() != a.n) return -1;
+        try {
+            a.keys.resize((size_t)a.n * a.W);
+        } catch (const std::bad_alloc&) {
+            return -1;
+        }
+        if (a.W == 1) {
+            memcpy(a.keys.data(), klo.data(), (size_t)a.n * 8);
+        } else {
+            for (long long i = 0; i < a.n; i++) {
+                a.keys[2 * (size_t)i] = khi[i];
+                a.keys[2 * (size_t)i + 1] = klo[i];
+            }
+        }
+    }
     return 0;
 }
 
@@ -760,6 +891,54 @@ static bool parse_fasta(const char* path, std::vector<uint8_t>& out) {
     return !first;
 }
 
+// multi-contig FASTA with contig names (first whitespace token of each
+// header, ska_ref.rs:208-212 / ref.py:37); plain uncompressed only
+static bool parse_fasta_named(const char* path,
+                              std::vector<std::string>& names,
+                              std::vector<std::vector<uint8_t>>& seqs) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return false;
+    fseek(f, 0, SEEK_END);
+    long sz = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    if (sz <= 0) { fclose(f); return false; }
+    std::vector<uint8_t> raw;
+    try {
+        raw.resize((size_t)sz);
+    } catch (const std::bad_alloc&) {
+        fclose(f);
+        return false;
+    }
+    if (fread(raw.data(), 1, (size_t)sz, f) != (size_t)sz) {
+        fclose(f);
+        return false;
+    }
+    fclose(f);
+    if (raw[0] != '>') return false;
+    size_t i = 0, n = raw.size();
+    while (i < n) {
+        if (raw[i] == '>') {
+            i++;
+            size_t b = i;
+            while (i < n && raw[i] != '\n' && raw[i] != ' ' &&
+                   raw[i] != '\t' && raw[i] != '\r')
+                i++;
+            if (i == b) return false;  // empty name: python raises there
+            names.emplace_back((const char*)raw.data() + b, i - b);
+            seqs.emplace_back();
+            while (i < n && raw[i] != '\n') i++;
+            if (i < n) i++;
+        } else {
+            while (i < n && raw[i] != '\n') {
+                if (raw[i] != '\r') seqs.back().push_back(raw[i]);
+                i++;
+            }
+            if (i < n) i++;
+        }
+    }
+    return !seqs.empty();
+}
+
 }  // namespace
 
 extern "C" {
@@ -770,6 +949,26 @@ void ska_host_build_release();
 const uint64_t* ska_host_build_keys_ptr();
 const uint8_t* ska_host_build_variants_ptr();
 const int64_t* ska_host_build_counts_ptr();
+
+// host_build.cpp: positional ref scan + fused lookup/gather (ska map)
+long long ska_host_ref_scan(const uint8_t* seq, long long L, int k, int rc);
+void ska_host_ref_scan_release();
+const uint64_t* ska_host_ref_scan_keys_ptr();
+const int64_t* ska_host_ref_scan_pos_ptr();
+const uint8_t* ska_host_ref_scan_rc_ptr();
+long long ska_map_gather(const uint64_t* sorted, long long n,
+                         const uint64_t* needles, long long m, int W,
+                         const uint8_t* krc, const int64_t* perm,
+                         const uint8_t* variants, int S,
+                         const uint8_t* rc_tab,
+                         int64_t* out_hit, uint8_t* out_rows);
+// skanative.cpp: the AlnWriter state machine (one sample per call)
+int ska_aln_write(const uint8_t* ref_seq, const int64_t* chrom_len,
+                  int64_t n_chrom, const int32_t* m_chrom,
+                  const int64_t* m_pos, const uint8_t* bases, int64_t n_hits,
+                  int64_t half, const uint8_t* is_ambig, int mask_ambig,
+                  const int64_t* repeat_coors, int64_t n_repeats,
+                  uint8_t* out);
 
 // every extern entry catches everything: a bad_alloc (or any other
 // exception) crossing the C ABI would terminate() the host process —
@@ -790,6 +989,399 @@ long long ska_host_distance(const char* skf_path, const char* out_path,
                             double min_freq, int filt_ambig) {
     try {
         return host_distance_impl(skf_path, out_path, min_freq, filt_ambig);
+    } catch (...) {
+        return -3;
+    }
+}
+
+// `ska map` as one C++ pass (api.py map_mode / ref.py RefSka; reference
+// generic_modes.rs:56-84 + ska_ref.rs). Pipeline: .skf load (with keys)
+// -> positional ref scan (host_build.cpp, same emission semantics as the
+// build extractor) -> fused prefix-bucketed lookup + variants gather +
+// RC_IUPAC strand translation (ska_map_gather) -> AlnWriter per sample
+// (skanative.cpp) -> aln records or VCF. vcf: 0 = aln, 1 = vcf. 0 ok;
+// nonzero = fall back to python (incl. the zero-hit case, where the
+// python route raises the reference's "No split k-mers mapped" error).
+static long long host_map_impl(const char* ref_path, const char* skf_path,
+                               const char* out_path, int vcf,
+                               int ambig_mask, int repeat_mask) {
+    const bool tim = getenv("SKA_MAP_TIME") != nullptr;
+    auto t0 = std::chrono::steady_clock::now();
+    auto lap = [&](const char* what) {
+        if (!tim) return;
+        auto t1 = std::chrono::steady_clock::now();
+        fprintf(stderr, "SKA_MAP_TIME %-12s %7.1f ms\n", what,
+                std::chrono::duration<double, std::milli>(t1 - t0).count());
+        t0 = t1;
+    };
+    HostArray a;
+    if (load_skf(skf_path, a, /*want_keys=*/true) != 0) return -1;
+    lap("load_skf");
+    if (!a.have_keys || a.n <= 0 || a.n > 0x7fffffffLL) return -1;
+    if (a.k < 5 || a.k > 63 || (a.k & 1) == 0) return -1;
+    const int W = a.k <= 31 ? 1 : 2;
+    if (W != a.W) return -1;
+    const int S = a.S;
+    const int64_t h = (a.k - 1) / 2;
+
+    std::vector<std::string> cnames;
+    std::vector<std::vector<uint8_t>> cseqs;
+    if (!parse_fasta_named(ref_path, cnames, cseqs)) return -1;
+    const long long n_chrom = (long long)cseqs.size();
+    size_t total = 0;
+    for (auto& s : cseqs) total += s.size();
+    if (!total) return -1;
+
+    // flat 0x00-separated batch for the scan; separator-free concat for
+    // the writers; starts[] recovers (chrom, pos) from flat offsets
+    std::vector<uint8_t> flat, ref_concat;
+    std::vector<int64_t> starts(n_chrom), chrom_len(n_chrom);
+    try {
+        flat.reserve(total + (size_t)n_chrom);
+        ref_concat.reserve(total);
+    } catch (const std::bad_alloc&) {
+        return -1;
+    }
+    for (long long ci = 0; ci < n_chrom; ci++) {
+        if (ci) flat.push_back(0);
+        starts[ci] = (int64_t)flat.size();
+        flat.insert(flat.end(), cseqs[ci].begin(), cseqs[ci].end());
+        ref_concat.insert(ref_concat.end(), cseqs[ci].begin(),
+                          cseqs[ci].end());
+        chrom_len[ci] = (int64_t)cseqs[ci].size();
+    }
+
+    lap("fasta+flat");
+    long long nk = ska_host_ref_scan(flat.data(), (long long)flat.size(),
+                                     (int)a.k, a.rc);
+    if (nk <= 0) return -1;
+    lap("ref_scan");
+    // zero-copy views into the retained scan; released after the gather
+    struct ScanGuard {
+        ~ScanGuard() { ska_host_ref_scan_release(); }
+    } scan_guard;
+    const uint64_t* rkeys = ska_host_ref_scan_keys_ptr();
+    const int64_t* wpos = ska_host_ref_scan_pos_ptr();
+    const uint8_t* rrc = ska_host_ref_scan_rc_ptr();
+    if (!rkeys || !wpos || !rrc) return -1;
+
+    // (chrom, pos) per window: wpos and starts both ascend — two-pointer
+    // walk replaces the python searchsorted (ref.py:73-75)
+    std::vector<int32_t> kchrom;
+    std::vector<int64_t> kpos;
+    try {
+        kchrom.resize((size_t)nk);
+        kpos.resize((size_t)nk);
+    } catch (const std::bad_alloc&) {
+        return -1;
+    }
+    {
+        long long ci = 0;
+        for (long long i = 0; i < nk; i++) {
+            while (ci + 1 < n_chrom && wpos[i] >= starts[ci + 1]) ci++;
+            kchrom[i] = (int32_t)ci;
+            kpos[i] = wpos[i] - starts[ci] + h;
+        }
+    }
+
+    // sorted key view (array.py sorted_view): saved .skf files are
+    // already sorted, so the common case is zero-copy; otherwise build
+    // the permutation the gather indexes variants through
+    const uint64_t* sorted = a.keys.data();
+    const int64_t* perm = nullptr;
+    std::vector<uint64_t> skeys;
+    std::vector<int64_t> permv;
+    if (!a.keys_sorted) {
+        try {
+            permv.resize((size_t)a.n);
+            skeys.resize((size_t)a.n * W);
+        } catch (const std::bad_alloc&) {
+            return -1;
+        }
+        for (long long i = 0; i < a.n; i++) permv[i] = i;
+        const uint64_t* kd = a.keys.data();
+        std::sort(permv.begin(), permv.end(), [kd, W](int64_t x, int64_t y) {
+            const uint64_t* px = kd + (size_t)x * W;
+            const uint64_t* py = kd + (size_t)y * W;
+            if (W == 1) return px[0] < py[0];
+            return px[0] < py[0] || (px[0] == py[0] && px[1] < py[1]);
+        });
+        for (long long i = 0; i < a.n; i++)
+            memcpy(&skeys[(size_t)i * W], kd + (size_t)permv[i] * W,
+                   8 * (size_t)W);
+        sorted = skeys.data();
+        perm = permv.data();
+    }
+
+    std::vector<int64_t> hits;
+    std::vector<uint8_t> rows;
+    try {
+        hits.resize((size_t)nk);
+        rows.resize((size_t)nk * S);
+    } catch (const std::bad_alloc&) {
+        return -1;
+    }
+    lap("sort_view");
+    long long nh = ska_map_gather(sorted, a.n, rkeys, nk, W,
+                                  rrc, perm, a.variants.data(), S,
+                                  T.rc_iupac, hits.data(), rows.data());
+    if (nh <= 0) return -1;
+    lap("map_gather");
+
+    std::vector<int32_t> mchrom;
+    std::vector<int64_t> mpos;
+    try {
+        mchrom.resize((size_t)nh);
+        mpos.resize((size_t)nh);
+    } catch (const std::bad_alloc&) {
+        return -1;
+    }
+    for (long long j = 0; j < nh; j++) {
+        mchrom[j] = kchrom[(size_t)hits[j]];
+        mpos[j] = kpos[(size_t)hits[j]];
+    }
+
+    // repeat spans: duplicate ref k-mers mask [pos-h, pos+h], clipped by
+    // the previous interval's RAW end, with the reference's
+    // chrom-offset-at-transition quirk (ska_ref.rs:261-298, ref.py:201-241)
+    std::vector<int64_t> reps;
+    if (repeat_mask) {
+        bool any_rep = false;
+        std::vector<uint8_t> is_rep;
+        try {
+            is_rep.assign((size_t)nk, 0);
+            if (W == 1) {
+                std::vector<uint64_t> sk(rkeys, rkeys + nk);
+                std::sort(sk.begin(), sk.end());
+                std::vector<uint64_t> dups;
+                for (long long i = 1; i < nk; i++)
+                    if (sk[i] == sk[i - 1] &&
+                        (dups.empty() || dups.back() != sk[i]))
+                        dups.push_back(sk[i]);
+                for (long long i = 0; i < nk; i++)
+                    if (std::binary_search(dups.begin(), dups.end(),
+                                           rkeys[i]))
+                        is_rep[i] = 1, any_rep = true;
+            } else {
+                std::vector<unsigned __int128> sk((size_t)nk);
+                for (long long i = 0; i < nk; i++)
+                    sk[i] = ((unsigned __int128)rkeys[2 * i] << 64) |
+                            rkeys[2 * i + 1];
+                std::vector<unsigned __int128> sorted_sk(sk);
+                std::sort(sorted_sk.begin(), sorted_sk.end());
+                std::vector<unsigned __int128> dups;
+                for (long long i = 1; i < nk; i++)
+                    if (sorted_sk[i] == sorted_sk[i - 1] &&
+                        (dups.empty() || dups.back() != sorted_sk[i]))
+                        dups.push_back(sorted_sk[i]);
+                for (long long i = 0; i < nk; i++)
+                    if (std::binary_search(dups.begin(), dups.end(), sk[i]))
+                        is_rep[i] = 1, any_rep = true;
+            }
+        } catch (const std::bad_alloc&) {
+            return -1;
+        }
+        if (any_rep) {
+            // offset grows by len(seq[prev]) only at chrom TRANSITIONS in
+            // k-mer order; absent chromosomes are skipped in the sum
+            std::vector<int64_t> offmap(n_chrom, 0);
+            {
+                std::vector<int32_t> present;
+                for (long long i = 0; i < nk; i++)
+                    if (present.empty() || present.back() != kchrom[i])
+                        present.push_back(kchrom[i]);
+                std::vector<int32_t> chain;
+                if (present[0] != 0) chain.push_back(0);
+                chain.insert(chain.end(), present.begin(), present.end());
+                int64_t acc = 0;
+                for (size_t j = 1; j < chain.size(); j++) {
+                    acc += chrom_len[chain[j - 1]];
+                    offmap[chain[j]] = acc;
+                }
+            }
+            int64_t prev_end = 0;
+            for (long long i = 0; i < nk; i++) {
+                if (!is_rep[i]) continue;
+                int64_t gpos = kpos[i] + offmap[kchrom[i]];
+                int64_t start = gpos - h, end = gpos + h;
+                int64_t eff =
+                    (start > prev_end || start == 0) ? start : prev_end + 1;
+                for (int64_t p = eff; p <= end; p++) reps.push_back(p);
+                prev_end = end;
+            }
+        }
+    }
+
+    // all S pseudoalignments BEFORE any output byte (python's
+    // pseudoalignment() materializes the same S x total matrix, and a
+    // partially-written stdout cannot be retracted on failure)
+    std::vector<uint8_t> mat;
+    try {
+        mat.assign((size_t)S * total, '-');
+    } catch (const std::bad_alloc&) {
+        return -1;
+    }
+    int T_ = 1;
+    if (const char* t = getenv("SKA_THREADS")) {
+        int v = atoi(t);
+        if (v > 1) T_ = v > 64 ? 64 : v;
+    }
+    if (T_ > S) T_ = S;
+    std::atomic<int> fail{0};
+    auto fill = [&](int s0, int s1) {
+        std::vector<uint8_t> bases;
+        try {
+            bases.resize((size_t)nh);
+        } catch (const std::bad_alloc&) {
+            fail.store(1);
+            return;
+        }
+        for (int s = s0; s < s1 && !fail.load(std::memory_order_relaxed);
+             s++) {
+            for (long long j = 0; j < nh; j++)
+                bases[j] = rows[(size_t)j * S + s];
+            if (ska_aln_write(ref_concat.data(), chrom_len.data(), n_chrom,
+                              mchrom.data(), mpos.data(), bases.data(), nh,
+                              h, T.is_ambig, ambig_mask, reps.data(),
+                              (int64_t)reps.size(),
+                              mat.data() + (size_t)s * total) != 0)
+                fail.store(1);
+        }
+    };
+    if (T_ <= 1) {
+        fill(0, S);
+    } else {
+        std::vector<std::thread> ths;
+        int step = (S + T_ - 1) / T_;
+        for (int t = 0; t < T_; t++) {
+            int s0 = t * step, s1 = s0 + step < S ? s0 + step : S;
+            if (s0 >= s1) break;
+            ths.emplace_back(fill, s0, s1);
+        }
+        for (auto& th : ths) th.join();
+    }
+    if (fail.load()) return -1;
+    lap("aln_fill");
+
+    FILE* out = open_out(out_path);
+    if (!out) return -1;
+    if (!vcf) {
+        for (int s = 0; s < S; s++) {
+            fputc('>', out);
+            fwrite(a.names[s].data(), 1, a.names[s].size(), out);
+            fputc('\n', out);
+            fwrite(mat.data() + (size_t)s * total, 1, total, out);
+            fputc('\n', out);
+        }
+    } else {
+        // header (ref.py write_vcf / ska_ref.rs:672-705)
+        fputs("##fileformat=VCFv4.4\n", out);
+        for (auto& cn : cnames)
+            fprintf(out, "##contig=<ID=%s>\n", cn.c_str());
+        fputs("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT", out);
+        for (auto& nm : a.names) {
+            fputc('\t', out);
+            fwrite(nm.data(), 1, nm.size(), out);
+        }
+        fputc('\n', out);
+
+        // variant columns: any sample byte != ref byte, found with a
+        // 64-bit-stride XOR sweep per sample into one column bitmap
+        std::vector<uint64_t> diff((total + 63) / 64, 0);
+        for (int s = 0; s < S; s++) {
+            const uint8_t* row = mat.data() + (size_t)s * total;
+            size_t col = 0;
+            for (; col + 8 <= total; col += 8) {
+                uint64_t x, r;
+                memcpy(&x, row + col, 8);
+                memcpy(&r, ref_concat.data() + col, 8);
+                uint64_t d = x ^ r;
+                if (!d) continue;
+                for (int b = 0; b < 8; b++)
+                    if ((d >> (8 * b)) & 0xFF)
+                        diff[(col + b) >> 6] |= 1ull << ((col + b) & 63);
+            }
+            for (; col < total; col++)
+                if (row[col] != ref_concat[col])
+                    diff[col >> 6] |= 1ull << (col & 63);
+        }
+        std::vector<int64_t> chrom_start(n_chrom, 0);
+        for (long long ci = 1; ci < n_chrom; ci++)
+            chrom_start[ci] = chrom_start[ci - 1] + chrom_len[ci - 1];
+        auto vcf_base = [](uint8_t b) -> char {
+            return (b == 'A' || b == 'C' || b == 'G' || b == 'T') ? (char)b
+                                                                  : 'N';
+        };
+        std::string line;
+        long long ci = 0;
+        for (size_t w = 0; w < diff.size(); w++) {
+            uint64_t bits = diff[w];
+            while (bits) {
+                size_t col = (w << 6) + (size_t)__builtin_ctzll(bits);
+                bits &= bits - 1;
+                while (ci + 1 < n_chrom &&
+                       (int64_t)col >= chrom_start[ci + 1])
+                    ci++;
+                uint8_t ref_base = ref_concat[col];
+                char ref_allele = vcf_base(ref_base);
+                // first-occurrence ALT ordering (ska_ref.rs:707-750)
+                char alts[16];  // distinct vcf_base values: A/C/G/T/N <= 5
+                int n_alt = 0;
+                std::string gt_str;
+                for (int s = 0; s < S; s++) {
+                    uint8_t mb = mat[(size_t)s * total + col];
+                    gt_str.push_back('\t');
+                    if (mb == ref_base) {
+                        gt_str.push_back('0');
+                    } else if (mb == '-') {
+                        gt_str.push_back('.');
+                    } else {
+                        char ab = vcf_base(mb);
+                        int gi = -1;
+                        for (int t2 = 0; t2 < n_alt; t2++)
+                            if (alts[t2] == ab) { gi = t2; break; }
+                        if (gi < 0) {
+                            if (n_alt >= 16) return -1;  // can't happen: <=5 alleles
+                            alts[n_alt] = ab;
+                            gi = n_alt++;
+                        }
+                        gt_str += std::to_string(gi + 1);
+                    }
+                }
+                line.clear();
+                line += cnames[(size_t)ci];
+                line += '\t';
+                line += std::to_string((long long)(col - chrom_start[ci]) + 1);
+                line += "\t.\t";
+                line += ref_allele;
+                line += '\t';
+                if (n_alt == 0) {
+                    line += '.';
+                } else {
+                    for (int t2 = 0; t2 < n_alt; t2++) {
+                        if (t2) line += ',';
+                        line += alts[t2];
+                    }
+                }
+                line += "\t.\t.\t.\tGT";
+                line += gt_str;
+                line += '\n';
+                fwrite(line.data(), 1, line.size(), out);
+            }
+        }
+    }
+    if (out != stdout) fclose(out);
+    else fflush(out);
+    lap("write");
+    return 0;
+}
+
+long long ska_host_map(const char* ref_path, const char* skf_path,
+                       const char* out_path, int vcf, int ambig_mask,
+                       int repeat_mask) {
+    try {
+        return host_map_impl(ref_path, skf_path, out_path, vcf, ambig_mask,
+                             repeat_mask);
     } catch (...) {
         return -3;
     }

@@ -171,6 +171,12 @@ def main():
                          "stall single device dispatches for minutes)")
     ap.add_argument("--no-warm", action="store_true",
                     help="skip the untimed device warm-up runs")
+    ap.add_argument("--host-only", action="store_true",
+                    help="skip device rows entirely (dead-relay mode: "
+                         "bench.py passes this when its device pre-flight "
+                         "probe failed, so the host/proxy table still "
+                         "lands in the driver artifact without burning "
+                         "the budget on doomed device timeouts)")
     ap.add_argument("--budget", type=float, default=None,
                     help="total wall budget in seconds; when little "
                          "remains, warm-ups and second timed runs are "
@@ -248,7 +254,9 @@ def main():
         #    is retried once with a longer cap; a second failure demotes
         #    the timed run to cold rather than skipping it.
         warm_ok = False
-        if spent_frac() > 0.6:
+        if args.host_only:
+            row["note_device"] = "skipped (--host-only: device unreachable)"
+        elif spent_frac() > 0.6:
             row["note_warmup"] = "skipped (budget)"
             warm_ok = True  # assume the compile cache is already warm
         elif args.no_warm:
@@ -269,7 +277,8 @@ def main():
         # 2) timed device runs with dispatch stats: best-of-2 when warm
         #    (ADVICE r4: host rows got best-of-2, device rows did not),
         #    single attempt when cold or budget-tight.
-        n_timed = 2 if (warm_ok and spent_frac() < 0.5) else 1
+        n_timed = 0 if args.host_only else (
+            2 if (warm_ok and spent_frac() < 0.5) else 1)
         dev_runs = []
         for _ in range(n_timed):
             t, r, err = attempt(name, cmd, {"SKA_DISPATCH_STATS": "1"},
@@ -408,6 +417,12 @@ def main():
                   f"(budget {spent_frac():.0%} spent)")
 
     if args.json:
+        if args.host_only:
+            # no subprocess ever touched the accelerator, and a dead relay
+            # would stall the jax.devices() probe below for its full cap
+            write_json(platform="cpu (host-only; device unreachable)")
+            print(f"wrote {args.json}")
+            return
         # the backend the subprocesses computed on (a CPU-pinned smoke run
         # must not read as TPU numbers); resolved the same way ska.py does
         try:

@@ -25,6 +25,11 @@ _native.ska_host_align.argtypes = [
 _native.ska_host_distance.restype = ctypes.c_longlong
 _native.ska_host_distance.argtypes = [
     ctypes.c_char_p, ctypes.c_char_p, ctypes.c_double, ctypes.c_int]
+_native.ska_host_map.restype = ctypes.c_longlong
+_native.ska_host_map.argtypes = [
+    ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+    ctypes.c_int, ctypes.c_int, ctypes.c_int]
+_REF_FA = b"/root/reference/tests/test_files_in/test_skalo_reference.fas"
 
 src = "/root/reference/tests/test_files_in/test_skalo.skf"
 raw = open(src, "rb").read()
@@ -57,6 +62,10 @@ for it in range(int(sys.argv[2]) if len(sys.argv) > 2 else 300):
     out_n = p + ".out"
     rc_a = _native.ska_host_align(p.encode(), out_n.encode(), 0.9, 1, 0, 0, 0)
     _native.ska_host_distance(p.encode(), (p + ".d").encode(), 0.0, 1)
+    # map additionally exercises the native split_kmers (uint/bignum)
+    # decoder and the whole ref-scan/lookup/aln pipeline downstream of a
+    # mutated-but-decodable file — crash-free is the contract
+    _native.ska_host_map(_REF_FA, p.encode(), (p + ".m").encode(), 0, 0, 0)
     if arr is not None and rc_a == 0:
         fh = io.BytesIO()
         try:

@@ -238,10 +238,11 @@ def _main(argv=None):
     print("SKA: Split K-mer Analysis (the alignment-free aligner)", file=sys.stderr)
     start = time.time()
 
-    if args.command in ("align", "distance", "build"):
+    if args.command in ("align", "distance", "build", "map"):
         # pinned-host route: the one-pass C++ engines (csrc/host_modes.cpp)
         # answer these commands before numpy even imports (build: plain
-        # FASTA cohorts only — the same gate as the r4 native engine);
+        # FASTA cohorts only — the same gate as the r4 native engine;
+        # map: single-.skf input with a plain-FASTA reference);
         # any unsupported case falls through to the python pipeline below
         from . import host_cmds
 

@@ -46,6 +46,14 @@ def _load():
     lib.ska_host_distance.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_double, ctypes.c_int,
     ]
+    try:  # absent in older builds of the .so: map falls back to python
+        lib.ska_host_map.restype = ctypes.c_longlong
+        lib.ska_host_map.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+    except AttributeError:
+        pass
     try:  # absent in older builds of the .so: build falls back to python
         lib.ska_host_build_files.restype = ctypes.c_longlong
         lib.ska_host_build_files.argtypes = [
@@ -134,6 +142,26 @@ def try_run(cmd, args) -> bool:
             rc = lib.ska_host_distance(
                 args.skf_file.encode(), out, float(args.min_freq),
                 int(not args.allow_ambiguous),
+            )
+            return rc == 0
+        if cmd == "map":
+            if len(args.input) != 1:
+                return False  # implicit build from FASTA list: python path
+            try:
+                with open(args.input[0], "rb") as f:
+                    if f.read(1) == b">":
+                        return False  # FASTA input (implicit build)
+            except OSError:
+                return False
+            # the engine's pthread pools read SKA_THREADS; an explicit
+            # --threads wins over an inherited value (cli.py contract,
+            # normally applied after this fast-path would have returned)
+            if args.threads is not None:
+                os.environ["SKA_THREADS"] = str(args.threads)
+            rc = lib.ska_host_map(
+                args.reference.encode(), args.input[0].encode(), out,
+                int(args.format == "vcf"), int(bool(args.ambig_mask)),
+                int(bool(args.repeat_mask)),
             )
             return rc == 0
         if cmd == "build":

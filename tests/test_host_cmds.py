@@ -232,5 +232,101 @@ def test_auto_rebuild_srcs_complete():
     lib_srcs = {os.path.basename(s) for s in native._SRCS}
     all_srcs = {os.path.basename(p)
                 for p in glob.glob(os.path.join(native._CSRC, "*.cpp"))}
-    # ref_baseline is the bench proxy binary, not part of the library
-    assert all_srcs - {"ref_baseline.cpp"} == lib_srcs
+    # ref_baseline is the bench proxy binary and host_cli the standalone
+    # ska_host front-end — both have main()s, neither is library source
+    assert all_srcs - {"ref_baseline.cpp", "host_cli.cpp"} == lib_srcs
+
+
+# ---- ska map native engine (r5: csrc/host_modes.cpp host_map_impl) --------
+
+def _py_map(path, ref_fa, fmt, ambig_mask, repeat_mask):
+    arr = skf.load(path)
+    if fmt == "aln":
+        fh = io.BytesIO()
+        api.map_mode(arr, ref_fa, fh, "aln", ambig_mask, repeat_mask)
+        return fh.getvalue()
+    fh = io.StringIO()
+    api.map_mode(arr, ref_fa, fh, "vcf", ambig_mask, repeat_mask)
+    return fh.getvalue().encode()
+
+
+def _native_map(tmp_path, skf_path, ref_fa, fmt, ambig_mask, repeat_mask):
+    lib = host_cmds._load()
+    out = str(tmp_path / "native_map.out").encode()
+    rc = lib.ska_host_map(ref_fa.encode(), skf_path.encode(), out,
+                          int(fmt == "vcf"), int(ambig_mask),
+                          int(repeat_mask))
+    assert rc == 0, f"ska_host_map returned {rc} for {skf_path} {ref_fa}"
+    return open(tmp_path / "native_map.out", "rb").read()
+
+
+MAP_CASES = [
+    ("merge.skf", "test_ref.fa", "aln", False, False),
+    ("merge_k9.skf", "test_ref.fa", "aln", True, False),
+    ("merge_k9.skf", "test_ref.fa", "aln", False, True),
+    ("merge.skf", "test_ref_two_chrom.fa", "aln", False, False),
+    ("merge_k41.skf", "test_ref.fa", "aln", False, False),  # W=2 bignums
+    ("merge_k9.skf", "test_ref_two_chrom_repeats.fa", "aln", False, True),
+    ("merge.skf", "test_ref.fa", "vcf", False, False),
+    ("merge.skf", "test_ref_two_chrom.fa", "vcf", False, False),
+    ("merge_k41.skf", "test_ref.fa", "vcf", False, False),
+    ("merge_k9.skf", "test_ref_two_chrom_repeats.fa", "vcf", False, True),
+    ("multidist.skf", "test_ref.fa", "aln", False, False),
+]
+
+
+@pytest.mark.parametrize("fixture,ref,fmt,mask,rep", MAP_CASES)
+def test_map_native_matches_python(tmp_path, fixture, ref, fmt, mask, rep):
+    path = f"{REF_IN}/{fixture}"
+    want = _py_map(path, f"{REF_IN}/{ref}", fmt, mask, rep)
+    got = _native_map(tmp_path, path, f"{REF_IN}/{ref}", fmt, mask, rep)
+    assert got == want
+
+
+def test_map_native_unsorted_keys(tmp_path):
+    """A .skf whose rows are NOT in key order must take the permutation
+    path (saved files are sorted, so this needs a hand-shuffled file)."""
+    import numpy as np
+
+    arr = skf.load(f"{REF_IN}/merge.skf")
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(arr.ksize)
+    arr.keys = np.ascontiguousarray(arr.keys[perm])
+    arr.variants = np.ascontiguousarray(arr.variants[perm])
+    arr.counts = np.ascontiguousarray(np.asarray(arr.counts)[perm])
+    shuffled = str(tmp_path / "shuffled.skf")
+    skf.save(arr, shuffled, add_suffix=False)
+    ref_fa = f"{REF_IN}/test_ref.fa"
+    want = _py_map(shuffled, ref_fa, "aln", False, False)
+    got = _native_map(tmp_path, shuffled, ref_fa, "aln", False, False)
+    assert got == want
+
+
+def test_map_native_thread_invariance(tmp_path):
+    saved = os.environ.get("SKA_THREADS")
+    try:
+        os.environ["SKA_THREADS"] = "1"
+        one = _native_map(tmp_path, f"{REF_IN}/merge.skf",
+                          f"{REF_IN}/test_ref.fa", "aln", False, False)
+        os.environ["SKA_THREADS"] = "4"
+        four = _native_map(tmp_path, f"{REF_IN}/merge.skf",
+                           f"{REF_IN}/test_ref.fa", "aln", False, False)
+    finally:
+        if saved is None:
+            os.environ.pop("SKA_THREADS", None)
+        else:
+            os.environ["SKA_THREADS"] = saved
+    assert one == four
+
+
+def test_map_native_declines_zero_hits(tmp_path):
+    """A reference sharing no k-mers with the .skf must return nonzero so
+    the python route raises the reference's 'No split k-mers mapped'
+    error (ska_ref.rs:557)."""
+    alien = tmp_path / "alien_ref.fa"
+    alien.write_bytes(b">alien\n" + b"A" * 200 + b"\n")
+    lib = host_cmds._load()
+    rc = lib.ska_host_map(str(alien).encode(),
+                          f"{REF_IN}/merge.skf".encode(),
+                          str(tmp_path / "o").encode(), 0, 0, 0)
+    assert rc != 0
