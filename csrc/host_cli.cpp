@@ -120,6 +120,9 @@ bool parse(int argc, char** argv, const std::vector<Spec>& specs, Args& out) {
             if (!has_val) {
                 if (i + 1 >= argc) return false;
                 val = argv[++i];
+                // argparse refuses a flag-like token as an option value
+                // ("expected one argument"); bare "-" (stdout) is fine
+                if (val.size() > 1 && val[0] == '-') return false;
             }
         } else if (has_val) {
             return false;  // e.g. --ambig-mask=1 is not argparse grammar
