@@ -131,7 +131,23 @@ struct Cbor {
                 p += a;
                 return;
             case 4:
-                for (uint64_t i = 0; i < a && !err; i++) skip();
+                for (uint64_t i = 0; i < a && !err; i++) {
+                    // bulk-skip runs of fixed-width uints: the skipped
+                    // split_kmers field is 4M+ 0x1b/0x19/0x18 heads, and
+                    // one strided scan beats a head() call per element
+                    // (~40 ms at 4.4M rows on every align/distance load)
+                    uint8_t ib = p < n ? b[p] : 0xFF;
+                    int w = ib == 0x1b ? 9 : ib == 0x1a ? 5
+                            : ib == 0x19 ? 3 : ib == 0x18 ? 2 : 0;
+                    if (w) {
+                        while (i + 1 < a && p + 2 * (size_t)w <= n &&
+                               b[p + w] == ib) {
+                            p += (size_t)w;
+                            i++;
+                        }
+                    }
+                    skip();
+                }
                 return;
             case 5:
                 for (uint64_t i = 0; i < 2 * a && !err; i++) skip();
