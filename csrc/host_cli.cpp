@@ -27,6 +27,7 @@
 #include <vector>
 
 extern "C" {
+long long ska_host_nk(const char* skf_path, int full);
 long long ska_host_align(const char* skf_path, const char* out_path,
                          double min_freq, int mode, int ambig_as_missing,
                          int ambig_mask, int ignore_const_gaps);
@@ -255,6 +256,18 @@ int main(int argc, char** argv) {
                            get(a, "--filter-ambig-as-missing") != nullptr,
                            get(a, "--ambig-mask") != nullptr,
                            get(a, "--no-gap-only-sites") != nullptr) != 0)
+            fallback();
+        footer_exit(start);
+    }
+
+    if (cmd == "nk") {
+        Args a;
+        if (!parse(argc - 2, argv + 2, {{"--full-info", false}}, a))
+            fallback();
+        if (a.pos.size() != 1) fallback();
+        banner();
+        if (ska_host_nk(a.pos[0].c_str(),
+                        get(a, "--full-info") != nullptr) != 0)
             fallback();
         footer_exit(start);
     }

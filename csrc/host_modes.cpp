@@ -174,6 +174,7 @@ struct HostArray {
     int rc = 1;
     bool have_keys = false;
     bool keys_sorted = false;  // decided during the split_kmers decode
+    std::string ska_version;
 };
 
 // decode a CBOR array of uints < 2^63 into out; false on anything else
@@ -378,6 +379,8 @@ static int load_skf(const char* path, HostArray& a, bool want_keys = false) {
             uint64_t v = c.head(m);
             if (c.err || m != 0) return -1;
             a.k_bits = (int64_t)v;
+        } else if (key == "ska_version") {
+            if (!c.text(a.ska_version)) return -1;
         } else if (key == "split_kmers" && want_keys) {
             khi.clear();
             klo.clear();  // duplicate map keys: last wins
@@ -1390,6 +1393,96 @@ static long long host_map_impl(const char* ref_path, const char* skf_path,
     else fflush(out);
     lap("write");
     return 0;
+}
+
+// `ska nk` (array.py nk_display/nk_full_info; reference
+// merge_ska_array.rs Display + lib.rs nk mode): metadata + per-sample
+// k-mer counts, and with full=1 the complete k-mer/variants dump
+// (upper-half bases \t lower-half bases \t comma-joined sample bases).
+// Trailing newlines reproduce python's print() calls exactly.
+static long long host_nk_impl(const char* skf_path, int full) {
+    HostArray a;
+    if (load_skf(skf_path, a, full != 0) != 0) return -1;
+    long long wdisp = a.k_bits / 64;
+    if (wdisp < 1) wdisp = 1;
+    if (full) {
+        if (!a.have_keys || a.k < 5 || a.k > 63) return -1;
+        if (wdisp != a.W) return -1;  // exotic k_bits: python route
+    }
+    std::vector<long long> sk((size_t)a.S, 0);
+    for (long long i = 0; i < a.n; i++) {
+        const uint8_t* row = &a.variants[(size_t)i * a.S];
+        for (int s = 0; s < a.S; s++) sk[s] += row[s] != '-';
+    }
+    FILE* out = stdout;
+    fprintf(out,
+            "ska_version=%s\nk=%lld\nk_bits=%lld\nrc=%s\nk-mers=%lld\n"
+            "samples=%d\nsample_names=[",
+            a.ska_version.c_str(), (long long)a.k, 64 * wdisp,
+            a.rc ? "true" : "false", a.n, a.S);
+    for (int s = 0; s < a.S; s++) {
+        if (s) fputs(", ", out);
+        fputc('"', out);
+        fwrite(a.names[s].data(), 1, a.names[s].size(), out);
+        fputc('"', out);
+    }
+    fputs("]\nsample_kmers=[", out);
+    for (int s = 0; s < a.S; s++) {
+        if (s) fputs(", ", out);
+        fprintf(out, "%lld", sk[s]);
+    }
+    fputs("]\n\n", out);  // display ends \n; print() adds one more
+    if (full) {
+        if (a.n == 0) {
+            fputc('\n', out);  // print("")
+            fflush(out);
+            return 0;
+        }
+        const int kb = (int)a.k - 1;
+        const int half = kb / 2;
+        const int S = a.S;
+        static const char LET[5] = "ACTG";  // 2-bit code -> ASCII
+        const int width = kb + 2 + (2 * S - 1) + 1;
+        std::vector<uint8_t> line((size_t)width);
+        for (long long i = 0; i < a.n; i++) {
+            uint64_t hi = a.W == 2 ? a.keys[2 * (size_t)i] : 0;
+            uint64_t lo = a.keys[(size_t)i * a.W + (a.W - 1)];
+            uint8_t* o = line.data();
+            for (int j = 0; j < kb; j++) {
+                int bits = 2 * (kb - 1 - j);
+                unsigned code;
+                if (bits >= 64)
+                    code = (unsigned)((hi >> (bits - 64)) & 3);
+                else if (bits > 0)
+                    code = (unsigned)(((lo >> bits) | (hi << (64 - bits))) & 3);
+                else
+                    code = (unsigned)(lo & 3);
+                uint8_t ch = (uint8_t)LET[code];
+                if (j < half) o[j] = ch;
+                else o[j + 1] = ch;
+            }
+            o[half] = '\t';
+            o[kb + 1] = '\t';
+            const uint8_t* row = &a.variants[(size_t)i * S];
+            for (int s = 0; s < S; s++) {
+                o[kb + 2 + 2 * s] = row[s];
+                if (s + 1 < S) o[kb + 3 + 2 * s] = ',';
+            }
+            o[width - 1] = '\n';
+            fwrite(o, 1, (size_t)width, out);
+        }
+        fputc('\n', out);  // print()'s trailing newline
+    }
+    fflush(out);
+    return 0;
+}
+
+long long ska_host_nk(const char* skf_path, int full) {
+    try {
+        return host_nk_impl(skf_path, full);
+    } catch (...) {
+        return -3;
+    }
 }
 
 long long ska_host_map(const char* ref_path, const char* skf_path,

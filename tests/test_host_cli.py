@@ -68,6 +68,9 @@ CASES = [
       f"{REF_IN}/merge_k9.skf", "-f", "vcf", "--repeat-mask"], True),
     (["map", f"{REF_IN}/test_ref.fa", f"{REF_IN}/merge_k41.skf",
       "--ambig-mask"], True),
+    (["nk", f"{REF_IN}/merge.skf"], True),
+    (["nk", f"{REF_IN}/merge_k41.skf", "--full-info"], True),
+    (["nk", f"{REF_IN}/multidist.skf", "--full-info"], True),
 ]
 
 
