@@ -28,6 +28,13 @@
 
 extern "C" {
 long long ska_host_nk(const char* skf_path, int full);
+long long ska_host_weed(const char* skf_path, const char* weed_fa,
+                        int reverse, double min_freq, int mode,
+                        int ambig_as_missing, int ambig_mask,
+                        int ignore_const_gaps, const char* out_path);
+long long ska_host_delete(const char* skf_path, const uint8_t* del_blob,
+                          long long del_len, long long n_del,
+                          const char* out_path);
 long long ska_host_align(const char* skf_path, const char* out_path,
                          double min_freq, int mode, int ambig_as_missing,
                          int ambig_mask, int ignore_const_gaps);
@@ -321,6 +328,109 @@ int main(int argc, char** argv) {
                          o ? o->c_str() : "-", vcf,
                          get(a, "--ambig-mask") != nullptr,
                          get(a, "--repeat-mask") != nullptr) != 0)
+            fallback();
+        footer_exit(start);
+    }
+
+    if (cmd == "weed") {
+        Args a;
+        if (!parse(argc - 2, argv + 2,
+                   {{"-o", true},
+                    {"--reverse", false},
+                    {"-m", true},
+                    {"--min-freq", true},
+                    {"--filter-ambig-as-missing", false},
+                    {"--filter", true},
+                    {"--ambig-mask", false},
+                    {"--no-gap-only-sites", false}},
+                   a))
+            fallback();
+        if (a.pos.size() < 1 || a.pos.size() > 2) fallback();
+        double mf = 0.9;  // DEFAULT_MINFREQ (cli.py weed -m default)
+        if (const std::string* v = get(a, "-m", "--min-freq"))
+            if (!parse_float01(*v, mf)) fallback();
+        int mode = 0;  // weed --filter default: no-filter
+        if (const std::string* v = get(a, "--filter")) {
+            if (*v == "no-filter") mode = 0;
+            else if (*v == "no-const") mode = 1;
+            else if (*v == "no-ambig") mode = 2;
+            else if (*v == "no-ambig-or-const") mode = 3;
+            else fallback();
+        }
+        const std::string* o = get(a, "-o");
+        // weed saves to the EXACT path (generic_modes.rs:263-266)
+        std::string out = o ? *o : a.pos[0];
+        banner();
+        if (ska_host_weed(a.pos[0].c_str(),
+                          a.pos.size() == 2 ? a.pos[1].c_str() : nullptr,
+                          get(a, "--reverse") != nullptr, mf, mode,
+                          get(a, "--filter-ambig-as-missing") != nullptr,
+                          get(a, "--ambig-mask") != nullptr,
+                          get(a, "--no-gap-only-sites") != nullptr,
+                          out.c_str()) != 0)
+            fallback();
+        footer_exit(start);
+    }
+
+    if (cmd == "delete") {
+        Args a;
+        if (!parse(argc - 2, argv + 2,
+                   {{"-s", true},
+                    {"--skf-file", true},
+                    {"-o", true},
+                    {"-f", true}},
+                   a))
+            fallback();
+        const std::string* skf = get(a, "-s", "--skf-file");
+        if (!skf) fallback();  // argparse: required
+        std::vector<std::string> names;
+        if (const std::string* fl = get(a, "-f")) {
+            if (!a.pos.empty()) fallback();
+            FILE* f = fopen(fl->c_str(), "rb");
+            if (!f) fallback();
+            std::string line;
+            int c;
+            bool ok = true;
+            auto flush_line = [&]() {
+                size_t i = 0;
+                std::vector<std::string> fields;
+                while (i < line.size()) {
+                    while (i < line.size() && isspace((unsigned char)line[i])) i++;
+                    size_t b = i;
+                    while (i < line.size() && !isspace((unsigned char)line[i])) i++;
+                    if (i > b) fields.push_back(line.substr(b, i - b));
+                }
+                if (fields.empty()) return;
+                if (fields.size() != 2) { ok = false; return; }
+                names.push_back(fields[0]);
+            };
+            while ((c = fgetc(f)) != EOF) {
+                if (c == '\n') { flush_line(); line.clear(); }
+                else line.push_back((char)c);
+            }
+            flush_line();
+            fclose(f);
+            if (!ok) fallback();
+        } else {
+            // positional names pass through the extension-stripping
+            // regexes (cli dispatch -> fastx.get_input_list)
+            for (auto& p : a.pos) names.push_back(sample_name(p));
+        }
+        if (names.empty()) fallback();
+        std::string blob;
+        for (size_t i = 0; i < names.size(); i++) {
+            if (i) blob.push_back('\0');
+            blob += names[i];
+        }
+        const std::string* o = get(a, "-o");
+        std::string out = o ? *o : *skf;
+        // delete saves via skf.save add_suffix=True
+        if (out.size() < 4 || out.compare(out.size() - 4, 4, ".skf") != 0)
+            out += ".skf";
+        banner();
+        if (ska_host_delete(skf->c_str(), (const uint8_t*)blob.data(),
+                            (long long)blob.size(),
+                            (long long)names.size(), out.c_str()) != 0)
             fallback();
         footer_exit(start);
     }

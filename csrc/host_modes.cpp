@@ -448,8 +448,12 @@ static void update_counts(HostArray& a, bool ambig_as_missing) {
             cnt += present;
         }
         if (cnt > 0) {
-            if (w != i)
+            if (w != i) {
                 memmove(&a.variants[(size_t)w * a.S], row, (size_t)a.S);
+                if (a.have_keys)
+                    memmove(&a.keys[(size_t)w * a.W],
+                            &a.keys[(size_t)i * a.W], 8 * (size_t)a.W);
+            }
             a.counts[w] = cnt;
             w++;
         }
@@ -457,6 +461,7 @@ static void update_counts(HostArray& a, bool ambig_as_missing) {
     a.n = w;
     a.variants.resize((size_t)w * a.S);
     a.counts.resize((size_t)w);
+    if (a.have_keys) a.keys.resize((size_t)w * a.W);
 }
 
 // modes: 0 no-filter, 1 no-const, 2 no-ambig, 3 no-ambig-or-const
@@ -502,8 +507,12 @@ static long long filter_rows(HostArray& a, int64_t min_count, int mode,
             }
         }
         if (keep) {
-            if (w != i)
+            if (w != i) {
                 memmove(&a.variants[(size_t)w * S], row, (size_t)S);
+                if (a.have_keys)
+                    memmove(&a.keys[(size_t)w * a.W],
+                            &a.keys[(size_t)i * a.W], 8 * (size_t)a.W);
+            }
             a.counts[w] = a.counts[i];
             w++;
         }
@@ -512,6 +521,7 @@ static long long filter_rows(HostArray& a, int64_t min_count, int mode,
     a.n = w;
     a.variants.resize((size_t)w * S);
     a.counts.resize((size_t)w);
+    if (a.have_keys) a.keys.resize((size_t)w * a.W);
     return removed;
 }
 
@@ -1480,6 +1490,217 @@ static long long host_nk_impl(const char* skf_path, int full) {
 long long ska_host_nk(const char* skf_path, int full) {
     try {
         return host_nk_impl(skf_path, full);
+    } catch (...) {
+        return -3;
+    }
+}
+
+// shared head for the .skf-rewriting commands (weed/delete): load with
+// keys and validate width so the row compactions can carry keys through
+static int load_with_keys(const char* skf_path, HostArray& a) {
+    if (load_skf(skf_path, a, /*want_keys=*/true) != 0) return -1;
+    if (!a.have_keys) return -1;
+    if (a.k < 5 || a.k > 63 || (a.k & 1) == 0) return -1;
+    if ((a.k <= 31 ? 1 : 2) != a.W) return -1;
+    return 0;
+}
+
+static long long save_array(const HostArray& a, const char* out_path) {
+    std::string names_blob;
+    for (size_t i = 0; i < a.names.size(); i++) {
+        if (i) names_blob.push_back('\0');
+        names_blob += a.names[i];
+    }
+    auto names = split_blob((const uint8_t*)names_blob.data(),
+                            (long long)names_blob.size(),
+                            (long long)a.names.size());
+    return save_impl(out_path, a.keys.data(), a.n, a.W, a.variants.data(),
+                     a.S, (const uint64_t*)a.counts.data(), names, (int)a.k,
+                     a.rc, (const uint8_t*)a.ska_version.data(),
+                     (long long)a.ska_version.size());
+}
+
+static void mask_ambig_cells(HostArray& a) {
+    for (size_t i = 0; i < a.variants.size(); i++)
+        if (T.is_ambig[a.variants[i]]) a.variants[i] = 'N';
+}
+
+// `ska weed` (api.py weed_mode; reference generic_modes.rs:214-267):
+// drop (or keep-only, with reverse) the rows whose key appears in the
+// weed FASTA's split k-mers, then the optional site filters, then save
+// to the EXACT output path (no .skf suffixing). mode = filter_type as
+// in host_align. Nonzero = fall back (incl. a weed FASTA yielding no
+// k-mers, where python raises RefSka's "no valid sequence" error).
+static long long host_weed_impl(const char* skf_path, const char* weed_fa,
+                                int reverse, double min_freq, int mode,
+                                int ambig_as_missing, int ambig_mask,
+                                int ignore_const_gaps,
+                                const char* out_path) {
+    if (mode < 0 || mode > 3) return -1;
+    HostArray a;
+    if (load_with_keys(skf_path, a) != 0) return -1;
+    if (weed_fa && *weed_fa) {
+        std::vector<uint8_t> flat;
+        if (!parse_fasta(weed_fa, flat)) return -1;
+        long long nw = ska_host_ref_scan(flat.data(), (long long)flat.size(),
+                                         (int)a.k, a.rc);
+        if (nw <= 0) return -1;
+        const uint64_t* wk = ska_host_ref_scan_keys_ptr();
+        std::vector<uint64_t> weed;
+        try {
+            weed.assign(wk, wk + (size_t)nw * a.W);
+        } catch (const std::bad_alloc&) {
+            ska_host_ref_scan_release();
+            return -1;
+        }
+        ska_host_ref_scan_release();
+        // unique sorted weed set (array.py weed: np.unique axis=0)
+        long long nu;
+        if (a.W == 1) {
+            std::sort(weed.begin(), weed.end());
+            weed.erase(std::unique(weed.begin(), weed.end()), weed.end());
+            nu = (long long)weed.size();
+        } else {
+            std::vector<unsigned __int128> w2((size_t)nw);
+            for (long long i = 0; i < nw; i++)
+                w2[i] = ((unsigned __int128)weed[2 * i] << 64) |
+                        weed[2 * i + 1];
+            std::sort(w2.begin(), w2.end());
+            w2.erase(std::unique(w2.begin(), w2.end()), w2.end());
+            nu = (long long)w2.size();
+            weed.resize((size_t)nu * 2);
+            for (long long i = 0; i < nu; i++) {
+                weed[2 * i] = (uint64_t)(w2[i] >> 64);
+                weed[2 * i + 1] = (uint64_t)w2[i];
+            }
+        }
+        // membership + row compaction (keys/variants/counts together)
+        long long w = 0;
+        for (long long i = 0; i < a.n; i++) {
+            bool member;
+            if (a.W == 1) {
+                member = std::binary_search(weed.begin(), weed.end(),
+                                            a.keys[(size_t)i]);
+            } else {
+                unsigned __int128 q =
+                    ((unsigned __int128)a.keys[2 * (size_t)i] << 64) |
+                    a.keys[2 * (size_t)i + 1];
+                long long lo = 0, hi = nu;
+                while (lo < hi) {
+                    long long mid = (lo + hi) >> 1;
+                    unsigned __int128 v =
+                        ((unsigned __int128)weed[2 * mid] << 64) |
+                        weed[2 * mid + 1];
+                    if (v < q) lo = mid + 1;
+                    else hi = mid;
+                }
+                member = lo < nu && weed[2 * lo] == a.keys[2 * (size_t)i] &&
+                         weed[2 * lo + 1] == a.keys[2 * (size_t)i + 1];
+            }
+            bool keep = reverse ? member : !member;
+            if (keep) {
+                if (w != i) {
+                    memmove(&a.variants[(size_t)w * a.S],
+                            &a.variants[(size_t)i * a.S], (size_t)a.S);
+                    memmove(&a.keys[(size_t)w * a.W],
+                            &a.keys[(size_t)i * a.W], 8 * (size_t)a.W);
+                }
+                a.counts[w] = a.counts[i];
+                w++;
+            }
+        }
+        a.n = w;
+        a.variants.resize((size_t)w * a.S);
+        a.counts.resize((size_t)w);
+        a.keys.resize((size_t)w * a.W);
+    }
+    int64_t threshold = (int64_t)floor((double)a.S * min_freq);
+    if (threshold > 0 || mode != 0 || ambig_mask || ignore_const_gaps) {
+        if (ambig_as_missing) update_counts(a, true);
+        filter_rows(a, threshold, mode, ignore_const_gaps != 0);
+        if (ambig_mask) mask_ambig_cells(a);
+    }
+    return save_array(a, out_path);
+}
+
+long long ska_host_weed(const char* skf_path, const char* weed_fa,
+                        int reverse, double min_freq, int mode,
+                        int ambig_as_missing, int ambig_mask,
+                        int ignore_const_gaps, const char* out_path) {
+    try {
+        return host_weed_impl(skf_path, weed_fa, reverse, min_freq, mode,
+                              ambig_as_missing, ambig_mask,
+                              ignore_const_gaps, out_path);
+    } catch (...) {
+        return -3;
+    }
+}
+
+// `ska delete` (api.py delete_mode / array.py delete_samples; reference
+// merge_ska_array.rs:231-271): remove named sample columns (a delete
+// name removes only the FIRST matching sample — set-discard quirk),
+// recount, drop empty rows, save (caller appends .skf). del_blob =
+// NUL-separated names. Nonzero = fall back (python raises the
+// canonical errors for 0/all/missing names).
+static long long host_delete_impl(const char* skf_path,
+                                  const uint8_t* del_blob,
+                                  long long del_len, long long n_del,
+                                  const char* out_path) {
+    HostArray a;
+    if (load_with_keys(skf_path, a) != 0) return -1;
+    if (n_del <= 0) return -1;
+    auto del_list = split_blob(del_blob, del_len, n_del);
+    // python set semantics: duplicate delete names collapse
+    std::vector<std::string> dels;
+    for (auto& d : del_list) {
+        std::string s(d.first, d.second);
+        bool dup = false;
+        for (auto& e : dels) dup |= e == s;
+        if (!dup) dels.push_back(std::move(s));
+    }
+    if ((long long)dels.size() >= a.S) return -1;  // removes every sample
+    std::vector<int> keep_cols;
+    std::vector<std::string> new_names;
+    for (int s = 0; s < a.S; s++) {
+        bool drop = false;
+        for (size_t d = 0; d < dels.size(); d++) {
+            if (dels[d] == a.names[s]) {
+                drop = true;
+                dels.erase(dels.begin() + d);  // first match only
+                break;
+            }
+        }
+        if (!drop) {
+            keep_cols.push_back(s);
+            new_names.push_back(a.names[s]);
+        }
+    }
+    if (!dels.empty()) return -1;  // not found: python raises
+    const int S2 = (int)keep_cols.size();
+    std::vector<uint8_t> nv;
+    try {
+        nv.resize((size_t)a.n * S2);
+    } catch (const std::bad_alloc&) {
+        return -1;
+    }
+    for (long long i = 0; i < a.n; i++) {
+        const uint8_t* row = &a.variants[(size_t)i * a.S];
+        uint8_t* orow = &nv[(size_t)i * S2];
+        for (int s = 0; s < S2; s++) orow[s] = row[keep_cols[s]];
+    }
+    a.variants.swap(nv);
+    a.S = S2;
+    a.names.swap(new_names);
+    update_counts(a, false);
+    return save_array(a, out_path);
+}
+
+long long ska_host_delete(const char* skf_path, const uint8_t* del_blob,
+                          long long del_len, long long n_del,
+                          const char* out_path) {
+    try {
+        return host_delete_impl(skf_path, del_blob, del_len, n_del,
+                                out_path);
     } catch (...) {
         return -3;
     }

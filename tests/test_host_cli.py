@@ -108,6 +108,49 @@ def test_build_positional_and_filelist(tmp_path):
     assert n == open(out_p + ".skf", "rb").read()
 
 
+def test_weed_and_delete_byte_identity(tmp_path):
+    import shutil
+
+    base = tmp_path / "base.skf"
+    shutil.copy(f"{REF_IN}/merge.skf", base)
+    cases = [
+        (["weed", str(base), f"{REF_IN}/weed.fa"], "w1"),
+        (["weed", str(base), f"{REF_IN}/weed.fa", "--reverse"], "w2"),
+        (["weed", str(base), "--filter", "no-ambig-or-const", "-m", "0.5",
+          "--ambig-mask"], "w3"),
+        (["weed", str(base), f"{REF_IN}/weed.fa",
+          "--filter-ambig-as-missing", "--no-gap-only-sites"], "w4"),
+        (["delete", "-s", str(base), "test_1"], "d1"),
+    ]
+    for args, tag in cases:
+        out_n = tmp_path / f"{tag}_n.skf"
+        out_p = tmp_path / f"{tag}_p.skf"
+        _run(args + ["-o", str(out_n)], **NATIVE_ONLY)
+        _run(args + ["-o", str(out_p)], SKA_NATIVE_CMDS="0")
+        assert out_n.read_bytes() == out_p.read_bytes(), tag
+
+
+def test_delete_filelist_and_missing_name(tmp_path):
+    import shutil
+
+    base = tmp_path / "base.skf"
+    shutil.copy(f"{REF_IN}/merge.skf", base)
+    fl = tmp_path / "list.txt"
+    fl.write_text(f"test_2\t{REF_IN}/test_2.fa\n")
+    out_n = tmp_path / "n.skf"
+    out_p = tmp_path / "p.skf"
+    _run(["delete", "-s", str(base), "-f", str(fl), "-o", str(out_n)],
+         **NATIVE_ONLY)
+    _run(["delete", "-s", str(base), "-f", str(fl), "-o", str(out_p)],
+         SKA_NATIVE_CMDS="0")
+    assert out_n.read_bytes() == out_p.read_bytes()
+    # unknown sample: native declines, python raises its canonical error
+    r = _run(["delete", "-s", str(base), "nosuch", "-o",
+              str(tmp_path / "x")], check=False)
+    assert r.returncode != 0
+    assert b"Could not find sample" in r.stderr
+
+
 def test_fallback_reaches_python(tmp_path):
     # -v asks for progress messages, which live in the python pipeline;
     # python must run (SKA_PYTHON=/bin/false then fails)
