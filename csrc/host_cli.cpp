@@ -35,6 +35,9 @@ long long ska_host_weed(const char* skf_path, const char* weed_fa,
 long long ska_host_delete(const char* skf_path, const uint8_t* del_blob,
                           long long del_len, long long n_del,
                           const char* out_path);
+long long ska_host_merge(const uint8_t* paths_blob, long long paths_len,
+                         long long n_files, const char* out_path,
+                         const uint8_t* version, long long version_len);
 long long ska_host_align(const char* skf_path, const char* out_path,
                          double min_freq, int mode, int ambig_as_missing,
                          int ambig_mask, int ignore_const_gaps);
@@ -328,6 +331,28 @@ int main(int argc, char** argv) {
                          o ? o->c_str() : "-", vcf,
                          get(a, "--ambig-mask") != nullptr,
                          get(a, "--repeat-mask") != nullptr) != 0)
+            fallback();
+        footer_exit(start);
+    }
+
+    if (cmd == "merge") {
+        Args a;
+        if (!parse(argc - 2, argv + 2, {{"-o", true}}, a)) fallback();
+        const std::string* o = get(a, "-o");
+        if (!o || a.pos.size() < 2) fallback();  // python prints the errors
+        std::string blob;
+        for (size_t i = 0; i < a.pos.size(); i++) {
+            if (i) blob.push_back('\0');
+            blob += a.pos[i];
+        }
+        std::string out = *o;
+        if (out.size() < 4 || out.compare(out.size() - 4, 4, ".skf") != 0)
+            out += ".skf";
+        banner();
+        if (ska_host_merge((const uint8_t*)blob.data(),
+                           (long long)blob.size(), (long long)a.pos.size(),
+                           out.c_str(), (const uint8_t*)SKA_VERSION,
+                           (long long)strlen(SKA_VERSION)) != 0)
             fallback();
         footer_exit(start);
     }

@@ -991,6 +991,12 @@ long long ska_map_gather(const uint64_t* sorted, long long n,
                          const uint8_t* variants, int S,
                          const uint8_t* rc_tab,
                          int64_t* out_hit, uint8_t* out_rows);
+// merge_batches.cpp: B-way sorted union merge (ska merge)
+int64_t ska_merge_batches(const uint64_t* keys_cat, const int64_t* n_off,
+                          const uint8_t* var_cat, const int64_t* v_off,
+                          const int64_t* col_off, int64_t B, int64_t W,
+                          uint64_t* out_keys, uint8_t* out_var,
+                          int64_t* out_counts, int64_t s_total);
 // skanative.cpp: the AlnWriter state machine (one sample per call)
 int ska_aln_write(const uint8_t* ref_seq, const int64_t* chrom_len,
                   int64_t n_chrom, const int32_t* m_chrom,
@@ -1631,6 +1637,130 @@ long long ska_host_weed(const char* skf_path, const char* weed_fa,
         return host_weed_impl(skf_path, weed_fa, reverse, min_freq, mode,
                               ambig_as_missing, ambig_mask,
                               ignore_const_gaps, out_path);
+    } catch (...) {
+        return -3;
+    }
+}
+
+// `ska merge` (api.py merge_mode / merge.py extend_arrays; reference
+// MergeSkaDict::extend, merge_ska_dict.rs:160-193): union of k-mers
+// across files, concatenated sample columns, '-' where a file lacks the
+// k-mer; result version = the CURRENT tool version (python: SkaArray
+// default), passed in by the caller. paths_blob = NUL-separated .skf
+// paths. Nonzero = fall back (k/rc mismatches raise python's errors).
+static long long host_merge_impl(const uint8_t* paths_blob,
+                                 long long paths_len, long long n_files,
+                                 const char* out_path,
+                                 const uint8_t* version,
+                                 long long version_len) {
+    if (n_files < 2) return -1;
+    auto paths = split_blob(paths_blob, paths_len, n_files);
+    std::vector<HostArray> arrs((size_t)n_files);
+    for (long long f = 0; f < n_files; f++) {
+        std::string p(paths[f].first, paths[f].second);
+        if (load_with_keys(p.c_str(), arrs[f]) != 0) return -1;
+        if (arrs[f].k != arrs[0].k || arrs[f].rc != arrs[0].rc ||
+            arrs[f].W != arrs[0].W)
+            return -1;  // python raises the canonical mismatch errors
+        if (!arrs[f].keys_sorted) {
+            // reference-written files keep hashmap row order: per-array
+            // sort before the linear union (merge.py _sorted_rows)
+            HostArray& a = arrs[f];
+            const int W = a.W, S = a.S;
+            std::vector<int64_t> perm((size_t)a.n);
+            for (long long i = 0; i < a.n; i++) perm[i] = i;
+            const uint64_t* kd = a.keys.data();
+            std::stable_sort(perm.begin(), perm.end(),
+                             [kd, W](int64_t x, int64_t y) {
+                const uint64_t* px = kd + (size_t)x * W;
+                const uint64_t* py = kd + (size_t)y * W;
+                if (W == 1) return px[0] < py[0];
+                return px[0] < py[0] ||
+                       (px[0] == py[0] && px[1] < py[1]);
+            });
+            std::vector<uint64_t> nk((size_t)a.n * W);
+            std::vector<uint8_t> nv((size_t)a.n * S);
+            std::vector<int64_t> nc((size_t)a.n);
+            for (long long i = 0; i < a.n; i++) {
+                memcpy(&nk[(size_t)i * W], kd + (size_t)perm[i] * W,
+                       8 * (size_t)W);
+                memcpy(&nv[(size_t)i * S],
+                       &a.variants[(size_t)perm[i] * S], (size_t)S);
+                nc[i] = a.counts[(size_t)perm[i]];
+            }
+            a.keys.swap(nk);
+            a.variants.swap(nv);
+            a.counts.swap(nc);
+        }
+    }
+    const int W = arrs[0].W;
+    long long total_n = 0, s_total = 0;
+    for (auto& a : arrs) {
+        total_n += a.n;
+        s_total += a.S;
+    }
+    std::vector<uint64_t> keys_cat;
+    std::vector<uint8_t> var_cat;
+    std::vector<int64_t> n_off((size_t)n_files + 1, 0),
+        v_off((size_t)n_files + 1, 0), col_off((size_t)n_files + 1, 0);
+    std::vector<uint64_t> out_keys;
+    std::vector<uint8_t> out_var;
+    std::vector<int64_t> out_counts;
+    try {
+        keys_cat.reserve((size_t)total_n * W);
+        var_cat.reserve((size_t)0);
+        out_keys.resize((size_t)total_n * W);
+        out_var.assign((size_t)total_n * (size_t)s_total, '-');
+        out_counts.resize((size_t)total_n);
+    } catch (const std::bad_alloc&) {
+        return -1;
+    }
+    size_t vbytes = 0;
+    for (auto& a : arrs) vbytes += a.variants.size();
+    try {
+        var_cat.reserve(vbytes);
+    } catch (const std::bad_alloc&) {
+        return -1;
+    }
+    for (long long f = 0; f < n_files; f++) {
+        HostArray& a = arrs[(size_t)f];
+        keys_cat.insert(keys_cat.end(), a.keys.begin(), a.keys.end());
+        var_cat.insert(var_cat.end(), a.variants.begin(), a.variants.end());
+        n_off[f + 1] = n_off[f] + a.n;
+        v_off[f + 1] = v_off[f] + (int64_t)a.variants.size();
+        col_off[f + 1] = col_off[f] + a.S;
+    }
+    int64_t r = ska_merge_batches(keys_cat.data(), n_off.data(),
+                                  var_cat.data(), v_off.data(),
+                                  col_off.data(), n_files, W,
+                                  out_keys.data(), out_var.data(),
+                                  out_counts.data(), s_total);
+    if (r < 0) return -1;
+    HostArray m;
+    m.n = r;
+    m.S = (int)s_total;
+    m.W = W;
+    m.k = arrs[0].k;
+    m.rc = arrs[0].rc;
+    m.have_keys = true;
+    m.ska_version.assign((const char*)version, (size_t)version_len);
+    out_keys.resize((size_t)r * W);
+    out_var.resize((size_t)r * (size_t)s_total);
+    out_counts.resize((size_t)r);
+    m.keys.swap(out_keys);
+    m.variants.swap(out_var);
+    m.counts.swap(out_counts);
+    for (auto& a : arrs)
+        for (auto& nm : a.names) m.names.push_back(nm);
+    return save_array(m, out_path);
+}
+
+long long ska_host_merge(const uint8_t* paths_blob, long long paths_len,
+                         long long n_files, const char* out_path,
+                         const uint8_t* version, long long version_len) {
+    try {
+        return host_merge_impl(paths_blob, paths_len, n_files, out_path,
+                               version, version_len);
     } catch (...) {
         return -3;
     }

@@ -27,7 +27,8 @@ def _fresh():
     if not os.path.exists(BIN):
         return False
     bt = os.path.getmtime(BIN)
-    for s in ("host_cli", "skanative", "host_build", "host_modes"):
+    for s in ("host_cli", "skanative", "host_build", "host_modes",
+              "merge_batches"):
         if os.path.getmtime(os.path.join(REPO, "csrc", f"{s}.cpp")) > bt:
             return False
     return True
@@ -128,6 +129,27 @@ def test_weed_and_delete_byte_identity(tmp_path):
         _run(args + ["-o", str(out_n)], **NATIVE_ONLY)
         _run(args + ["-o", str(out_p)], SKA_NATIVE_CMDS="0")
         assert out_n.read_bytes() == out_p.read_bytes(), tag
+
+
+def test_merge_byte_identity(tmp_path):
+    cases = [
+        ([f"{REF_IN}/merge.skf", f"{REF_IN}/merge.skf"], "m1"),
+        ([f"{REF_IN}/merge_k9.skf", f"{REF_IN}/multidist.skf"], "m2"),
+        ([f"{REF_IN}/multidist.skf", f"{REF_IN}/merge_k9.skf",
+          f"{REF_IN}/multidist.skf"], "m3"),
+    ]
+    for files, tag in cases:
+        out_n = tmp_path / f"{tag}_n"
+        out_p = tmp_path / f"{tag}_p"
+        _run(["merge"] + files + ["-o", str(out_n)], **NATIVE_ONLY)
+        _run(["merge"] + files + ["-o", str(out_p)], SKA_NATIVE_CMDS="0")
+        assert (tmp_path / f"{tag}_n.skf").read_bytes() == \
+               (tmp_path / f"{tag}_p.skf").read_bytes(), tag
+    # k mismatch: native declines, python raises the canonical error
+    r = _run(["merge", f"{REF_IN}/merge.skf", f"{REF_IN}/merge_k41.skf",
+              "-o", str(tmp_path / "bad")], check=False)
+    assert r.returncode != 0
+    assert b"K-mer lengths do not match" in r.stderr
 
 
 def test_delete_filelist_and_missing_name(tmp_path):
