@@ -238,7 +238,8 @@ def _main(argv=None):
     print("SKA: Split K-mer Analysis (the alignment-free aligner)", file=sys.stderr)
     start = time.time()
 
-    if args.command in ("align", "distance", "build", "map"):
+    if args.command in ("align", "distance", "build", "map", "nk", "weed",
+                        "delete", "merge"):
         # pinned-host route: the one-pass C++ engines (csrc/host_modes.cpp)
         # answer these commands before numpy even imports (build: plain
         # FASTA cohorts only — the same gate as the r4 native engine;

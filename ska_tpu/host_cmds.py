@@ -1,4 +1,5 @@
-"""Native host-mode command routing for `ska align` / `ska distance`.
+"""Native host-mode command routing for the dispatch-free subcommands
+(align, distance, map, build, nk, weed, delete, merge).
 
 These commands never dispatch device work; on the host path their wall
 time was dominated by CPython + numpy startup (~0.3 s — more than the
@@ -51,6 +52,24 @@ def _load():
         lib.ska_host_map.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.ska_host_nk.restype = ctypes.c_longlong
+        lib.ska_host_nk.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.ska_host_weed.restype = ctypes.c_longlong
+        lib.ska_host_weed.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_char_p,
+        ]
+        lib.ska_host_delete.restype = ctypes.c_longlong
+        lib.ska_host_delete.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.c_longlong, ctypes.c_char_p,
+        ]
+        lib.ska_host_merge.restype = ctypes.c_longlong
+        lib.ska_host_merge.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_longlong,
         ]
     except AttributeError:
         pass
@@ -123,7 +142,7 @@ def try_run(cmd, args) -> bool:
         return False
     if cmd == "build" and not hasattr(lib, "ska_host_build_files"):
         return False
-    out = (args.output or "-").encode()
+    out = (getattr(args, "output", None) or "-").encode()
     try:
         if cmd == "align":
             if len(args.input) != 1:
@@ -163,6 +182,65 @@ def try_run(cmd, args) -> bool:
                 int(args.format == "vcf"), int(bool(args.ambig_mask)),
                 int(bool(args.repeat_mask)),
             )
+            return rc == 0
+        if cmd == "nk":
+            rc = lib.ska_host_nk(args.skf_file.encode(),
+                                 int(bool(args.full_info)))
+            return rc == 0
+        if cmd == "weed":
+            mode = _FILTER_MODE.get(args.filter)
+            if mode is None:
+                return False
+            out_w = (args.output or args.skf_file).encode()  # exact path
+            rc = lib.ska_host_weed(
+                args.skf_file.encode(),
+                args.weed_file.encode() if args.weed_file else None,
+                int(bool(args.reverse)), float(args.min_freq), mode,
+                int(bool(args.filter_ambig_as_missing)),
+                int(bool(args.ambig_mask)),
+                int(bool(args.no_gap_only_sites)), out_w,
+            )
+            return rc == 0
+        if cmd == "delete":
+            if args.file_list:
+                names = []
+                try:
+                    with open(args.file_list) as f:
+                        for line in f:
+                            fields = line.split()
+                            if not fields:
+                                continue
+                            if len(fields) != 2:
+                                return False
+                            names.append(fields[0])
+                except OSError:
+                    return False
+            else:
+                names = []
+                for p in args.names or []:
+                    m = _RE_PATH.match(p) or _RE_NAME.match(p)
+                    names.append(m.group(1) if m else p)
+            if not names:
+                return False
+            out_d = args.output or args.skf_file
+            if not out_d.endswith(".skf"):
+                out_d += ".skf"
+            blob = b"\x00".join(n.encode() for n in names)
+            rc = lib.ska_host_delete(args.skf_file.encode(), blob,
+                                     len(blob), len(names), out_d.encode())
+            return rc == 0
+        if cmd == "merge":
+            if len(args.skf_files) < 2 or not args.output:
+                return False  # python raises its canonical errors
+            out_m = args.output
+            if not out_m.endswith(".skf"):
+                out_m += ".skf"
+            blob = b"\x00".join(p.encode() for p in args.skf_files)
+            from . import __version__
+
+            ver_m = __version__.encode()
+            rc = lib.ska_host_merge(blob, len(blob), len(args.skf_files),
+                                    out_m.encode(), ver_m, len(ver_m))
             return rc == 0
         if cmd == "build":
             if os.environ.get("SKA_NATIVE_BUILD") == "0":

@@ -114,6 +114,40 @@ def test_cli_routes_native_and_falls_back(tmp_path):
     assert out_n.read_bytes() == out_p.read_bytes()
 
 
+def test_cli_inprocess_routes_all_native_cmds(tmp_path):
+    """Every natively-routed subcommand must survive the in-process CLI
+    arg shapes (r5 regression: nk has no args.output and the shared
+    prologue crashed instead of routing)."""
+    env = dict(os.environ, SKA_PLATFORM="cpu")
+    for k in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS",
+              "PALLAS_AXON_REMOTE_COMPILE"):
+        env.pop(k, None)
+    import shutil
+
+    base = tmp_path / "b.skf"
+    shutil.copy(f"{REF_IN}/merge.skf", base)
+    cmds = [
+        ["nk", str(base)],
+        ["nk", str(base), "--full-info"],
+        ["weed", str(base), f"{REF_IN}/weed.fa", "-o",
+         str(tmp_path / "w.skf")],
+        ["delete", "-s", str(base), "test_1", "-o", str(tmp_path / "d")],
+        ["merge", str(base), f"{REF_IN}/merge.skf", "-o",
+         str(tmp_path / "m")],
+    ]
+    for argv in cmds:
+        outs = {}
+        for nc in ("1", "0"):
+            r = subprocess.run(
+                [sys.executable, "/root/repo/ska.py"] + argv,
+                env={**env, "SKA_NATIVE_CMDS": nc}, capture_output=True,
+                timeout=120)
+            assert r.returncode == 0, (argv, nc, r.stderr[-400:])
+            assert b"Traceback" not in r.stderr, (argv, nc)
+            outs[nc] = r.stdout
+        assert outs["1"] == outs["0"], argv
+
+
 def test_native_route_skipped_off_host():
     """Without the cpu pin the native route must decline (device runs
     keep the accelerator pipeline)."""
