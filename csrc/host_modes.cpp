@@ -598,14 +598,25 @@ static long long host_align_impl(
 static long long host_distance_impl(const char* skf_path,
                                     const char* out_path, double min_freq,
                                     int filt_ambig) {
+    const bool tim = getenv("SKA_DIST_TIME") != nullptr;
+    auto t0 = std::chrono::steady_clock::now();
+    auto lap = [&](const char* what) {
+        if (!tim) return;
+        auto t1 = std::chrono::steady_clock::now();
+        fprintf(stderr, "SKA_DIST_TIME %-10s %6.1f ms\n", what,
+                std::chrono::duration<double, std::milli>(t1 - t0).count());
+        t0 = t1;
+    };
     HostArray a;
     if (load_skf(skf_path, a) != 0) return -1;
+    lap("load");
     const int S = a.S;
     if (min_freq * (double)S >= 1.0) {
         int64_t threshold = (int64_t)ceil((double)S * min_freq);
         filter_rows(a, threshold, 0, false);
     }
     long long constant = filter_rows(a, 0, 1, false);  // NoConst
+    lap("filters");
 
     // dedupe site rows on their 4-bit class codes (distance.py:153-177):
     // open-addressing map keyed by the class row
@@ -650,6 +661,7 @@ static long long host_distance_impl(const char* skf_path,
             j = (j + 1) & mask;
         }
     }
+    lap("dedup");
 
     // per-pair 16x16 class co-occurrence counts (distance.py class_gram)
     const long long pairs = (long long)S * (S - 1) / 2;
@@ -671,6 +683,7 @@ static long long host_distance_impl(const char* skf_path,
                 g[ax * 16 + row[y]] += w;
         }
     }
+    lap("gram");
 
     // coefficient tables (distance.py:52-69): probs over (A, C, T, G)
     double prob[16][4] = {};

@@ -162,7 +162,17 @@ long long ska_snappy_uncompress(const uint8_t* in, size_t n, uint8_t* out, size_
             }
             if (off == 0 || off > opos || opos + len > out_cap) return -1;
             if (off >= len) {
-                memcpy(out + opos, out + opos - off, len);
+                if (len <= 16 && opos + 16 <= out_cap) {
+                    // inline 16-byte register copy: short back-copies
+                    // dominate the stream and a memcpy call per op costs
+                    // more than the copy; slack bytes past len are
+                    // rewritten by the strictly-sequential next op (the
+                    // same convention as the literal fast path above)
+                    ska_copy8(out + opos, out + opos - off);
+                    ska_copy8(out + opos + 8, out + opos - off + 8);
+                } else {
+                    memcpy(out + opos, out + opos - off, len);
+                }
             } else if (opos + len + 8 <= out_cap) {
                 // overlapping copy (period `off` < len): double the copy
                 // distance with register-buffered 8-byte copies until it
