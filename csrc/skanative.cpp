@@ -8,10 +8,14 @@
 //
 // Snappy format reference: https://github.com/google/snappy/blob/main/format_description.txt
 
+#include <atomic>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <cstddef>
 #include <new>
+#include <thread>
+#include <vector>
 
 #if defined(__x86_64__) || defined(__i386__)
 #include <nmmintrin.h>
@@ -213,11 +217,114 @@ long long ska_snappy_uncompress(const uint8_t* in, size_t n, uint8_t* out, size_
 // Returns total uncompressed bytes; -1 malformed or unskippable chunk
 // (callers re-run the python loop for its exact error message);
 // -2 stored-checksum mismatch.
+// one decodable chunk's coordinates within a frame (parallel path)
+struct SkaFrameChunk {
+    size_t body, blen, opos, ulen, crc_off;
+    uint8_t ctype;
+};
+
+static long long ska_frame_decode_chunk(const uint8_t* in,
+                                        const SkaFrameChunk& c,
+                                        uint8_t* out, size_t cap) {
+    if (c.opos + c.ulen > cap) return -1;
+    if (c.ctype == 0x00) {
+        // cap the writable range at exactly this chunk's output: the
+        // block decoder's 16-byte fast paths scribble slack bytes past
+        // the bytes they own, which is fine serially (the next op
+        // rewrites them) but a data race when neighbor chunks decode
+        // concurrently — the tight cap demotes end-of-chunk ops to
+        // exact-length copies
+        long long got = ska_snappy_uncompress(in + c.body, c.blen,
+                                              out + c.opos, c.ulen);
+        if (got != (long long)c.ulen) return -1;
+    } else {
+        memcpy(out + c.opos, in + c.body, c.ulen);
+    }
+    uint32_t crc = ska_crc32c(out + c.opos, c.ulen);
+    uint32_t masked = (uint32_t)(((crc >> 15) | (crc << 17)) + 0xA282EAD8u);
+    uint32_t want = (uint32_t)in[c.crc_off] |
+                    ((uint32_t)in[c.crc_off + 1] << 8) |
+                    ((uint32_t)in[c.crc_off + 2] << 16) |
+                    ((uint32_t)in[c.crc_off + 3] << 24);
+    if (masked != want) return -2;
+    return 0;
+}
+
+// Parallel whole-frame decode: chunks are independent (each carries its
+// own CRC and uncompressed length), so with SKA_THREADS > 1 the header
+// walk indexes every chunk first (cheap: varint peek per chunk) and T
+// threads decode+CRC disjoint output ranges. Byte-identical to the
+// serial path; first error wins. The reference's rayon users get no
+// parallel .skf load (snap decodes serially) — this exceeds it.
+static long long ska_frame_decompress_mt(const uint8_t* in, size_t n,
+                                         uint8_t* out, size_t cap, int T) {
+    std::vector<SkaFrameChunk> chunks;
+    size_t pos = 10, opos = 0;
+    while (pos < n) {
+        if (pos + 4 > n) return -1;
+        uint8_t ctype = in[pos];
+        size_t clen = (size_t)in[pos + 1] | ((size_t)in[pos + 2] << 8) |
+                      ((size_t)in[pos + 3] << 16);
+        pos += 4;
+        if (pos + clen > n) return -1;
+        if (ctype == 0x00 || ctype == 0x01) {
+            if (clen < 4) return -1;
+            size_t blen = clen - 4, ulen;
+            if (ctype == 0x00) {
+                long long u =
+                    ska_snappy_uncompressed_length(in + pos + 4, blen);
+                if (u < 0) return -1;
+                ulen = (size_t)u;
+            } else {
+                ulen = blen;
+            }
+            chunks.push_back({pos + 4, blen, opos, ulen, pos, ctype});
+            opos += ulen;
+        } else if (ctype != 0xFF && !(ctype >= 0x80 && ctype <= 0xFD)) {
+            return -1;
+        }
+        pos += clen;
+    }
+    if ((size_t)T > chunks.size()) T = (int)chunks.size();
+    std::atomic<long long> status{0};
+    auto worker = [&](size_t lo, size_t hi) {
+        for (size_t i = lo; i < hi; i++) {
+            if (status.load(std::memory_order_relaxed) != 0) return;
+            long long r = ska_frame_decode_chunk(in, chunks[i], out, cap);
+            if (r != 0) {
+                long long expect = 0;
+                status.compare_exchange_strong(expect, r);
+                return;
+            }
+        }
+    };
+    std::vector<std::thread> ths;
+    size_t step = (chunks.size() + T - 1) / T;
+    for (int t = 1; t < T; t++) {
+        size_t a = (size_t)t * step, b = a + step;
+        if (a >= chunks.size()) break;
+        if (b > chunks.size()) b = chunks.size();
+        ths.emplace_back(worker, a, b);
+    }
+    worker(0, step < chunks.size() ? step : chunks.size());
+    for (auto& th : ths) th.join();
+    if (status.load() != 0) return status.load();
+    return (long long)opos;
+}
+
 long long ska_snappy_frame_decompress(const uint8_t* in, size_t n,
                                       uint8_t* out, size_t cap) {
     static const uint8_t MAGIC[10] = {0xFF, 0x06, 0x00, 0x00,
                                       's',  'N',  'a',  'P', 'p', 'Y'};
     if (n < 10 || memcmp(in, MAGIC, 10) != 0) return -1;
+    if (out && n > (1 << 20)) {
+        int T = 1;
+        if (const char* t = getenv("SKA_THREADS")) {
+            int v = atoi(t);
+            if (v > 1) T = v > 64 ? 64 : v;
+        }
+        if (T > 1) return ska_frame_decompress_mt(in, n, out, cap, T);
+    }
     size_t pos = 10, opos = 0;
     while (pos < n) {
         if (pos + 4 > n) return -1;

@@ -1,5 +1,7 @@
 """C++ snappy/crc32c vs the pure-Python implementations and fixtures."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -222,3 +224,39 @@ def test_native_frame_decode_matches_python_loop(ref_in):
     assert native.snappy_frame_decompress(bad) is None
     with pytest.raises(ValueError, match="unskippable"):
         s.frame_decompress(bad)
+
+
+def test_frame_decompress_thread_invariance():
+    """SKA_THREADS>1 takes the parallel chunk decoder; bytes must equal
+    the serial path and chunk CRC corruption must still be caught (the
+    r5 slack-write race regression test)."""
+    import ctypes
+
+    from ska_tpu.io import native
+
+    lib = native._lib
+    lib.ska_snappy_frame_decompress.restype = ctypes.c_longlong
+    lib.ska_snappy_frame_decompress.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t]
+    raw = open("/root/reference/tests/test_files_in/test_skalo.skf",
+               "rb").read()
+    n = lib.ska_snappy_frame_decompress(raw, len(raw), None, 0)
+    assert n > 0
+    b1 = ctypes.create_string_buffer(n)
+    b2 = ctypes.create_string_buffer(n)
+    saved = os.environ.pop("SKA_THREADS", None)
+    try:
+        assert lib.ska_snappy_frame_decompress(raw, len(raw), b1, n) == n
+        os.environ["SKA_THREADS"] = "8"
+        # file is ~1 MB+: above the parallel-path floor
+        assert lib.ska_snappy_frame_decompress(raw, len(raw), b2, n) == n
+        assert b1.raw == b2.raw
+        bad = bytearray(raw)
+        bad[len(raw) // 2] ^= 0xFF
+        assert lib.ska_snappy_frame_decompress(bytes(bad), len(bad),
+                                               b2, n) < 0
+    finally:
+        if saved is None:
+            os.environ.pop("SKA_THREADS", None)
+        else:
+            os.environ["SKA_THREADS"] = saved
