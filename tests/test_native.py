@@ -234,7 +234,10 @@ def test_frame_decompress_thread_invariance():
 
     from ska_tpu.io import native
 
-    lib = native._lib
+    # a PRIVATE handle: mutating argtypes on native._lib's function
+    # objects would break every later caller that relies on the
+    # module's own signatures
+    lib = ctypes.CDLL(native._lib._name)
     lib.ska_snappy_frame_decompress.restype = ctypes.c_longlong
     lib.ska_snappy_frame_decompress.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t]
