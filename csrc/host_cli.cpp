@@ -38,6 +38,18 @@ long long ska_host_delete(const char* skf_path, const uint8_t* del_blob,
 long long ska_host_merge(const uint8_t* paths_blob, long long paths_len,
                          long long n_files, const char* out_path,
                          const uint8_t* version, long long version_len);
+long long ska_host_align_fasta(const uint8_t* paths_blob,
+                               long long paths_len,
+                               const uint8_t* names_blob,
+                               long long names_len, long long n_files,
+                               const char* out_path, double min_freq,
+                               int mode, int ambig_as_missing,
+                               int ambig_mask, int ignore_const_gaps);
+long long ska_host_map_fasta(const char* ref_path,
+                             const uint8_t* paths_blob, long long paths_len,
+                             const uint8_t* names_blob, long long names_len,
+                             long long n_files, const char* out_path,
+                             int vcf, int ambig_mask, int repeat_mask);
 long long ska_host_align(const char* skf_path, const char* out_path,
                          double min_freq, int mode, int ambig_as_missing,
                          int ambig_mask, int ignore_const_gaps);
@@ -221,6 +233,23 @@ std::string sample_name(const std::string& p) {
     return p;  // _RE_NAME failed: python keeps the whole given path
 }
 
+// NUL-separated (paths, names) blobs for an all-plain-FASTA positional
+// list of >= 2 files (implicit build); false to fall back
+bool fasta_blobs(const std::vector<std::string>& pos, size_t from,
+                 std::string& paths, std::string& names) {
+    if (pos.size() - from < 2) return false;
+    for (size_t i = from; i < pos.size(); i++) {
+        if (!first_byte_is(pos[i], '>')) return false;
+        if (i > from) {
+            paths.push_back('\0');
+            names.push_back('\0');
+        }
+        paths += pos[i];
+        names += sample_name(pos[i]);
+    }
+    return true;
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
@@ -246,8 +275,15 @@ int main(int argc, char** argv) {
                     {"--threads", true}},
                    a))
             fallback();
-        if (a.pos.size() != 1) fallback();  // FASTA list: implicit build
-        if (first_byte_is(a.pos[0], '>')) fallback();
+        if (a.pos.empty()) fallback();
+        bool implicit = a.pos.size() > 1;
+        std::string bpaths, bnames;
+        if (implicit) {
+            // implicit build from a plain-FASTA list (io_utils.rs:60-93)
+            if (!fasta_blobs(a.pos, 0, bpaths, bnames)) fallback();
+        } else if (first_byte_is(a.pos[0], '>')) {
+            fallback();  // single FASTA: python raises the .skf error
+        }
         double mf = 0.9;
         if (const std::string* v = get(a, "-m", "--min-freq"))
             if (!parse_float01(*v, mf)) fallback();
@@ -262,11 +298,23 @@ int main(int argc, char** argv) {
         set_threads(a);
         const std::string* o = get(a, "-o");
         banner();
-        if (ska_host_align(a.pos[0].c_str(), o ? o->c_str() : "-", mf, mode,
-                           get(a, "--filter-ambig-as-missing") != nullptr,
-                           get(a, "--ambig-mask") != nullptr,
-                           get(a, "--no-gap-only-sites") != nullptr) != 0)
-            fallback();
+        long long rc_a;
+        if (implicit) {
+            rc_a = ska_host_align_fasta(
+                (const uint8_t*)bpaths.data(), (long long)bpaths.size(),
+                (const uint8_t*)bnames.data(), (long long)bnames.size(),
+                (long long)a.pos.size(), o ? o->c_str() : "-", mf, mode,
+                get(a, "--filter-ambig-as-missing") != nullptr,
+                get(a, "--ambig-mask") != nullptr,
+                get(a, "--no-gap-only-sites") != nullptr);
+        } else {
+            rc_a = ska_host_align(
+                a.pos[0].c_str(), o ? o->c_str() : "-", mf, mode,
+                get(a, "--filter-ambig-as-missing") != nullptr,
+                get(a, "--ambig-mask") != nullptr,
+                get(a, "--no-gap-only-sites") != nullptr);
+        }
+        if (rc_a != 0) fallback();
         footer_exit(start);
     }
 
@@ -316,8 +364,14 @@ int main(int argc, char** argv) {
                     {"--threads", true}},
                    a))
             fallback();
-        if (a.pos.size() != 2) fallback();  // reference + exactly one .skf
-        if (first_byte_is(a.pos[1], '>')) fallback();  // implicit build
+        if (a.pos.size() < 2) fallback();  // reference + input(s)
+        bool implicit = a.pos.size() > 2;
+        std::string bpaths, bnames;
+        if (implicit) {
+            if (!fasta_blobs(a.pos, 1, bpaths, bnames)) fallback();
+        } else if (first_byte_is(a.pos[1], '>')) {
+            fallback();  // single FASTA input: python raises
+        }
         int vcf = 0;
         if (const std::string* v = get(a, "-f", "--format")) {
             if (*v == "vcf") vcf = 1;
@@ -327,11 +381,22 @@ int main(int argc, char** argv) {
         set_threads(a);
         const std::string* o = get(a, "-o");
         banner();
-        if (ska_host_map(a.pos[0].c_str(), a.pos[1].c_str(),
-                         o ? o->c_str() : "-", vcf,
-                         get(a, "--ambig-mask") != nullptr,
-                         get(a, "--repeat-mask") != nullptr) != 0)
-            fallback();
+        long long rc_m;
+        if (implicit) {
+            rc_m = ska_host_map_fasta(
+                a.pos[0].c_str(), (const uint8_t*)bpaths.data(),
+                (long long)bpaths.size(), (const uint8_t*)bnames.data(),
+                (long long)bnames.size(), (long long)(a.pos.size() - 1),
+                o ? o->c_str() : "-", vcf,
+                get(a, "--ambig-mask") != nullptr,
+                get(a, "--repeat-mask") != nullptr);
+        } else {
+            rc_m = ska_host_map(a.pos[0].c_str(), a.pos[1].c_str(),
+                                o ? o->c_str() : "-", vcf,
+                                get(a, "--ambig-mask") != nullptr,
+                                get(a, "--repeat-mask") != nullptr);
+        }
+        if (rc_m != 0) fallback();
         footer_exit(start);
     }
 

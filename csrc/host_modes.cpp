@@ -35,6 +35,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <functional>
 #include <new>
 #include <string>
 #include <thread>
@@ -551,12 +552,9 @@ extern "C" {
 // `ska align`: filters + unwrapped FASTA (api.py:94-107). 0 ok; nonzero
 // = fall back to the python route. min_freq threshold = ceil(S * f)
 // (generic_modes.rs:112-131).
-static long long host_align_impl(
-    const char* skf_path, const char* out_path, double min_freq, int mode,
-    int ambig_as_missing, int ambig_mask, int ignore_const_gaps) {
-    if (mode < 0 || mode > 3) return -1;
-    HostArray a;
-    if (load_skf(skf_path, a) != 0) return -1;
+static long long align_core(HostArray& a, const char* out_path,
+                            double min_freq, int mode, int ambig_as_missing,
+                            int ambig_mask, int ignore_const_gaps) {
     if (ambig_as_missing) update_counts(a, true);
     int64_t threshold = (int64_t)ceil((double)a.S * min_freq);
     filter_rows(a, threshold, mode, ignore_const_gaps != 0);
@@ -592,6 +590,16 @@ static long long host_align_impl(
     if (out != stdout) fclose(out);
     else fflush(out);
     return 0;
+}
+
+static long long host_align_impl(
+    const char* skf_path, const char* out_path, double min_freq, int mode,
+    int ambig_as_missing, int ambig_mask, int ignore_const_gaps) {
+    if (mode < 0 || mode > 3) return -1;
+    HostArray a;
+    if (load_skf(skf_path, a) != 0) return -1;
+    return align_core(a, out_path, min_freq, mode, ambig_as_missing,
+                      ambig_mask, ignore_const_gaps);
 }
 
 // `ska distance` (api.py:131-145). filt_ambig = NOT --allow-ambiguous.
@@ -1064,6 +1072,11 @@ long long ska_host_distance(const char* skf_path, const char* out_path,
 // (skanative.cpp) -> aln records or VCF. vcf: 0 = aln, 1 = vcf. 0 ok;
 // nonzero = fall back to python (incl. the zero-hit case, where the
 // python route raises the reference's "No split k-mers mapped" error).
+static long long map_core(HostArray& a, const char* ref_path,
+                          const char* out_path, int vcf, int ambig_mask,
+                          int repeat_mask,
+                          const std::function<void(const char*)>& lap);
+
 static long long host_map_impl(const char* ref_path, const char* skf_path,
                                const char* out_path, int vcf,
                                int ambig_mask, int repeat_mask) {
@@ -1079,6 +1092,14 @@ static long long host_map_impl(const char* ref_path, const char* skf_path,
     HostArray a;
     if (load_skf(skf_path, a, /*want_keys=*/true) != 0) return -1;
     lap("load_skf");
+    return map_core(a, ref_path, out_path, vcf, ambig_mask, repeat_mask,
+                    lap);
+}
+
+static long long map_core(HostArray& a, const char* ref_path,
+                          const char* out_path, int vcf, int ambig_mask,
+                          int repeat_mask,
+                          const std::function<void(const char*)>& lap) {
     if (!a.have_keys || a.n <= 0 || a.n > 0x7fffffffLL) return -1;
     if (a.k < 5 || a.k > 63 || (a.k & 1) == 0) return -1;
     const int W = a.k <= 31 ? 1 : 2;
@@ -1664,6 +1685,100 @@ long long ska_host_weed(const char* skf_path, const char* weed_fa,
         return host_weed_impl(skf_path, weed_fa, reverse, min_freq, mode,
                               ambig_as_missing, ambig_mask,
                               ignore_const_gaps, out_path);
+    } catch (...) {
+        return -3;
+    }
+}
+
+// Implicit build (io_utils.rs:60-93 / api.py load_array): a multi-FASTA
+// input list to `ska align` / `ska map` builds an in-memory array with
+// DEFAULTS (k=31, both strands) and never touches disk. paths/names are
+// NUL-separated blobs; any parse failure or empty sample declines.
+static long long build_to_array(const uint8_t* paths_blob,
+                                long long paths_len,
+                                const uint8_t* names_blob,
+                                long long names_len, long long n_files,
+                                HostArray& a) {
+    if (n_files < 2 || n_files > 0x7FFFFFFF) return -1;
+    auto paths = split_blob(paths_blob, paths_len, n_files);
+    auto names = split_blob(names_blob, names_len, n_files);
+    std::vector<std::vector<uint8_t>> batches((size_t)n_files);
+    std::vector<const uint8_t*> ptrs((size_t)n_files);
+    std::vector<long long> lens((size_t)n_files);
+    for (long long i = 0; i < n_files; i++) {
+        std::string p(paths[i].first, paths[i].second);
+        if (!parse_fasta(p.c_str(), batches[i])) return -1;
+        ptrs[i] = batches[i].data();
+        lens[i] = (long long)batches[i].size();
+    }
+    const int k = 31;  // DEFAULT_KMER; implicit builds always use defaults
+    long long R = ska_host_build((int)n_files, ptrs.data(), lens.data(),
+                                 k, /*rc=*/1);
+    if (R <= 0) return -1;
+    const uint8_t* var = ska_host_build_variants_ptr();
+    const uint64_t* keys = ska_host_build_keys_ptr();
+    const int64_t* counts = ska_host_build_counts_ptr();
+    std::vector<uint8_t> present((size_t)n_files, 0);
+    for (long long r_i = 0; r_i < R; r_i++) {
+        const uint8_t* row = var + (size_t)r_i * n_files;
+        for (long long s = 0; s < n_files; s++) present[s] |= row[s] != '-';
+    }
+    for (long long s = 0; s < n_files; s++)
+        if (!present[s]) { ska_host_build_release(); return -1; }
+    try {
+        a.n = R;
+        a.S = (int)n_files;
+        a.W = 1;
+        a.k = k;
+        a.k_bits = 64;
+        a.rc = 1;
+        a.have_keys = true;
+        a.keys_sorted = true;  // the build engine emits sorted rows
+        a.keys.assign(keys, keys + (size_t)R);
+        a.variants.assign(var, var + (size_t)R * n_files);
+        a.counts.assign(counts, counts + (size_t)R);
+        for (long long i = 0; i < n_files; i++)
+            a.names.emplace_back(names[i].first, names[i].second);
+    } catch (const std::bad_alloc&) {
+        ska_host_build_release();
+        return -1;
+    }
+    ska_host_build_release();
+    return 0;
+}
+
+long long ska_host_align_fasta(const uint8_t* paths_blob,
+                               long long paths_len,
+                               const uint8_t* names_blob,
+                               long long names_len, long long n_files,
+                               const char* out_path, double min_freq,
+                               int mode, int ambig_as_missing,
+                               int ambig_mask, int ignore_const_gaps) {
+    try {
+        if (mode < 0 || mode > 3) return -1;
+        HostArray a;
+        if (build_to_array(paths_blob, paths_len, names_blob, names_len,
+                           n_files, a) != 0)
+            return -1;
+        return align_core(a, out_path, min_freq, mode, ambig_as_missing,
+                          ambig_mask, ignore_const_gaps);
+    } catch (...) {
+        return -3;
+    }
+}
+
+long long ska_host_map_fasta(const char* ref_path,
+                             const uint8_t* paths_blob, long long paths_len,
+                             const uint8_t* names_blob, long long names_len,
+                             long long n_files, const char* out_path,
+                             int vcf, int ambig_mask, int repeat_mask) {
+    try {
+        HostArray a;
+        if (build_to_array(paths_blob, paths_len, names_blob, names_len,
+                           n_files, a) != 0)
+            return -1;
+        return map_core(a, ref_path, out_path, vcf, ambig_mask, repeat_mask,
+                        [](const char*) {});
     } catch (...) {
         return -3;
     }

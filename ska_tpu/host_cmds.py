@@ -71,6 +71,19 @@ def _load():
             ctypes.c_char_p, ctypes.c_longlong, ctypes.c_longlong,
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_longlong,
         ]
+        lib.ska_host_align_fasta.restype = ctypes.c_longlong
+        lib.ska_host_align_fasta.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_char_p,
+            ctypes.c_longlong, ctypes.c_longlong, ctypes.c_char_p,
+            ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.ska_host_map_fasta.restype = ctypes.c_longlong
+        lib.ska_host_map_fasta.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
     except AttributeError:
         pass
     try:  # absent in older builds of the .so: build falls back to python
@@ -120,6 +133,25 @@ def _build_inputs(args):
     return out
 
 
+def _fasta_blobs(input_list):
+    """NUL-separated (names, paths) for an all-plain-FASTA list of >= 2
+    files (the implicit-build gate, api.load_array); None to decline."""
+    if len(input_list) < 2:
+        return None
+    names = []
+    for p in input_list:
+        m = _RE_PATH.match(p) or _RE_NAME.match(p)
+        names.append(m.group(1) if m else p)
+        try:
+            with open(p, "rb") as f:
+                if f.read(1) != b">":
+                    return None  # FASTQ / gz / .skf mixed in: python route
+        except OSError:
+            return None
+    return (b"\x00".join(n.encode() for n in names),
+            b"\x00".join(p.encode() for p in input_list))
+
+
 def _eligible(args):
     """Native route only on the pinned host backend, single-process,
     unless disabled; device runs keep the accelerator pipeline."""
@@ -145,13 +177,24 @@ def try_run(cmd, args) -> bool:
     out = (getattr(args, "output", None) or "-").encode()
     try:
         if cmd == "align":
-            if len(args.input) != 1:
-                return False  # implicit build from FASTA: python path
             mode = _FILTER_MODE.get(args.filter)
             if mode is None:
                 return False
-            rc = lib.ska_host_align(
-                args.input[0].encode(), out, float(args.min_freq), mode,
+            if len(args.input) == 1:
+                rc = lib.ska_host_align(
+                    args.input[0].encode(), out, float(args.min_freq), mode,
+                    int(bool(args.filter_ambig_as_missing)),
+                    int(bool(args.ambig_mask)),
+                    int(bool(args.no_gap_only_sites)),
+                )
+                return rc == 0
+            blobs = _fasta_blobs(args.input)
+            if blobs is None:
+                return False  # FASTQ/gz cohorts: python pipeline
+            names, paths = blobs
+            rc = lib.ska_host_align_fasta(
+                paths, len(paths), names, len(names), len(args.input), out,
+                float(args.min_freq), mode,
                 int(bool(args.filter_ambig_as_missing)),
                 int(bool(args.ambig_mask)),
                 int(bool(args.no_gap_only_sites)),
@@ -164,21 +207,31 @@ def try_run(cmd, args) -> bool:
             )
             return rc == 0
         if cmd == "map":
-            if len(args.input) != 1:
-                return False  # implicit build from FASTA list: python path
-            try:
-                with open(args.input[0], "rb") as f:
-                    if f.read(1) == b">":
-                        return False  # FASTA input (implicit build)
-            except OSError:
-                return False
             # the engine's pthread pools read SKA_THREADS; an explicit
             # --threads wins over an inherited value (cli.py contract,
             # normally applied after this fast-path would have returned)
             if args.threads is not None:
                 os.environ["SKA_THREADS"] = str(args.threads)
-            rc = lib.ska_host_map(
-                args.reference.encode(), args.input[0].encode(), out,
+            if len(args.input) == 1:
+                try:
+                    with open(args.input[0], "rb") as f:
+                        if f.read(1) == b">":
+                            return False  # single FASTA: python raises
+                except OSError:
+                    return False
+                rc = lib.ska_host_map(
+                    args.reference.encode(), args.input[0].encode(), out,
+                    int(args.format == "vcf"), int(bool(args.ambig_mask)),
+                    int(bool(args.repeat_mask)),
+                )
+                return rc == 0
+            blobs = _fasta_blobs(args.input)
+            if blobs is None:
+                return False
+            names, paths = blobs
+            rc = lib.ska_host_map_fasta(
+                args.reference.encode(), paths, len(paths), names,
+                len(names), len(args.input), out,
                 int(args.format == "vcf"), int(bool(args.ambig_mask)),
                 int(bool(args.repeat_mask)),
             )

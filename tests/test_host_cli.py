@@ -69,6 +69,12 @@ CASES = [
       f"{REF_IN}/merge_k9.skf", "-f", "vcf", "--repeat-mask"], True),
     (["map", f"{REF_IN}/test_ref.fa", f"{REF_IN}/merge_k41.skf",
       "--ambig-mask"], True),
+    # implicit build from a plain-FASTA list (io_utils.rs:60-93)
+    (["align", f"{REF_IN}/test_1.fa", f"{REF_IN}/test_2.fa"], True),
+    (["map", f"{REF_IN}/test_ref.fa", f"{REF_IN}/test_1.fa",
+      f"{REF_IN}/test_2.fa"], True),
+    (["map", f"{REF_IN}/test_ref.fa", f"{REF_IN}/test_1.fa",
+      f"{REF_IN}/test_2.fa", "-f", "vcf"], True),
     (["nk", f"{REF_IN}/merge.skf"], True),
     (["nk", f"{REF_IN}/merge_k41.skf", "--full-info"], True),
     (["nk", f"{REF_IN}/multidist.skf", "--full-info"], True),
