@@ -192,6 +192,74 @@ static void scan(const uint8_t* seq, long long L, int k, bool rc_on, F&& cb) {
     }
 }
 
+// FASTQ variant of scan(): per-base PHRED+33 quality gates
+// (split_kmer.rs:66-71,99-100,156-157 via the python pipeline's exact
+// semantics, ops/pipeline.py sample_pipeline):
+//   * qual_ok = (q - 33) > min_qual STRICTLY, or q == 0xFF (a record
+//     with no quality in a mixed batch always passes)
+//   * strict (qf_mode 2): a failing base INVALIDATES the window like an
+//     N; middle (1) and strict additionally gate EMISSION on the middle
+//     base's quality; nofilter (0) ignores quality entirely
+// cb receives (split_key, set, whole_canonical_key) — the whole-k-mer
+// key feeds the per-sample min-count filter.
+template <class K, class F>
+static void scan_fastq(const uint8_t* seq, const uint8_t* qual, long long L,
+                       int k, bool rc_on, int qf_mode, int min_qual,
+                       F&& cb) {
+    const int h = (k - 1) / 2;
+    const K one = 1;
+    const K kmask = (2 * k >= (int)sizeof(K) * 8)
+                        ? (K)~(K)0
+                        : ((one << (unsigned)(2 * k)) - 1);
+    const K lowmask = (one << (unsigned)(2 * h)) - 1;
+    const bool strict = qf_mode == 2;
+    const bool midq = qf_mode >= 1;
+    K fwd = 0, rcw = 0;
+    long long have = 0;
+    auto qok = [qual, min_qual](long long i) {
+        uint8_t q = qual[i];
+        return q == 0xFF || (int)q - 33 > min_qual;
+    };
+    for (long long i = 0; i < L; i++) {
+        uint8_t c = seq[i];
+        bool invalid = (c == 0) || ((c & 0xF) == 14) || (strict && !qok(i));
+        if (invalid) {
+            have = 0;
+            fwd = 0;
+            rcw = 0;
+            continue;
+        }
+        K code = (K)((c >> 1) & 3);
+        fwd = ((fwd << 2) | code) & kmask;
+        rcw = (rcw >> 2) | ((code ^ (K)2) << (unsigned)(2 * (k - 1)));
+        if (++have < k) continue;
+        if (have == k) {
+            bool rec_last = (i + 1 == L) || seq[i + 1] == 0;
+            if (rec_last) continue;
+        }
+        const long long start = i - k + 1;
+        if (midq && !qok(start + h)) continue;  // middle-base quality gate
+        K fkey = ((fwd >> (unsigned)(2 * (h + 1))) << (unsigned)(2 * h)) |
+                 (fwd & lowmask);
+        uint8_t fmid = (uint8_t)((fwd >> (unsigned)(2 * h)) & 3);
+        K whole = (rc_on && rcw < fwd) ? rcw : fwd;
+        if (rc_on) {
+            K rkey = ((rcw >> (unsigned)(2 * (h + 1))) << (unsigned)(2 * h)) |
+                     (rcw & lowmask);
+            if (rkey < fkey) {
+                cb(rkey, (uint8_t)(1u << (fmid ^ 2)), whole);
+            } else if (rkey == fkey) {
+                cb(fkey, (uint8_t)((1u << fmid) | (1u << (fmid ^ 2))),
+                   whole);
+            } else {
+                cb(fkey, (uint8_t)(1u << fmid), whole);
+            }
+        } else {
+            cb(fkey, (uint8_t)(1u << fmid), whole);
+        }
+    }
+}
+
 // smallest power-of-two table that keeps n entries under 0.75 load
 static size_t presize_for(long long n) {
     size_t want = 1 << 12;
@@ -203,7 +271,11 @@ static size_t presize_for(long long n) {
 
 template <class K>
 static long long build_impl(int n_samples, const uint8_t** seqs,
-                            const long long* lens, int k, bool rc, int W) {
+                            const long long* lens, int k, bool rc, int W,
+                            const uint8_t** quals = nullptr,
+                            const uint8_t* is_reads = nullptr,
+                            int qf_mode = 0, int min_qual = 20,
+                            uint32_t min_count = 1) {
     // presize from the genome length: distinct split k-mers are bounded
     // by the window count, and growing a multi-MB map through doublings
     // costs more random re-inserts than the original insert stream
@@ -234,8 +306,7 @@ static long long build_impl(int n_samples, const uint8_t** seqs,
             if (!v) { oom = true; return; }
             *v |= set;
         };
-        scan<K>(seqs[s], lens[s], k, rc,
-                [&](K key, uint8_t set, long long, bool) {
+        auto enqueue = [&](K key, uint8_t set) {
             if (oom) return;
             if (rcnt == RD) {
                 insert(rk[rh], rs[rh]);
@@ -247,7 +318,34 @@ static long long build_impl(int n_samples, const uint8_t** seqs,
             rk[tpos] = key;
             rs[tpos] = set;
             rcnt++;
-        });
+        };
+        const bool sample_reads =
+            quals && quals[s] && is_reads && is_reads[s];
+        if (sample_reads) {
+            // FASTQ sample: quality gates + the per-sample whole-k-mer
+            // min-count filter (ops/pipeline.py sample_pipeline: every
+            // occurrence of one whole k-mer yields the SAME (split, set)
+            // pair, so inserting exactly the min_count-th occurrence
+            // reproduces the rank filter's dictionary bit for bit)
+            Map<K> wcount(min_count > 1 ? presize_for(lens[s]) : (1 << 12));
+            if (wcount.oom) return -2;
+            scan_fastq<K>(seqs[s], quals[s], lens[s], k, rc, qf_mode,
+                          min_qual, [&](K key, uint8_t set, K whole) {
+                if (oom) return;
+                if (min_count > 1) {
+                    bool fresh;
+                    uint32_t* c = wcount.slot(whole, &fresh);
+                    if (!c) { oom = true; return; }
+                    if (++*c != min_count) return;
+                }
+                enqueue(key, set);
+            });
+        } else {
+            scan<K>(seqs[s], lens[s], k, rc,
+                    [&](K key, uint8_t set, long long, bool) {
+                enqueue(key, set);
+            });
+        }
         for (; rcnt && !oom; rcnt--, rh = (rh + 1) & (RD - 1))
             insert(rk[rh], rs[rh]);
         if (oom || dict.oom) return -2;
@@ -424,6 +522,26 @@ long long ska_host_build(int n_samples, const uint8_t** seqs,
     if (n_samples <= 0 || k < 5 || k > 63 || (k & 1) == 0) return -1;
     if (k <= 31) return build_impl<uint64_t>(n_samples, seqs, lens, k, rc != 0, 1);
     return build_impl<u128>(n_samples, seqs, lens, k, rc != 0, 2);
+}
+
+// FASTQ-capable build: quals[s] = PHRED+33 bytes aligned with seqs[s]
+// (0xFF = no-quality record positions), or NULL for a FASTA sample;
+// is_reads[s] selects the quality/count machinery per sample. qf_mode:
+// 0 nofilter, 1 middle, 2 strict (constants.py QUAL_FILTER order).
+long long ska_host_build_fastq(int n_samples, const uint8_t** seqs,
+                               const long long* lens,
+                               const uint8_t** quals,
+                               const uint8_t* is_reads, int k, int rc,
+                               int qf_mode, int min_qual,
+                               unsigned min_count) {
+    if (n_samples <= 0 || k < 5 || k > 63 || (k & 1) == 0) return -1;
+    if (qf_mode < 0 || qf_mode > 2) return -1;
+    if (k <= 31)
+        return build_impl<uint64_t>(n_samples, seqs, lens, k, rc != 0, 1,
+                                    quals, is_reads, qf_mode, min_qual,
+                                    min_count);
+    return build_impl<u128>(n_samples, seqs, lens, k, rc != 0, 2, quals,
+                            is_reads, qf_mode, min_qual, min_count);
 }
 
 void ska_host_build_keys(uint64_t* out) {

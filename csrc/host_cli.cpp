@@ -63,6 +63,12 @@ long long ska_host_build_files(const char* out_path,
                                long long n_files, const uint8_t* names_blob,
                                long long names_len, int k, int rc,
                                const uint8_t* version, long long version_len);
+long long ska_host_build_files2(
+    const char* out_path, const uint8_t* p1_blob, long long p1_len,
+    const uint8_t* p2_blob, long long p2_len, long long n_files,
+    const uint8_t* names_blob, long long names_len, int k, int rc,
+    int qf_mode, int min_qual, long long min_count,
+    const uint8_t* version, long long version_len);
 }
 
 // keep in sync with ska_tpu/__init__.py __version__ (the .skf
@@ -555,9 +561,34 @@ int main(int argc, char** argv) {
                 fallback();  // python prints the canonical validator error
         }
         set_threads(a);
-        // input list: positionals, or a 2-column file list (3-column
-        // FASTQ pairs decline to python — host_cmds.py _build_inputs)
-        std::vector<std::pair<std::string, std::string>> inputs;
+        // quality/count flags (FASTA cohorts ignore them, exactly like
+        // the python native-build route)
+        long long mc = 5;  // DEFAULT_MINCOUNT
+        if (const std::string* v = get(a, "--min-count")) {
+            char* end = nullptr;
+            mc = strtoll(v->c_str(), &end, 10);
+            // "auto" fits the coverage model: python pipeline
+            if (!end || *end != 0 || mc < 1) fallback();
+        }
+        long mq = 20;  // DEFAULT_MINQUAL
+        if (const std::string* v = get(a, "--min-qual")) {
+            char* end = nullptr;
+            mq = strtol(v->c_str(), &end, 10);
+            if (!end || *end != 0) fallback();
+        }
+        int qf = 2;  // strict default
+        if (const std::string* v = get(a, "--qual-filter")) {
+            if (*v == "no-filter") qf = 0;
+            else if (*v == "middle") qf = 1;
+            else if (*v == "strict") qf = 2;
+            else fallback();
+        }
+        // input list: positionals (single files), or a 2/3-column file
+        // list (3 columns = FASTQ pair, io_utils.rs:116-146)
+        struct In {
+            std::string name, f1, f2;
+        };
+        std::vector<In> inputs;
         if (const std::string* fl = get(a, "-f")) {
             if (!a.pos.empty()) fallback();  // ambiguous: python decides
             FILE* f = fopen(fl->c_str(), "rb");
@@ -575,8 +606,12 @@ int main(int argc, char** argv) {
                     if (i > b) fields.push_back(line.substr(b, i - b));
                 }
                 if (fields.empty()) return true;
-                if (fields.size() != 2) return false;
-                inputs.emplace_back(fields[0], fields[1]);
+                if (fields.size() == 2)
+                    inputs.push_back({fields[0], fields[1], ""});
+                else if (fields.size() == 3)
+                    inputs.push_back({fields[0], fields[1], fields[2]});
+                else
+                    return false;
                 return true;
             };
             bool ok = true;
@@ -592,33 +627,48 @@ int main(int argc, char** argv) {
             fclose(f);
             if (!ok) fallback();
         } else {
-            for (auto& p : a.pos) inputs.emplace_back(sample_name(p), p);
+            for (auto& p : a.pos) inputs.push_back({sample_name(p), p, ""});
         }
         if (inputs.empty()) fallback();
-        for (auto& np : inputs)
-            if (!first_byte_is(np.second, '>')) fallback();  // FASTQ/gz
+        bool all_fasta = true;
+        for (auto& in : inputs)
+            all_fasta &= in.f2.empty() && first_byte_is(in.f1, '>');
         std::string out_path = *o;
         if (out_path.size() < 4 ||
             out_path.compare(out_path.size() - 4, 4, ".skf") != 0)
             out_path += ".skf";
-        std::string paths, names;
+        std::string p1, p2, names;
         for (size_t i = 0; i < inputs.size(); i++) {
             if (i) {
-                paths.push_back('\0');
+                p1.push_back('\0');
+                p2.push_back('\0');
                 names.push_back('\0');
             }
-            names += inputs[i].first;
-            paths += inputs[i].second;
+            names += inputs[i].name;
+            p1 += inputs[i].f1;
+            p2 += inputs[i].f2;
         }
         banner();
-        if (ska_host_build_files(
-                out_path.c_str(), (const uint8_t*)paths.data(),
-                (long long)paths.size(), (long long)inputs.size(),
+        long long rc_b;
+        if (all_fasta) {
+            rc_b = ska_host_build_files(
+                out_path.c_str(), (const uint8_t*)p1.data(),
+                (long long)p1.size(), (long long)inputs.size(),
                 (const uint8_t*)names.data(), (long long)names.size(),
                 (int)k, get(a, "--single-strand") == nullptr,
                 (const uint8_t*)SKA_VERSION,
-                (long long)strlen(SKA_VERSION)) != 0)
-            fallback();
+                (long long)strlen(SKA_VERSION));
+        } else {
+            rc_b = ska_host_build_files2(
+                out_path.c_str(), (const uint8_t*)p1.data(),
+                (long long)p1.size(), (const uint8_t*)p2.data(),
+                (long long)p2.size(), (long long)inputs.size(),
+                (const uint8_t*)names.data(), (long long)names.size(),
+                (int)k, get(a, "--single-strand") == nullptr, qf,
+                (int)mq, mc, (const uint8_t*)SKA_VERSION,
+                (long long)strlen(SKA_VERSION));
+        }
+        if (rc_b != 0) fallback();
         footer_exit(start);
     }
 

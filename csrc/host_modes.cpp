@@ -38,6 +38,7 @@
 #include <functional>
 #include <new>
 #include <string>
+#include <zlib.h>
 #include <thread>
 #include <vector>
 
@@ -1003,6 +1004,147 @@ static bool parse_fasta_named(const char* path,
     return !seqs.empty();
 }
 
+// whole-buffer gunzip (1f 8b magic); false on any zlib error
+static bool gunzip_buf(const std::vector<uint8_t>& in,
+                       std::vector<uint8_t>& out) {
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    if (inflateInit2(&zs, 16 + MAX_WBITS) != Z_OK) return false;
+    out.clear();
+    try {
+        out.resize(in.size() * 4 + (1 << 16));
+    } catch (const std::bad_alloc&) {
+        inflateEnd(&zs);
+        return false;
+    }
+    zs.next_in = (Bytef*)in.data();
+    zs.avail_in = (uInt)in.size();
+    size_t opos = 0;
+    for (;;) {
+        zs.next_out = out.data() + opos;
+        zs.avail_out = (uInt)(out.size() - opos);
+        int r = inflate(&zs, Z_NO_FLUSH);
+        opos = out.size() - zs.avail_out;
+        if (r == Z_STREAM_END) {
+            // concatenated gzip members (gzip.py handles them): restart
+            if (zs.avail_in == 0) break;
+            if (inflateReset2(&zs, 16 + MAX_WBITS) != Z_OK) {
+                inflateEnd(&zs);
+                return false;
+            }
+            continue;
+        }
+        if (r != Z_OK && r != Z_BUF_ERROR) {
+            inflateEnd(&zs);
+            return false;
+        }
+        if (zs.avail_out == 0) {
+            try {
+                out.resize(out.size() * 2);
+            } catch (const std::bad_alloc&) {
+                inflateEnd(&zs);
+                return false;
+            }
+        } else if (r == Z_BUF_ERROR) {
+            inflateEnd(&zs);
+            return false;  // truncated stream
+        }
+    }
+    inflateEnd(&zs);
+    out.resize(opos);
+    return true;
+}
+
+// parse one FASTA/FASTQ file (plain or gz) and APPEND its records'
+// (seq, qual) pairs; FASTA records fill qual with 0xFF (always-pass,
+// fastx.py build_batch). Mirrors io/fastx.py read_fastx exactly; any
+// malformed record or seq/qual length mismatch declines.
+static bool parse_fastx_records(
+    const char* path, std::vector<std::vector<uint8_t>>& seqs,
+    std::vector<std::vector<uint8_t>>& quals, bool& is_fastq_first,
+    bool set_format) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return false;
+    fseek(f, 0, SEEK_END);
+    long sz = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    if (sz <= 0) { fclose(f); return false; }
+    std::vector<uint8_t> raw;
+    try {
+        raw.resize((size_t)sz);
+    } catch (const std::bad_alloc&) {
+        fclose(f);
+        return false;
+    }
+    if (fread(raw.data(), 1, (size_t)sz, f) != (size_t)sz) {
+        fclose(f);
+        return false;
+    }
+    fclose(f);
+    std::vector<uint8_t> inflated;
+    if (raw.size() >= 2 && raw[0] == 0x1F && raw[1] == 0x8B) {
+        if (!gunzip_buf(raw, inflated)) return false;
+        raw.swap(inflated);
+        if (raw.empty()) return false;
+    }
+    if (raw[0] == '>') {
+        if (set_format) is_fastq_first = false;
+        size_t i = 0, n = raw.size();
+        bool any = false;
+        while (i < n) {
+            if (raw[i] == '>') {
+                while (i < n && raw[i] != '\n') i++;
+                if (i < n) i++;
+                seqs.emplace_back();
+                quals.emplace_back();  // filled with 0xFF at batch time
+                any = true;
+            } else {
+                if (seqs.empty()) return false;
+                while (i < n && raw[i] != '\n') {
+                    if (raw[i] != '\r') seqs.back().push_back(raw[i]);
+                    i++;
+                }
+                if (i < n) i++;
+            }
+        }
+        return any;
+    }
+    if (raw[0] != '@') return false;
+    if (set_format) is_fastq_first = true;
+    // 4-line FASTQ records (read_fastx: strict @ check, \r-stripped)
+    size_t i = 0;
+    const size_t n = raw.size();
+    bool any = false;
+    auto read_line = [&](std::vector<uint8_t>* dst) -> bool {
+        size_t b = i;
+        while (i < n && raw[i] != '\n') i++;
+        size_t e = i;
+        if (e > b && raw[e - 1] == '\r') e--;
+        if (dst) dst->assign(raw.begin() + b, raw.begin() + e);
+        bool had = i < n || e > b;
+        if (i < n) i++;
+        return had;
+    };
+    while (i < n) {
+        std::vector<uint8_t> hdr;
+        if (!read_line(&hdr)) break;
+        if (hdr.empty()) break;
+        if (hdr[0] != '@') return false;
+        std::vector<uint8_t> s, plus, q;
+        if (!read_line(&s)) return false;
+        if (!read_line(&plus)) return false;
+        if (!read_line(&q)) return false;
+        if (q.size() != s.size()) return false;  // misaligned: python route
+        // 0xFF is the no-qual sentinel; a real PHRED byte can't be 0xFF
+        for (uint8_t qb : q)
+            if (qb == 0xFF) return false;
+        seqs.push_back(std::move(s));
+        quals.push_back(std::move(q));
+        any = true;
+    }
+    return any;
+}
+
 }  // namespace
 
 extern "C" {
@@ -1014,6 +1156,12 @@ const uint64_t* ska_host_build_keys_ptr();
 const uint8_t* ska_host_build_variants_ptr();
 const int64_t* ska_host_build_counts_ptr();
 
+long long ska_host_build_fastq(int n_samples, const uint8_t** seqs,
+                               const long long* lens,
+                               const uint8_t** quals,
+                               const uint8_t* is_reads, int k, int rc,
+                               int qf_mode, int min_qual,
+                               unsigned min_count);
 // host_build.cpp: positional ref scan + fused lookup/gather (ska map)
 long long ska_host_ref_scan(const uint8_t* seq, long long L, int k, int rc);
 void ska_host_ref_scan_release();
@@ -2011,6 +2159,93 @@ long long ska_host_save(const char* path, const uint64_t* keys,
 // reference panics on an empty sample, ska_dict.rs:374-376; we decline
 // so the python route raises its exact error), and write the .skf.
 // 0 ok; nonzero = caller falls back to the python pipeline.
+// FASTQ-capable cohort build: per sample one or two files (p2 entry
+// empty = single), plain or gzipped, FASTA or FASTQ (is_reads = first
+// file's format, ska_dict.rs:357-366); quality modes + min-count as in
+// the device pipeline. Writes the .skf; nonzero = python route.
+long long ska_host_build_files2(
+    const char* out_path, const uint8_t* p1_blob, long long p1_len,
+    const uint8_t* p2_blob, long long p2_len, long long n_files,
+    const uint8_t* names_blob, long long names_len, int k, int rc,
+    int qf_mode, int min_qual, long long min_count,
+    const uint8_t* version, long long version_len) {
+    if (n_files <= 0 || n_files > 0x7FFFFFFF) return -1;
+    if (min_count < 1 || min_count > 0x7FFFFFFF) return -1;
+    try {
+        auto p1 = split_blob(p1_blob, p1_len, n_files);
+        auto p2 = split_blob(p2_blob, p2_len, n_files);
+        auto names = split_blob(names_blob, names_len, n_files);
+        std::vector<std::vector<uint8_t>> bseq((size_t)n_files);
+        std::vector<std::vector<uint8_t>> bqual((size_t)n_files);
+        std::vector<uint8_t> reads((size_t)n_files, 0);
+        for (long long s = 0; s < n_files; s++) {
+            std::vector<std::vector<uint8_t>> rs, rq;
+            bool is_fq = false;
+            std::string f1(p1[s].first, p1[s].second);
+            if (!parse_fastx_records(f1.c_str(), rs, rq, is_fq, true))
+                return -1;
+            if (p2[s].second) {
+                std::string f2(p2[s].first, p2[s].second);
+                bool dummy = false;
+                if (!parse_fastx_records(f2.c_str(), rs, rq, dummy, false))
+                    return -1;
+            }
+            reads[s] = is_fq ? 1 : 0;
+            // flat batch: records 0x00-separated, qual aligned
+            // (fastx.py build_batch; FASTA records fill 0xFF)
+            size_t total = 0;
+            for (auto& r : rs) total += r.size() + 1;
+            if (total) total -= 1;
+            bseq[s].reserve(total);
+            bqual[s].reserve(total);
+            for (size_t r = 0; r < rs.size(); r++) {
+                if (r) {
+                    bseq[s].push_back(0);
+                    bqual[s].push_back(0);
+                }
+                bseq[s].insert(bseq[s].end(), rs[r].begin(), rs[r].end());
+                if (rq[r].empty() && !rs[r].empty()) {
+                    bqual[s].resize(bqual[s].size() + rs[r].size(), 0xFF);
+                } else {
+                    bqual[s].insert(bqual[s].end(), rq[r].begin(),
+                                    rq[r].end());
+                }
+            }
+        }
+        std::vector<const uint8_t*> sp((size_t)n_files),
+            qp((size_t)n_files);
+        std::vector<long long> lens((size_t)n_files);
+        for (long long s = 0; s < n_files; s++) {
+            sp[s] = bseq[s].data();
+            qp[s] = bqual[s].data();
+            lens[s] = (long long)bseq[s].size();
+        }
+        long long R = ska_host_build_fastq(
+            (int)n_files, sp.data(), lens.data(), qp.data(), reads.data(),
+            k, rc, qf_mode, min_qual, (unsigned)min_count);
+        if (R <= 0) return -1;
+        const uint8_t* var = ska_host_build_variants_ptr();
+        std::vector<uint8_t> present((size_t)n_files, 0);
+        for (long long r_i = 0; r_i < R; r_i++) {
+            const uint8_t* row = var + (size_t)r_i * n_files;
+            for (long long s = 0; s < n_files; s++)
+                present[s] |= row[s] != '-';
+        }
+        for (long long s = 0; s < n_files; s++)
+            if (!present[s]) { ska_host_build_release(); return -1; }
+        int W = k <= 31 ? 1 : 2;
+        long long rcv = save_impl(
+            out_path, ska_host_build_keys_ptr(), R, W, var, n_files,
+            (const uint64_t*)ska_host_build_counts_ptr(), names, k, rc,
+            version, version_len);
+        ska_host_build_release();
+        return rcv;
+    } catch (...) {
+        ska_host_build_release();
+        return -3;
+    }
+}
+
 long long ska_host_build_files(const char* out_path,
                                const uint8_t* paths_blob,
                                long long paths_len, long long n_files,

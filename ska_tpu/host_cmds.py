@@ -93,6 +93,14 @@ def _load():
             ctypes.c_longlong, ctypes.c_char_p, ctypes.c_longlong,
             ctypes.c_int, ctypes.c_int, ctypes.c_char_p, ctypes.c_longlong,
         ]
+        lib.ska_host_build_files2.restype = ctypes.c_longlong
+        lib.ska_host_build_files2.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_longlong, ctypes.c_char_p,
+            ctypes.c_longlong,
+        ]
     except AttributeError:
         pass
     _lib = lib
@@ -103,6 +111,26 @@ def _build_inputs(args):
     """(name, path) pairs for a plain-FASTA cohort, or None to decline
     (FASTQ, pairs, gz, unreadable). Mirrors fastx.get_input_list /
     read_input_fastas without importing them (numpy)."""
+    trips = _build_inputs_any(args)
+    if trips is None:
+        return None
+    out = []
+    for name, f1, f2 in trips:
+        if f2 is not None:
+            return None
+        try:
+            with open(f1, "rb") as f:
+                if f.read(1) != b">":
+                    return None  # FASTQ / gz / junk
+        except OSError:
+            return None
+        out.append((name, f1))
+    return out
+
+
+def _build_inputs_any(args):
+    """(name, file1, file2-or-None) triples for ANY cohort (FASTA, FASTQ
+    pairs, gz); None only on parse errors. fastx.get_input_list shape."""
     if args.file_list:
         out = []
         try:
@@ -111,26 +139,20 @@ def _build_inputs(args):
                     fields = line.split()
                     if not fields:
                         continue
-                    if len(fields) != 2:
-                        return None  # 3-col fastq pairs / parse errors
-                    out.append((fields[0], fields[1]))
+                    if len(fields) == 2:
+                        out.append((fields[0], fields[1], None))
+                    elif len(fields) == 3:
+                        out.append((fields[0], fields[1], fields[2]))
+                    else:
+                        return None  # python raises the parse error
         except OSError:
             return None
     else:
         out = []
         for p in args.seq_files or []:
             m = _RE_PATH.match(p) or _RE_NAME.match(p)
-            out.append((m.group(1) if m else p, p))
-    if not out:
-        return None
-    for _name, p in out:
-        try:
-            with open(p, "rb") as f:
-                if f.read(1) != b">":
-                    return None  # FASTQ / gz / junk: python route
-        except OSError:
-            return None
-    return out
+            out.append((m.group(1) if m else p, p, None))
+    return out or None
 
 
 def _fasta_blobs(input_list):
@@ -299,21 +321,45 @@ def try_run(cmd, args) -> bool:
             if os.environ.get("SKA_NATIVE_BUILD") == "0":
                 return False  # documented kill switch for native builds
             if args.proportion_reads is not None:
-                return False  # read subsampling is a FASTQ concern
-            inputs = _build_inputs(args)
-            if inputs is None:
-                return False
+                return False  # read subsampling: python pipeline
+            if args.min_count == "auto":
+                return False  # coverage-model fit: python pipeline
             path = args.output
             if not path.endswith(".skf"):
                 path = path + ".skf"
-            names = b"\x00".join(n.encode("utf-8") for n, _p in inputs)
-            paths = b"\x00".join(p.encode("utf-8") for _n, p in inputs)
             from . import __version__
 
             ver = __version__.encode()
-            rc = lib.ska_host_build_files(
-                path.encode(), paths, len(paths), len(inputs), names,
-                len(names), int(args.k), int(not args.single_strand),
+            inputs = _build_inputs(args)
+            if inputs is not None:
+                # pure plain-FASTA cohort: the r4 engine
+                names = b"\x00".join(n.encode("utf-8") for n, _p in inputs)
+                paths = b"\x00".join(p.encode("utf-8") for _n, p in inputs)
+                rc = lib.ska_host_build_files(
+                    path.encode(), paths, len(paths), len(inputs), names,
+                    len(names), int(args.k), int(not args.single_strand),
+                    ver, len(ver),
+                )
+                return rc == 0
+            # FASTQ / gz / paired cohorts: the r5 quality+count engine
+            trips = _build_inputs_any(args)
+            if trips is None or not hasattr(lib, "ska_host_build_files2"):
+                return False
+            qf = {"no-filter": 0, "middle": 1, "strict": 2}.get(
+                args.qual_filter)
+            if qf is None:
+                return False
+            from .constants import DEFAULT_MINCOUNT
+
+            mc = (DEFAULT_MINCOUNT if args.min_count is None
+                  else int(args.min_count))
+            names = b"\x00".join(n.encode() for n, _1, _2 in trips)
+            p1 = b"\x00".join(f1.encode() for _n, f1, _2 in trips)
+            p2 = b"\x00".join((f2 or "").encode() for _n, _1, f2 in trips)
+            rc = lib.ska_host_build_files2(
+                path.encode(), p1, len(p1), p2, len(p2), len(trips),
+                names, len(names), int(args.k),
+                int(not args.single_strand), qf, int(args.min_qual), mc,
                 ver, len(ver),
             )
             return rc == 0

@@ -179,6 +179,28 @@ def test_delete_filelist_and_missing_name(tmp_path):
     assert b"Could not find sample" in r.stderr
 
 
+def test_fastq_build_via_launcher(tmp_path):
+    """FASTQ-pair cohorts (gz) build all-native through ska_host."""
+    fl = tmp_path / "pairs.txt"
+    fl.write_text(
+        f"test_1\t{REF_IN}/test_1_fwd.fastq.gz\t{REF_IN}/test_1_rev.fastq.gz\n"
+        f"test_2\t{REF_IN}/test_2_fwd.fastq.gz\t{REF_IN}/test_2_rev.fastq.gz\n")
+    out_n = tmp_path / "n"
+    out_p = tmp_path / "p"
+    args = ["build", "-f", str(fl), "-k", "9", "--min-count", "2",
+            "--min-qual", "2"]
+    _run(args + ["-o", str(out_n)], **NATIVE_ONLY)
+    _run(args + ["-o", str(out_p)], SKA_NATIVE_CMDS="0")
+    assert (tmp_path / "n.skf").read_bytes() == \
+           (tmp_path / "p.skf").read_bytes()
+    # --min-count auto must reach the python coverage-model path
+    r = subprocess.run(
+        [SKA, "build", "-f", str(fl), "-k", "9", "--min-count", "auto",
+         "-o", str(tmp_path / "x")],
+        env=_env(SKA_PYTHON="/bin/false"), capture_output=True, timeout=60)
+    assert r.returncode != 0  # python (here /bin/false) had to run
+
+
 def test_fallback_reaches_python(tmp_path):
     # -v asks for progress messages, which live in the python pipeline;
     # python must run (SKA_PYTHON=/bin/false then fails)

@@ -364,3 +364,88 @@ def test_map_native_declines_zero_hits(tmp_path):
                           f"{REF_IN}/merge.skf".encode(),
                           str(tmp_path / "o").encode(), 0, 0, 0)
     assert rc != 0
+
+
+# ---- FASTQ-capable native build (r5: ska_host_build_files2) ---------------
+
+def _native_build2(tmp_path, pairs, names, k, qf, min_qual, min_count):
+    lib = host_cmds._load()
+    out = str(tmp_path / "n2.skf")
+    p1 = b"\x00".join(p[0].encode() for p in pairs)
+    p2 = b"\x00".join((p[1] or "").encode() for p in pairs)
+    nm = b"\x00".join(n.encode() for n in names)
+    rc = lib.ska_host_build_files2(
+        out.encode(), p1, len(p1), p2, len(p2), len(pairs), nm, len(nm),
+        k, 1, qf, min_qual, min_count, b"v", 1)
+    assert rc == 0, f"build_files2 rc={rc}"
+    return out
+
+
+FASTQ_CASES = [
+    # (k, fixture prefix, qual_filter, min_qual, min_count)
+    (9, "test", 2, 2, 2),
+    (7, "test_count", 2, 20, 1),
+    (7, "test_count", 2, 20, 3),
+    (9, "test", 1, 10, 2),
+    (9, "test", 0, 20, 1),
+    (63, "test_long", 2, 20, 1),   # u128 whole-k-mer count keys
+    (63, "test_long", 2, 20, 3),
+]
+
+
+@pytest.mark.parametrize("k,prefix,qf,mq,mc", FASTQ_CASES)
+def test_fastq_build_native_matches_python(tmp_path, k, prefix, qf, mq, mc):
+    """The quality-gated, count-filtered FASTQ build engine must produce
+    the exact .skf of the canonical pipeline (gz decode, PHRED gates,
+    whole-k-mer min-count rank filter, pair batching)."""
+    from ska_tpu.constants import QUAL_FILTER_NAMES
+
+    pairs = [(f"{REF_IN}/{prefix}_1_fwd.fastq.gz",
+              f"{REF_IN}/{prefix}_1_rev.fastq.gz"),
+             (f"{REF_IN}/{prefix}_2_fwd.fastq.gz",
+              f"{REF_IN}/{prefix}_2_rev.fastq.gz")]
+    names = [f"{prefix}_1", f"{prefix}_2"]
+    out_n = _native_build2(tmp_path, pairs, names, k, qf, mq, mc)
+
+    from ska_tpu.sample import QualOpts
+
+    qf_name = {v: n for n, v in QUAL_FILTER_NAMES.items()}[qf]
+    files = [(names[i], pairs[i][0], pairs[i][1]) for i in range(2)]
+    arr = api.build(files, k, True,
+                    QualOpts(min_count=mc, min_qual=mq, qual_filter=qf))
+    out_p = str(tmp_path / "p2.skf")
+    # python encoder with the same version string as the native call
+    arr.ska_version = "v"
+    skf.save(arr, out_p, add_suffix=False)
+    assert open(out_n, "rb").read() == open(out_p, "rb").read(), qf_name
+
+
+def test_fastq_build_mixed_fasta_sample(tmp_path):
+    """A cohort mixing a FASTA sample with a FASTQ pair: quality/count
+    machinery applies per sample (is_reads per ska_dict.rs:357-366)."""
+    pairs = [(f"{REF_IN}/test_1.fa", None),
+             (f"{REF_IN}/test_2_fwd.fastq.gz",
+              f"{REF_IN}/test_2_rev.fastq.gz")]
+    names = ["test_1", "test_2"]
+    out_n = _native_build2(tmp_path, pairs, names, 9, 2, 2, 2)
+
+    from ska_tpu.sample import QualOpts
+
+    files = [(names[i], pairs[i][0], pairs[i][1]) for i in range(2)]
+    arr = api.build(files, 9, True,
+                    QualOpts(min_count=2, min_qual=2, qual_filter=2))
+    arr.ska_version = "v"
+    out_p = str(tmp_path / "p2.skf")
+    skf.save(arr, out_p, add_suffix=False)
+    assert open(out_n, "rb").read() == open(out_p, "rb").read()
+
+
+def test_fastq_build_declines_malformed(tmp_path):
+    lib = host_cmds._load()
+    bad = tmp_path / "bad.fastq"
+    bad.write_bytes(b"@r1\nACGT\n+\nII\n")  # qual/seq length mismatch
+    p1 = str(bad).encode()
+    rc = lib.ska_host_build_files2(
+        str(tmp_path / "o.skf").encode(), p1, len(p1), b"", 0, 1,
+        b"x", 1, 9, 1, 2, 20, 1, b"v", 1)
+    assert rc != 0
