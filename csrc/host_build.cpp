@@ -269,6 +269,39 @@ static size_t presize_for(long long n) {
     return want;
 }
 
+// `ska cov` counting phase (coverage.rs:104-135,156-174 via
+// ska_tpu/coverage.py): per-split-key occurrence counts of one flat
+// record batch (quality ignored), histogrammed as out[c-1] = number of
+// distinct keys seen exactly c times (c <= max_count; larger counts
+// dropped). Returns distinct-key total, or <0 on error.
+template <class K>
+static long long cov_hist_impl(const uint8_t* seq, long long L, int k,
+                               bool rc, long long max_count,
+                               int64_t* out) {
+    Map<K> counts(presize_for(L));
+    if (counts.oom) return -2;
+    bool oom = false;
+    scan<K>(seq, L, k, rc, [&](K key, uint8_t, long long, bool) {
+        if (oom) return;
+        bool fresh;
+        uint32_t* c = counts.slot(key, &fresh);
+        if (!c) { oom = true; return; }
+        ++*c;
+    });
+    if (oom || counts.oom) return -2;
+    for (long long i = 0; i < max_count; i++) out[i] = 0;
+    const size_t cap = counts.mask + 1;
+    long long n_unique = 0;
+    for (size_t i = 0; i < cap; i++) {
+        if (counts.t[i].key == Map<K>::EMPTY) continue;
+        n_unique++;
+        uint32_t c = counts.t[i].val;
+        if ((long long)c <= max_count) out[c - 1]++;
+    }
+    return n_unique;
+}
+
+
 template <class K>
 static long long build_impl(int n_samples, const uint8_t** seqs,
                             const long long* lens, int k, bool rc, int W,
@@ -517,6 +550,19 @@ const uint8_t* ska_host_ref_scan_rc_ptr() {
 // record batch (0x00 separators). Returns n_rows, or -2 on allocation
 // failure. Results are retained until the next call / release; copy out
 // with the accessors below.
+long long ska_host_cov_hist(const uint8_t* seq, long long L,
+                                       int k, int rc, long long max_count,
+                                       int64_t* out) {
+    if (k < 5 || k > 63 || (k & 1) == 0 || max_count < 1) return -1;
+    try {
+        if (k <= 31)
+            return cov_hist_impl<uint64_t>(seq, L, k, rc != 0, max_count, out);
+        return cov_hist_impl<u128>(seq, L, k, rc != 0, max_count, out);
+    } catch (...) {
+        return -3;
+    }
+}
+
 long long ska_host_build(int n_samples, const uint8_t** seqs,
                          const long long* lens, int k, int rc) {
     if (n_samples <= 0 || k < 5 || k > 63 || (k & 1) == 0) return -1;

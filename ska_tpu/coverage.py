@@ -71,6 +71,23 @@ class CoverageHistogram:
             seqs.extend(fastx.read_fastx(f).seqs)
         batch = fastx.build_batch(seqs)  # quality ignored (coverage.rs:102)
         L = len(batch.seq)
+
+        from .constants import host_native_enabled
+
+        if host_native_enabled():
+            # native counting map (csrc/host_build.cpp ska_host_cov_hist):
+            # host mode pays no device dispatches, same ~20x as the
+            # native FASTQ build vs the jax-on-CPU pipeline
+            try:
+                from .io.native import cov_hist
+            except Exception:  # noqa: BLE001 - no toolchain
+                cov_hist = None
+            if cov_hist is not None:
+                hist = cov_hist(batch.seq, k, rc, MAX_COUNT)
+                if hist is not None:
+                    self.counts = hist
+                    return
+
         W = K.width_for_k(k)
         from .sample import _max_chunk_bases
 

@@ -358,6 +358,27 @@ def host_build(sample_seqs, k: int, rc: bool):
     return keys, variants, counts
 
 
+_lib.ska_host_cov_hist.restype = ctypes.c_longlong
+_lib.ska_host_cov_hist.argtypes = [
+    _u8p, ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
+    ctypes.c_longlong, ctypes.POINTER(ctypes.c_int64),
+]
+
+
+def cov_hist(seq, k: int, rc: bool, max_count: int):
+    """Per-split-key occurrence-count histogram of one flat record batch
+    (ska cov counting phase, coverage.rs:104-135): bins[c-1] = distinct
+    keys seen exactly c times, c <= max_count. None on engine failure."""
+    buf = np.ascontiguousarray(seq, dtype=np.uint8)
+    out = np.zeros(max_count, dtype=np.int64)
+    n = _lib.ska_host_cov_hist(
+        buf.ctypes.data_as(_u8p), len(buf), int(k), int(bool(rc)),
+        int(max_count), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if n < 0:
+        return None
+    return out
+
+
 _lib.ska_host_ref_scan.restype = ctypes.c_longlong
 _lib.ska_host_ref_scan.argtypes = [
     ctypes.c_void_p,

@@ -356,3 +356,31 @@ def test_merged_batch_cap_and_guard(monkeypatch):
     with pytest.raises(ValueError, match="SKA_MAX_BATCH"):
         P.merged_build_pipeline(seqs, ones, ones, rl, 31, True, 1,
                                 False, False, 0)
+
+
+def test_cov_native_hist_matches_device(ref_in, monkeypatch):
+    """The native counting map (ska_host_cov_hist) must produce the
+    exact histogram of the device sort/segment pipeline."""
+    import numpy as np
+
+    dev = CoverageHistogram(
+        f"{ref_in}/test_1_fwd.fastq.gz", f"{ref_in}/test_1_rev.fastq.gz",
+        9, True,
+    ).counts
+    monkeypatch.setenv("SKA_NATIVE_BUILD", "1")
+    nat = CoverageHistogram(
+        f"{ref_in}/test_1_fwd.fastq.gz", f"{ref_in}/test_1_rev.fastq.gz",
+        9, True,
+    ).counts
+    assert np.array_equal(np.asarray(dev), np.asarray(nat))
+    # and at a two-limb k
+    dev33 = CoverageHistogram(
+        f"{ref_in}/test_long_1_fwd.fastq.gz",
+        f"{ref_in}/test_long_1_rev.fastq.gz", 33, True,
+    ).counts
+    monkeypatch.setenv("SKA_NATIVE_BUILD", "1")
+    nat33 = CoverageHistogram(
+        f"{ref_in}/test_long_1_fwd.fastq.gz",
+        f"{ref_in}/test_long_1_rev.fastq.gz", 33, True,
+    ).counts
+    assert np.array_equal(np.asarray(dev33), np.asarray(nat33))
